@@ -1,0 +1,69 @@
+package graft.engine.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Model
+import graft.lake.LakeTable
+
+/** The north-rule flagship: tail a binlog/WAL-shaped change-event log and
+  * MERGE-apply it into the snapshot-committed transcript lake table.
+  *
+  * Replaces go-datax's reader→bounded-channel→writer task-group model
+  * (`core/task/taskgroupcontainer.go:39-239`) with Structured Streaming
+  * micro-batches: the file source's `maxFilesPerTrigger` plays the role of
+  * the bounded channel (backpressure), `foreachBatch`'s epoch id plays the
+  * role of the idempotent load label (`starrocks_writer.go:878-892`), and
+  * the checkpoint directory carries per-partition offset lineage so the job
+  * resumes exactly where it stopped — a replayed epoch after restart is
+  * detected by the lake's commit log and skipped (exactly-once end state).
+  *
+  * Scale notes: the only shuffles per micro-batch are (1) the LWW dedupe
+  * window keyed by the FULL key `(conv_id, turn_idx)` — fine-grained, so a
+  * hot conversation spreads over its turns rather than hot-spotting one
+  * task (this is the salted-repartition: turn_idx acts as the salt within a
+  * conversation, while bucket pruning on the table side stays intact because
+  * dedupe never changes the key), and (2) the full-outer merge join keyed the
+  * same way. Both are batch-sized, never table-sized; the table side is
+  * bucket-pruned (see [[graft.lake.LakeTable]]).
+  */
+object CdcPipeline {
+
+  final case class CdcConfig(
+      logDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 4,
+      availableNow: Boolean = true,
+      toolColumn: Boolean = true)
+
+  /** Start the streaming MERGE; caller awaits termination. */
+  def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
+    // fixed unified schema: chunks written before `tool` existed are
+    // null-filled by the parquet reader (additive evolution on the source
+    // side; the lake handles it on the sink side too for batch callers)
+    val schema =
+      if (cfg.toolColumn) Model.changeEventSchema else Model.changeEventSchemaV1
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.logDir)
+
+    val writer = src.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        table.merge(batch, epoch)
+        ()
+      }
+    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Run the full replay to completion (AvailableNow) and return the number
+    * of committed epochs.
+    */
+  def replayAll(spark: SparkSession, table: LakeTable, cfg: CdcConfig): Long = {
+    val q = start(spark, table, cfg.copy(availableNow = true))
+    q.awaitTermination()
+    table.currentSnapshot().lastEpoch + 1
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gen, Model}
+import graft.engine.cdc.CdcPipeline
+import graft.lake.LakeTable
+
+/** Flagship correctness: replay a deterministic change log (duplicates,
+  * out-of-order lsn, deletes, late `tool` column) through the streaming
+  * MERGE and assert the final table state equals an independently computed
+  * global-LWW oracle — the reference's final-table-state replay pattern
+  * (go-datax `test-data/config-conflict-skip-test.json`,
+  * `config-conflict-duplicate-test.json`).
+  */
+class CdcReplaySpec extends SparkSpec {
+
+  private def assertStateMatches(table: LakeTable, cfg: Gen.GenConfig): Unit = {
+    import spark.implicits._
+    val got = table.read()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as[Model.Turn]
+    val want = Gen.expectedState(spark, cfg)
+    val gotC = got.count()
+    val wantC = want.count()
+    assert(gotC === wantC, s"row count: got $gotC want $wantC")
+    // per-turn text equality under stable (conv_id, turn_idx) ordering
+    val diff = got.toDF().exceptAll(want.toDF()).count() +
+      want.toDF().exceptAll(got.toDF()).count()
+    assert(diff === 0L, s"state mismatch: $diff differing rows")
+  }
+
+  test("streaming replay reaches the exact global-LWW final state") {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val logDir = tmpDir("cdclog")
+    val lakeDir = tmpDir("lake")
+    val cp = tmpDir("cp")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 10)
+
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 8)
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 3))
+
+    assertStateMatches(table, cfg)
+
+    // metrics table materialized with the north-rule fields
+    val m = table.metrics()
+    assert(m.columns.toSet.contains("rowsApplied"))
+    assert(m.agg(sum("rowsIn")).collect()(0).getLong(0) === cfg.nEvents)
+    assert(m.agg(sum("duplicatesDropped")).collect()(0).getLong(0) > 0L)
+  }
+
+  test("restart from checkpoint: stop mid-stream, resume, no double-apply") {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val logDir = tmpDir("cdclog2")
+    val lakeDir = tmpDir("lake2")
+    val cp = tmpDir("cp2")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 10)
+
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 8)
+    // phase 1: process only a prefix (2 triggers x 2 files), then stop
+    val q = CdcPipeline.start(spark, table,
+      CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 2, availableNow = false))
+    var waited = 0
+    while (table.currentSnapshot().lastEpoch < 1 && waited < 600) {
+      Thread.sleep(100); waited += 1
+    }
+    q.stop()
+    q.awaitTermination()
+    val midEpoch = table.currentSnapshot().lastEpoch
+    assert(midEpoch >= 1, "no progress before stop")
+
+    // phase 2: resume from the same checkpoint to completion
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 2))
+
+    assertStateMatches(table, cfg)
+    // exactly-once: every event applied exactly once despite the restart
+    assert(table.metrics().where(!col("skipped"))
+      .agg(sum("rowsIn")).collect()(0).getLong(0) === cfg.nEvents)
+  }
+
+  test("replayed epoch is skipped idempotently (batch API)") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)
+    val lakeDir = tmpDir("lake3")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val batch = Gen.changeEvents(spark, cfg).toDF()
+
+    val s1 = table.merge(batch, epoch = 0L)
+    assert(!s1.skipped)
+    val rows1 = table.read().count()
+    val s2 = table.merge(batch, epoch = 0L) // exact replay — must be a no-op
+    assert(s2.skipped)
+    assert(table.read().count() === rows1)
+    assert(table.currentSnapshot().lastEpoch === 0L)
+  }
+
+  test("additive schema evolution: early batches lack `tool`, final state has it") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)
+    val lakeDir = tmpDir("lake4")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val all = Gen.changeEvents(spark, cfg)
+    // first half without the tool column at all (schema v1)
+    table.merge(all.filter($"lsn" < cfg.nEvents / 2).drop("tool"), 0L)
+    assert(!table.currentSnapshot().schema.get.fieldNames.contains("tool"))
+    // second half carries tool — merged schema must gain it, old rows null
+    table.merge(all.filter($"lsn" >= cfg.nEvents / 2).toDF(), 1L)
+    assert(table.read().schema.fieldNames.contains("tool"))
+    assertStateMatches(table, cfg)
+    assert(table.read().where(col("tool").isNotNull).count() > 0L)
+  }
+}
