@@ -1,13 +1,427 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.ColumnCasts
+import graft.engine.{Splits, Transformers}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one named query per implemented operator (SURVEY.md §2
+  * + the training-data pipeline family), each with DuckDB-equivalent oracle
+  * SQL over the same parquet tables. Operators whose semantics need managed
+  * state (LakeTable merge, streaming restart, SyncJob sinks) are validated
+  * in ScalaTest instead; their SQL-expressible core (last-writer-wins
+  * dedupe) is oracle-checked here via `cdc_*`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001: last-writer-wins CDC state of the events
+    * log keyed by (user_id, event_type) — the merge stage's core semantics.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_lww_state")(spark, "/root/testdata/sf0.001")
+
+  // ————————————————————————————————————————————— query definitions
+  // (name, spark plan, duckdb oracle). Column names are aligned pairwise.
+
+  private val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ===== classic relational sanity (bench anchors) ====================
+    ("q1_pricing", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    ("q3_top_orders", (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // broadcast the filtered dims; revenue rounded before ordering so the
+      // top-10 cut is reproducible across engines
+      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ===== transformers (§2.4) ==========================================
+    ("t_dx_filter", (s, dir) => {
+      Transformers.chain(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq(Transformers.DxFilter(Right("l_quantity"), ">", "30")))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_quantity > 30""")),
+
+    ("t_dx_substr", (s, dir) => {
+      Transformers.chain(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        Seq(Transformers.DxSubstr(Right("p_name"), 0, 8)))
+    }, Some("""
+      SELECT p_partkey, substr(p_name, 1, 8) AS p_name
+      FROM part WHERE substr(p_name, 1, 8) IS NOT NULL""")),
+
+    ("t_dx_replace", (s, dir) => {
+      Transformers.chain(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        Seq(Transformers.DxReplace(Right("c_name"), "[0-9]+", "#")))
+    }, Some("""
+      SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#', 'g') AS c_name
+      FROM customer WHERE regexp_replace(c_name, '[0-9]+', '#', 'g') IS NOT NULL""")),
+
+    ("t_dx_pad", (s, dir) => {
+      Transformers.chain(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+          col("s_suppkey").cast("string").as("s_code")),
+        Seq(Transformers.DxPad(Right("s_code"), "left", 6, "0")))
+    }, Some("""
+      SELECT s_suppkey, s_name, lpad(s_suppkey::VARCHAR, 6, '0') AS s_code
+      FROM supplier""")),
+
+    ("t_dx_digest", (s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"))
+    }, Some("""
+      SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+      FROM customer""")),
+
+    ("t_chain", (s, dir) => {
+      // chain in config order + filter-null contract, mirroring the
+      // reference's combined transformer test
+      Transformers.chain(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq(
+          Transformers.DxReplace(Right("c_name"), "Customer#", "USER-"),
+          Transformers.DxSubstr(Right("c_mktsegment"), 0, 3),
+          Transformers.DxFilter(Right("c_custkey"), ">", "750")))
+    }, Some("""
+      SELECT c_custkey,
+             regexp_replace(c_name, 'Customer#', 'USER-', 'g') AS c_name,
+             substr(c_mktsegment, 1, 3) AS c_mktsegment
+      FROM customer WHERE c_custkey > 750""")),
+
+    // ===== DataX cast/format semantics (§1.2) ===========================
+    ("c_casts", (s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        ColumnCasts.dateToString(col("ts")).as("ts_str"),
+        ColumnCasts.dateToLong(col("ts")).as("ts_unix"),
+        ColumnCasts.doubleToString(col("value")).as("value_str"),
+        ColumnCasts.emptyAsNull(col("event_type")).as("etype"),
+        ColumnCasts.stringToLong(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("k"))
+    }, Some("""
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+             floor(epoch(ts))::BIGINT AS ts_unix,
+             printf('%.6f', value) AS value_str,
+             nullif(event_type, '') AS etype,
+             CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) ~ '^-?[0-9]+$'
+                  THEN regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT END AS k
+      FROM events""")),
+
+    // ===== split strategies (§2.3) ======================================
+    ("s_range_split", (s, dir) => {
+      Splits.rangeSplitAuto(t(s, dir, "lineitem"), "l_orderkey", 8)
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }, Some("""
+      WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+      a AS (SELECT least(((l_orderkey - lo) // (((hi - lo) // 8) + 1))::INT, 7) AS split
+            FROM lineitem, b)
+      SELECT split, count(*) AS cnt FROM a GROUP BY split""")),
+
+    ("s_mod_split", (s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("split", Splits.modSplit(col("o_orderkey"), 8))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }, Some("""
+      SELECT (o_orderkey % 8)::INT AS split, count(*) AS cnt
+      FROM orders GROUP BY 1""")),
+
+    ("s_offset_split", (s, dir) => {
+      val total = t(s, dir, "supplier").count()
+      Splits.offsetSplit(t(s, dir, "supplier"), "s_suppkey", 7, total)
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }, Some("""
+      WITH p AS (SELECT (row_number() OVER (ORDER BY s_suppkey)) - 1 AS rn,
+                        (SELECT count(*) FROM supplier) AS total
+                 FROM supplier),
+      a AS (SELECT CASE WHEN rn < (total % 7) * ((total // 7) + 1)
+                        THEN rn // ((total // 7) + 1)
+                        ELSE (total % 7) +
+                             (rn - (total % 7) * ((total // 7) + 1)) // greatest(total // 7, 1)
+                   END::INT AS split
+            FROM p)
+      SELECT split, count(*) AS cnt FROM a GROUP BY split""")),
+
+    ("s_dict_split", (s, dir) => {
+      Splits.dictionarySplit(t(s, dir, "customer"), "c_mktsegment", 3)
+        .groupBy("c_mktsegment", "split").agg(count(lit(1)).as("cnt"))
+    }, Some("""
+      WITH dict AS (SELECT seg, (ntile(3) OVER (ORDER BY seg)) - 1 AS split
+                    FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer))
+      SELECT c_mktsegment, split::INT AS split, count(*) AS cnt
+      FROM customer JOIN dict ON c_mktsegment = seg
+      GROUP BY c_mktsegment, split""")),
+
+    // ===== flow control: error limiter semantics (§2.5) ================
+    ("f_error_rates", (s, dir) => {
+      val k = ColumnCasts.stringToLong(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1))
+      t(s, dir, "events")
+        .withColumn("bad", k.isNull || k > 90)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("bad_records"))
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                        CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) ~ '^-?[0-9]+$'
+                             THEN regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT END AS k
+                 FROM events)
+      SELECT event_type, count(*) AS total,
+             sum(CASE WHEN k IS NULL OR k > 90 THEN 1 ELSE 0 END) AS bad_records
+      FROM e GROUP BY event_type""")),
+
+    // ===== CDC / upsert core semantics over the events log =============
+    ("cdc_lww_state", (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      SELECT user_id, event_type, event_id AS lsn, round(value, 4) AS value_r
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1""")),
+
+    ("cdc_replay_twice", (s, dir) => {
+      // at-least-once delivery: the log applied twice must yield the same
+      // LWW state as applied once (idempotent replay)
+      val doubled = t(s, dir, "events").unionAll(t(s, dir, "events"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      doubled
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT user_id, event_type, event_id AS lsn, round(value, 4) AS value_r
+      FROM doubled
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1""")),
+
+    ("cdc_delete_apply", (s, dir) => {
+      // 'error' events act as tombstones: keys whose LATEST event is a
+      // tombstone disappear from the state (delete-apply semantics)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type"), col("event_id").as("lsn"))
+    }, Some("""
+      SELECT user_id, event_type, event_id AS lsn FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+              AND event_type <> 'error'""")),
+
+    ("cdc_dedup_rate", (s, dir) => {
+      val e = t(s, dir, "events")
+      e.agg(
+        count(lit(1)).as("rows_in"),
+        countDistinct(col("user_id"), col("event_type")).as("distinct_keys"))
+        .withColumn("dup_rate",
+          round(lit(1) - col("distinct_keys").cast("double") / col("rows_in"), 4))
+    }, Some("""
+      SELECT count(*) AS rows_in,
+             (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS distinct_keys,
+             round(1 - (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events))::DOUBLE
+                       / count(*), 4) AS dup_rate
+      FROM events""")),
+
+    // ===== deduplication family (training-data pipeline) ===============
+    ("d_dedup_exact", (s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+    }, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY md5(text)""")),
+
+    ("d_jaccard_pairs", (s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2)
+    }, Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+      SELECT a, b, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""")),
+
+    ("d_minhash_lsh", (s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, bands = 4, rowsPerBand = 2)
+    }, Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+             FROM sh CROSS JOIN UNNEST(range(0, 8)) AS jj(j)
+             GROUP BY doc_id, j),
+      band AS (SELECT doc_id, (j // 2)::INT AS band, string_agg(mh, ',' ORDER BY mh) AS band_sig
+               FROM mh GROUP BY doc_id, (j // 2)::INT)
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band x JOIN band y ON x.band = y.band AND x.band_sig = y.band_sig
+                             AND x.doc_id < y.doc_id""")),
+
+    ("d_simhash", (s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                   FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      sb AS (SELECT doc_id, b, sum(CASE WHEN (h // (2 ** b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN UNNEST(range(0, 32)) AS bb(b)
+             GROUP BY doc_id, b)
+      SELECT doc_id, sum(CASE WHEN s >= 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+      FROM sb GROUP BY doc_id""")),
+
+    ("d_embed_neardup", (s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+    }, Some("""
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""")),
+
+    // ===== similarity search ============================================
+    ("sim_topk", (s, dir) => {
+      Similarity.topK(t(s, dir, "embeddings"), queryId = 1L, k = 10)
+    }, Some("""
+      SELECT y.vec_id AS neighbor_id,
+             round(list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings y, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+      WHERE y.vec_id <> 1
+      ORDER BY list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, y.vec_id ASC
+      LIMIT 10""")),
+
+    ("sim_ann_lsh", (s, dir) => {
+      // LSH-bucketed ANN (scale path) — recall vs brute force is gated in
+      // ScalaTest; rows-only check here (no oracle: the bucket join is the
+      // point, not SQL-expressible compactly)
+      Similarity.annTopK(t(s, dir, "embeddings"), k = 5, planes = 6)
+    }, None),
+
+    // ===== text analysis ================================================
+    ("ta_langid", (s, dir) => {
+      TextAnalysis.langId(t(s, dir, "documents"))
+    }, Some("""
+      WITH h AS (SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','is','in','that','with'))) AS hits_en,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS hits_de,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('le','la','et','les','des','est','dans','une'))) AS hits_fr,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('el','la','los','las','es','en','que','una'))) AS hits_es
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+             WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+             WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+             WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred,
+        greatest(hits_en, hits_de, hits_fr, hits_es)::INT AS confidence_hits
+      FROM h""")),
+
+    ("ta_quality", (s, dir) => {
+      TextAnalysis.qualityScore(t(s, dir, "documents"))
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','is','in','that','with'))) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END, 4) AS mean_tok_len,
+        round(CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END, 4) AS alpha_ratio,
+        round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END, 4) AS stopword_ratio,
+        round(
+          (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN n_tokens > 0 AND n_chars::DOUBLE / n_tokens BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN n_chars > 0 AND n_alpha::DOUBLE / n_chars >= 0.6 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN n_tokens > 0 AND n_stop::DOUBLE / n_tokens >= 0.05 THEN 0.25 ELSE 0 END), 2)
+          AS quality_score
+      FROM f""")),
+
+    ("ta_tokens", (s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))
+    }, Some("""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpeish_tokens
+      FROM documents""")),
+
+    ("ta_fingerprint", (s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"))
+    }, Some("""
+      WITH nrm AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+        FROM documents),
+      toks AS (SELECT doc_id, n, list_filter(string_split(n, ' '), x -> x <> '') AS t FROM nrm),
+      sh AS (SELECT doc_id, min(md5(array_to_string(t[i:i+2], ' '))) AS shingle_fp
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+             GROUP BY doc_id)
+      SELECT toks.doc_id, md5(n) AS content_fp, sh.shingle_fp
+      FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id""")),
+
+    // ===== multimodal plumbing ==========================================
+    ("mm_meta", (s, dir) => {
+      Multimodal.mediaMeta(Multimodal.mediaFromDocs(t(s, dir, "documents")))
+    }, Some("""
+      SELECT doc_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             substr(lower(hex(encode(text))), 1, 8) AS head_hex
+      FROM documents""")),
+
+    ("mm_features", (s, dir) => {
+      // STUB decode (no codecs in sandbox) — real batched mapPartitions
+      // plumbing; deterministic, rows-only check
+      Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, dir, "documents")))
+        .toDF().drop("feature")
+    }, None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

@@ -1,0 +1,146 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** The go-datax batch job model, Spark-idiomatic: one job = source →
+  * transformer chain → sink, with error limiting and throughput metrics
+  * (reference: `core/job/jobcontainer.go` phases init/prepare/split/
+  * schedule/post; we let Catalyst own split/schedule).
+  *
+  * Sources/sinks cover the sandbox-expressible subset of the reference's
+  * 42 plugins: csv (txtfilereader/writer), json+jsonl (jsonfilereader/
+  * writer), parquet/text (hdfsreader/writer), and the lake-upsert writer
+  * (the RDBMS upsert family's semantics). JDBC shapes map 1:1 onto
+  * `spark.read.format("jdbc")` options and are documented rather than
+  * network-tested (zero-egress sandbox).
+  */
+object SyncJob {
+
+  /** writeMode per the reference: `append`, `truncate` (drop & rewrite),
+    * `nonConflict` (fail if target exists) — `hdfs_writer.go:326-364`,
+    * `txtfile_writer.go:96-133`; plus `upsert` = the RDBMS merge family
+    * (`common.go:556-616`) realized by [[graft.lake.LakeTable]].
+    */
+  object WriteMode extends Enumeration {
+    val Append, Truncate, NonConflict, Upsert = Value
+  }
+
+  final case class Source(
+      format: String, // csv | json | jsonl | parquet | text
+      path: String,
+      options: Map[String, String] = Map.empty,
+      /** `{index | name, type, format, value}` projection incl. constant
+        * columns, as txtfilereader's column spec (`txtfile_reader.go:399-432`).
+        */
+      constants: Map[String, String] = Map.empty)
+
+  final case class Sink(
+      format: String, // csv | json | parquet | text | lake
+      path: String,
+      writeMode: WriteMode.Value = WriteMode.Append,
+      options: Map[String, String] = Map.empty,
+      /** upsert only: key columns + lsn column for LWW arbitration */
+      keyCols: Seq[String] = Nil,
+      numBuckets: Int = 32)
+
+  /** Error limit, as `job.setting.errorLimit` (`error_limiter.go:24-113`):
+    * fail when bad records exceed `record` or bad fraction exceeds
+    * `percentage`. A record is "bad" when `badPredicate` is true.
+    */
+  final case class ErrorLimit(record: Long = 0L, percentage: Double = 1.0)
+
+  final case class JobResult(rowsWritten: Long, rowsBad: Long, seconds: Double)
+
+  final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
+
+  def read(spark: SparkSession, src: Source): DataFrame = {
+    val base = src.format match {
+      case "csv" =>
+        spark.read
+          .option("header", "true").option("nullValue", "\\N") // nullFormat \N: txtfile_reader.go:108-118
+          .options(src.options).csv(src.path)
+      case "jsonl" => spark.read.options(src.options).json(src.path)
+      case "json" => spark.read.option("multiLine", "true").options(src.options).json(src.path)
+      case "parquet" => spark.read.options(src.options).parquet(src.path)
+      case "text" => spark.read.options(src.options).text(src.path)
+      case f => throw new IllegalArgumentException(s"source format '$f'")
+    }
+    // constant columns (txtfilereader {type:"string", value:...})
+    src.constants.foldLeft(base) { case (df, (name, value)) => df.withColumn(name, lit(value)) }
+  }
+
+  /** Run the job: read → transform chain → error-split → write; enforce the
+    * error limit from observed counts (single pass — bad rows are filtered
+    * and counted inside the write job via `observe`, the Spark analog of the
+    * reference's statistics-decorated channel, `core/registry/statistics.go`).
+    */
+  def run(
+      spark: SparkSession,
+      src: Source,
+      transforms: Seq[Transformers.Transform],
+      sink: Sink,
+      badPredicate: Option[Column] = None,
+      errorLimit: ErrorLimit = ErrorLimit(record = Long.MaxValue)): JobResult = {
+    val t0 = System.nanoTime()
+    val input = read(spark, src)
+    val transformed = Transformers.chain(input, transforms)
+
+    val bad = badPredicate.getOrElse(lit(false))
+    val obs = Observation(s"sync-${System.nanoTime()}")
+    val observed = transformed
+      .observe(obs,
+        count(lit(1)).as("total"),
+        sum(when(bad, 1L).otherwise(0L)).as("bad"))
+      .filter(!coalesce(bad, lit(false)))
+
+    write(spark, observed, sink)
+
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val nBad = m("bad").asInstanceOf[Long]
+    if (nBad > errorLimit.record ||
+        (total > 0 && nBad.toDouble / total > errorLimit.percentage))
+      throw new ErrorLimitExceeded(
+        s"error limit exceeded: $nBad bad of $total (limit ${errorLimit.record} / ${errorLimit.percentage})")
+    JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def write(spark: SparkSession, df: DataFrame, sink: Sink): Unit = sink.format match {
+    case "lake" =>
+      require(sink.keyCols.nonEmpty, "lake sink needs keyCols")
+      val table = LakeTable.create(spark, sink.path, sink.keyCols, sink.numBuckets)
+      // batch upsert: whole input is one epoch after the last committed one
+      val epoch = table.currentSnapshot().lastEpoch + 1
+      val withMeta = df
+        .withColumn("op", lit("U"))
+        .withColumn("lsn", monotonically_increasing_id())
+      table.merge(withMeta, epoch)
+      ()
+    case fmt =>
+      val mode = sink.writeMode match {
+        case WriteMode.Append => "append"
+        case WriteMode.Truncate => "overwrite"
+        case WriteMode.NonConflict =>
+          // reference nonConflict fails if ANY file exists at the target
+          val p = new Path(sink.path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+            throw new IllegalStateException(s"nonConflict: target ${sink.path} not empty")
+          "errorifexists"
+        case WriteMode.Upsert =>
+          throw new IllegalArgumentException("upsert requires format=lake")
+      }
+      val w = df.write.mode(mode).options(sink.options)
+      fmt match {
+        case "csv" => w.option("header", "true").csv(sink.path)
+        case "json" | "jsonl" => w.json(sink.path)
+        case "parquet" => w.parquet(sink.path)
+        case "text" => w.text(sink.path)
+        case f => throw new IllegalArgumentException(s"sink format '$f'")
+      }
+  }
+}

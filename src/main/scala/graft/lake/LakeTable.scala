@@ -146,8 +146,22 @@ final class LakeTable(
       .persist()
 
     try {
-      // rowsDistinct materializes the cache and flushes the observation
-      val rowsDistinct = latest.count()
+      // ONE aggregation job computes everything the merge plan needs
+      // (materializes the cache, flushes the rowsIn observation, and yields
+      // distinct-rows / deletes / skew / affected-buckets) — per-epoch
+      // driver-side overhead matters at 10^10 events
+      val sumRow = latest
+        .groupBy(col(keyCols.head))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col(OpCol) === "D", 1L).otherwise(0L)).as("d"),
+          collect_set(col(BucketCol)).as("bs"))
+        .agg(
+          sum("n").as("rows"), sum("d").as("dels"),
+          max("n").as("mx"), avg("n").as("mean"),
+          array_distinct(flatten(collect_set("bs"))).as("buckets"))
+        .collect()(0)
+      val rowsDistinct = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       val rowsIn = obsIn.get("rowsIn").asInstanceOf[Long]
 
       if (rowsDistinct == 0L) {
@@ -157,20 +171,14 @@ final class LakeTable(
         return st
       }
 
-      val deletes =
-        latest.filter(col(OpCol) === "D").count()
-      // skew: max events per first-key / mean — reported so hot conversations
-      // are visible in the metrics table
-      val skewRow = latest
-        .groupBy(col(keyCols.head)).count()
-        .agg(max("count").as("mx"), avg("count").as("mean"))
-        .collect()(0)
+      val deletes = sumRow.getLong(1)
+      // skew: max events per first-key (conversation) / mean — hot
+      // conversations stay visible in the metrics table
       val skew =
-        if (skewRow.isNullAt(1) || skewRow.getDouble(1) == 0.0) 1.0
-        else skewRow.getLong(0).toDouble / skewRow.getDouble(1)
-
+        if (sumRow.isNullAt(3) || sumRow.getDouble(3) == 0.0) 1.0
+        else sumRow.getLong(2).toDouble / sumRow.getDouble(3)
       val affected: Set[Int] =
-        latest.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+        sumRow.getSeq[Int](4).toSet
 
       // -- base side: ONLY the affected buckets (bucket-pruned CoW) -------
       val (affFiles, keptFiles) = snap.files.partition(f => affected.contains(f.bucket))

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All operators are pure
+  * DataFrame plans (groupBy/join/window — no driver loops), so they scale
+  * with the shuffle: exact dedup is one hash-aggregate; MinHash/LSH is the
+  * canonical shingle→signature→band→bucket-join pipeline whose cost is
+  * O(docs·shingles) + a bucket join that only pairs near-duplicates —
+  * the 100 TB path. Pairwise n-gram Jaccard is the small-scale oracle used
+  * to validate the sketches, quadratic by construction.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest id (deterministic winner), with the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, shingle) pairs, distinct per document. */
+  def docShingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * Quadratic in co-shingled docs — the validation oracle for the sketches,
+    * not the scale path (use [[minhashCandidates]] at scale).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signatures: k per-document minima of md5(j || ':' || shingle)
+    * over the shingle set — lexicographic min over hex strings, which any
+    * engine reproduces bit-identically (no seeded JVM hash).
+    * Output: (doc_id, j, mh).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docShingles(docs, n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"),
+        col("sh"))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  /** LSH banding: k = bands × rowsPerBand; docs sharing a full band signature
+    * become candidate pairs. Returns distinct (a, b) with a < b.
+    * The band bucket join touches only colliding docs — near-linear at scale.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(docs, n, k)
+      .groupBy(col("doc_id"), (col("j") / rowsPerBand).cast("int").as("band"))
+      .agg(concat_ws(",", array_sort(collect_list(col("mh")))).as("band_sig"))
+    sig.as("x").join(sig.as("y"), Seq("band", "band_sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens: bit b is the sign of
+    * Σ_tokens (bit b of md5-head32(token) ? +1 : −1). Near-duplicates have
+    * small Hamming distance between simhashes.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5Head32(col("tok")))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("bit"), col("h"))
+      .groupBy("doc_id", "bit")
+      // bit test via exact integer division (h < 2^32 « 2^53, so pow is
+      // exact); keeps the expression portable to the SQL oracle
+      .agg(sum(when(floor(col("h") / pow(lit(2), col("bit"))).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (compared via
+    * bit_count(xor)); quadratic compare here, banded at scale (split the 32
+    * bits into bands like LSH).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val s = simhash(docs)
+    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold. Brute force
+    * (the validation baseline); the scale path is the LSH variant in
+    * [[Similarity]].
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withNorm = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+    withNorm.as("x").join(withNorm.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+          / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deduplicated corpus via exact + minhash candidates: drop every doc that
+    * is the larger id of a candidate pair or a non-keeper exact duplicate.
+    */
+  def dedupedCorpus(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val exactDrop = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .join(docs.withColumn("h", md5(col("text"))), Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    val nearDrop = minhashCandidates(docs, n, bands, rowsPerBand).select(col("b").as("doc_id"))
+    docs.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+  }
+}

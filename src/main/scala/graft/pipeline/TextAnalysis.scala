@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text analysis for training-data curation: language ID (stopword n-gram
+  * heuristic), quality scoring, token counting, and document fingerprinting.
+  * Pure column expressions — codegen'd end to end, no UDFs, trivially
+  * distributed (one narrow map stage over the corpus).
+  */
+object TextAnalysis {
+
+  /** Tiny high-frequency stopword lists per language (public knowledge). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "une"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una"))
+
+  private def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** Predicted language = argmax stopword hits (ties broken by fixed
+    * language order en>de>fr>es; zero hits ⇒ "und" undetermined).
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val langs = Seq("en", "de", "fr", "es")
+    val hits = langs.map(l => stopwordHits(toks, l).as(s"hits_$l"))
+    val withHits = docs.select((col("doc_id") +: col(textCol).as("text") +: hits): _*)
+    val best = langs.foldLeft(lit("und") -> lit(0)) { case ((bl, bh), l) =>
+      val h = col(s"hits_$l")
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    withHits.select(col("doc_id"), best._1.as("lang_pred"), best._2.as("confidence_hits"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * length band, mean token length band, alpha ratio, stopword ratio.
+    * Thresholds follow the usual web-corpus heuristics (Gopher-style rules,
+    * public literature); exact constants are ours.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(col(textCol))
+    val meanTokLen = when(nTok > 0, nChar.cast("double") / nTok).otherwise(0.0)
+    val alphaRatio = when(nChar > 0,
+      length(regexp_replace(col(textCol), "[^A-Za-z ]", "")).cast("double") / nChar)
+      .otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      stopwordHits(tokens(lower(col(textCol))), "en").cast("double") / nTok).otherwise(0.0)
+    val score =
+      (when(nTok >= 10 && nTok <= 10000, 0.25).otherwise(0.0)
+        + when(meanTokLen >= 3 && meanTokLen <= 12, 0.25).otherwise(0.0)
+        + when(alphaRatio >= lit(0.6), 0.25).otherwise(0.0)
+        + when(stopRatio >= lit(0.05), 0.25).otherwise(0.0))
+    docs.select(col("doc_id"),
+      nTok.as("n_tokens"),
+      round(meanTokLen, 4).as("mean_tok_len"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 2).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish sub-word proxy
+    * (runs of letters, runs of digits, single punctuation marks — the usual
+    * pre-tokenizer regex shape).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .as("bpeish_tokens"))
+
+  /** Document fingerprints: content hash of normalized text plus a rolling
+    * shingle fingerprint (the lexicographic-min md5 over word 3-gram
+    * shingles — a 1-hash minhash, stable under small reorderings of
+    * surrounding content).
+    */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nrm = normalized(col(textCol))
+    val sh = shingles(tokens(nrm), 3)
+    docs.select(col("doc_id"),
+      md5(nrm).as("content_fp"),
+      array_min(transform(sh, s => md5(s))).as("shingle_fp"))
+  }
+}
