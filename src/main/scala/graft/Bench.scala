@@ -1,24 +1,61 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.core.Gen
+import graft.engine.cdc.CdcPipeline
+import graft.lake.LakeTable
+
+/** Per-round benchmark: times every SparkEntry query (forced end-to-end via
+  * a noop sink so column pruning cannot skip the measured work) plus the
+  * headline CDC replay throughput (change-events/s MERGE-applied into the
+  * lake table — the BASELINE.json metric). Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (warmup) sorted.foreach { case (n, f) => once(n, f) } // JIT/codegen warmup
+    val results = sorted.map { case (name, fn) => name -> once(name, fn) }
+
+    // headline: CDC replay throughput (generation excluded from the timer)
+    val work = Files.createTempDirectory("graft-bench-cdc").toString
+    val cfg = Gen.GenConfig(nEvents = cdcEvents, nConvs = math.max(100L, cdcEvents / 100),
+      partitions = cpus * 2)
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 8)
+    val table = LakeTable.create(spark, s"$work/lake", Seq("conv_id", "turn_idx"), numBuckets = cpus)
+    val t0 = System.nanoTime()
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(s"$work/log", s"$work/cp", maxFilesPerTrigger = 2))
+    val cdcSecs = (System.nanoTime() - t0) / 1e9
+    val eventsPerSec = cdcEvents / cdcSecs
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + cdcSecs
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$cdcEvents,"cdc_seconds":$cdcSecs%.3f,"cdc_events_per_sec":$eventsPerSec%.0f,"cores":$cpus}""")
     spark.stop()
+    // best-effort cleanup of the bench work dir
+    scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
   }
 }

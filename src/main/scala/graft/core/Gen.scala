@@ -136,8 +136,9 @@ object Gen {
         val df =
           if (hi + 64 <= cfg.toolFromLsn) ds.drop("tool") // schema v1: pre-evolution
           else ds.toDF()
-        // one file per chunk, ordered by arrival within the chunk
-        df.coalesce(1).write.mode("append").parquet(dir)
+        // one file per chunk (repartition, not coalesce: coalesce(1) would
+        // collapse the generation itself to one thread)
+        df.repartition(1).write.mode("append").parquet(dir)
       }
       c += 1
     }

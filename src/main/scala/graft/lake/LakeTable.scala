@@ -6,9 +6,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
-/** An Iceberg-shaped, snapshot-committed table over immutable Parquet files.
+/** An Iceberg-shaped, snapshot-committed table over immutable Parquet files,
+  * with MERGE-ON-READ upserts and per-bucket compaction.
   *
   * No Iceberg/Delta jar exists in this sandbox (offline resolution), so the
   * north-rule's "Iceberg table" is realized in-repo with the same public
@@ -23,31 +24,39 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *
   * Layout:
   * {{{
-  *   <root>/data/s<version>-b<bucket>-<n>.parquet   // immutable data files
-  *   <root>/_snapshots/snap-<version>.txt           // manifest (see format below)
+  *   <root>/data/b<v>-<bucket>-<n>.parquet          // base files (compacted)
+  *   <root>/data/d<v>-<bucket>-<n>.parquet          // delta files (one merge epoch)
+  *   <root>/_snapshots/snap-<version>.txt           // manifest
   *   <root>/_current                                // pointer: latest version (atomic swap)
   * }}}
   * Per-epoch ingest metrics ride inside the manifests (atomic with the
   * commit) and are exposed as a DataFrame by [[LakeTable#metrics]].
   *
-  * Scale design: rows are hash-bucketed on the key (`pmod(hash(key), numBuckets)`);
-  * the manifest records each file's bucket, so a MERGE only reads and rewrites
-  * the buckets that actually receive changes (bucket-pruned copy-on-write).
-  * At 100 TB with numBuckets sized so bucket ≈ a few GB, a batch touching k
-  * buckets costs O(k·bucketSize), never O(table).
+  * Scale design — why merge-on-read: with high-entropy keys (every batch
+  * touches every bucket) a copy-on-write MERGE rewrites O(table) per epoch —
+  * unusable at 10^10 events. Here `merge` costs O(batch): the batch is
+  * LWW-deduped (window `row_number` over the key, `lsn desc, ts desc`) and
+  * written as hash-bucketed DELTA files carrying `_lsn` and `_op`
+  * (tombstones included). Readers resolve the winner per key with one window
+  * over base∪deltas. Compaction folds a bucket's deltas into a new base file
+  * whenever deltas exceed `deltaRatio` × base (or `minCompactRows`), inside
+  * the same atomic commit — amortized O(table × ratio⁻¹) instead of
+  * O(table) per epoch. Rows are hash-bucketed on the key, so compaction and
+  * point reads prune to affected buckets only.
   *
   * Upsert semantics follow the reference's writer-side PK upsert
-  * (last-writer-wins per key, `common/database/rdbms/writer/common.go:556-616`):
-  * within a batch, LWW = `row_number() over (partition by key order by lsn
-  * desc, ts desc) = 1`; across batches the stored `_lsn` column arbitrates, so
-  * late-arriving lower-lsn changes never clobber newer state and the final
-  * table state is independent of batch boundaries.
+  * (last-writer-wins per key, `common/database/rdbms/writer/common.go:556-616`);
+  * the stored `_lsn` arbitrates across batches, so late-arriving lower-lsn
+  * changes never clobber newer state and the final state is independent of
+  * batch boundaries.
   */
 final class LakeTable(
     val spark: SparkSession,
     val root: String,
     val keyCols: Seq[String],
-    val numBuckets: Int) {
+    val numBuckets: Int,
+    val deltaRatio: Double = 0.3,
+    val minCompactRows: Long = 50000L) {
 
   import LakeTable._
 
@@ -86,45 +95,67 @@ final class LakeTable(
 
   // ---------------------------------------------------------------- read
 
-  /** Current table contents (public columns — internal `_lsn` dropped). */
-  def read(): DataFrame = readInternal().drop(LsnCol)
-
-  /** Contents including the internal `_lsn` arbitration column. */
-  def readInternal(): DataFrame = {
+  /** Current table contents (public columns — internals dropped). */
+  def read(): DataFrame = {
     val s = currentSnapshot()
-    dfFor(s, s.files)
+    resolved(s).drop(LsnCol, OpCol)
   }
 
+  /** Contents including the internal `_lsn` arbitration column. */
+  def readInternal(): DataFrame = resolved(currentSnapshot()).drop(OpCol)
+
+  /** Merge-on-read resolution: one row per key (the max-`_lsn` winner),
+    * tombstones dropped. Fast path: no deltas ⇒ no window.
+    */
+  private def resolved(s: Snapshot, buckets: Option[Set[Int]] = None): DataFrame = {
+    val files = buckets match {
+      case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
+      case None => s.files
+    }
+    val hasDeltas = files.exists(_.kind == "d")
+    val df = dfFor(s, files)
+    if (!hasDeltas) df
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(LsnCol).desc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && coalesce(col(OpCol), lit("U")) =!= "D")
+        .drop("_rn")
+    }
+  }
+
+  /** Physical file scan with the unified snapshot schema (+`_op`, null in
+    * base files — additive evolution also null-fills old files).
+    */
   private def dfFor(s: Snapshot, files: Seq[FileEntry]): DataFrame = {
-    val schema = s.schema.getOrElse(StructType(Nil))
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val stored = s.schema.getOrElse(StructType(Nil))
+    val schema = StructType(stored.fields :+ StructField(OpCol, StringType, nullable = true))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      // explicit unified schema: files written before a column existed are
-      // null-filled by the parquet reader (additive schema evolution)
       spark.read.schema(schema).parquet(files.map(f => s"$dataDir/${f.path}"): _*)
   }
 
   // ---------------------------------------------------------------- merge
 
-  /** MERGE a batch of change events into the table, idempotently keyed by
-    * `epoch`. Batch columns: `op` (I/U/D), `lsn`, key columns, payload
-    * columns (any extra column is added to the table schema — additive
-    * evolution; any stored payload column missing from the batch is
-    * null-filled). Returns per-epoch ingest metrics; a replayed epoch is
-    * skipped and reported with `skipped = true`.
+  /** MERGE a batch of change events, idempotently keyed by `epoch`. Batch
+    * columns: `op` (I/U/D), `lsn`, key columns, payload columns (extra
+    * columns are added to the table schema — additive evolution; missing
+    * stored columns are null-filled). O(batch): writes LWW-deduped delta
+    * files; compaction of over-threshold buckets happens in the same atomic
+    * commit. Returns per-epoch ingest metrics; a replayed epoch is skipped.
     */
   def merge(batch: DataFrame, epoch: Long): MergeStats = {
+    val tStart = System.nanoTime()
     val snap = currentSnapshot()
     if (epoch <= snap.lastEpoch)
       return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, snap.rows, 1.0)
 
     // -- schema resolution (additive evolution) --------------------------
-    val batchPayload = StructType(batch.schema.fields.filterNot(f => f.name == OpCol || f.name == "lsn"))
+    val batchPayload = StructType(batch.schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
     val storedOld: StructType = snap.schema.getOrElse(
       StructType(batchPayload.fields :+ StructField(LsnCol, LongType, nullable = false)))
     val storedNew: StructType = unionSchemas(storedOld, batchPayload)
-    val payloadCols: Seq[String] =
-      storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
+    val payloadCols: Seq[String] = storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
     val hasTs = payloadCols.contains("ts")
 
     // -- align batch to unified schema, LWW-dedupe within the batch ------
@@ -145,22 +176,29 @@ final class LakeTable(
       .withColumn(BucketCol, bucketExpr)
       .persist()
 
+    val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
+    var tLast = System.nanoTime()
+    def lap(stage: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge $epoch] $stage: ${(now - tLast) / 1e9}%.2f s")
+      tLast = now
+    }
     try {
-      // ONE aggregation job computes everything the merge plan needs
+      // ONE aggregation job computes everything the plan needs
       // (materializes the cache, flushes the rowsIn observation, and yields
-      // distinct-rows / deletes / skew / affected-buckets) — per-epoch
-      // driver-side overhead matters at 10^10 events
+      // distinct-rows / deletes / skew / affected-buckets)
       val sumRow = latest
         .groupBy(col(keyCols.head))
         .agg(
           count(lit(1)).as("n"),
-          sum(when(col(OpCol) === "D", 1L).otherwise(0L)).as("d"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("d"),
           collect_set(col(BucketCol)).as("bs"))
         .agg(
           sum("n").as("rows"), sum("d").as("dels"),
           max("n").as("mx"), avg("n").as("mean"),
           array_distinct(flatten(collect_set("bs"))).as("buckets"))
         .collect()(0)
+      lap("agg")
       val rowsDistinct = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       val rowsIn = obsIn.get("rowsIn").asInstanceOf[Long]
 
@@ -172,90 +210,93 @@ final class LakeTable(
       }
 
       val deletes = sumRow.getLong(1)
-      // skew: max events per first-key (conversation) / mean — hot
-      // conversations stay visible in the metrics table
       val skew =
         if (sumRow.isNullAt(3) || sumRow.getDouble(3) == 0.0) 1.0
         else sumRow.getLong(2).toDouble / sumRow.getDouble(3)
-      val affected: Set[Int] =
-        sumRow.getSeq[Int](4).toSet
+      val affected: Set[Int] = sumRow.getSeq[Int](4).toSet
 
-      // -- base side: ONLY the affected buckets (bucket-pruned CoW) -------
-      val (affFiles, keptFiles) = snap.files.partition(f => affected.contains(f.bucket))
-      val base = dfFor(snap.copy(schema = Some(storedNew)), affFiles)
-
-      // -- full-outer arbitration on the key -------------------------------
-      val bS = base.select(keyCols.map(col) :+ struct(base.columns.map(col): _*).as("b"): _*)
-      val cCols = (Seq(OpCol, "lsn") ++ payloadCols).distinct
-      val cS = latest.select(keyCols.map(col) :+ struct(cCols.map(col): _*).as("c"): _*)
-      val joined = bS.join(cS, keyCols, "full_outer")
-      // c wins iff base row absent or c.lsn >= stored _lsn (>= makes replays
-      // of the same change idempotent); coalesce(false) keeps base-only rows
-      val useC = col("b").isNull ||
-        coalesce(col("c.lsn") >= col(s"b.$LsnCol"), lit(false))
-      val keep = not(useC && col(s"c.$OpCol") === "D")
-      val outCols: Seq[org.apache.spark.sql.Column] =
-        payloadCols.map { p =>
-          when(useC, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)
-        } :+ when(useC, col("c.lsn")).otherwise(col(s"b.$LsnCol")).as(LsnCol)
-      val obsOut = Observation(s"lake-out-$epoch")
-      val result = joined
-        .filter(coalesce(keep, lit(true)))
-        .select(outCols: _*)
-        .observe(obsOut, count(lit(1)).as("rowsOut"))
-        .withColumn(BucketCol, bucketExpr)
-
-      // -- two-phase publish: staging write, move into data/, pointer swap --
-      val staging = s"$root/_staging-$epoch"
-      fs.delete(new Path(staging), true)
-      result
-        .repartition(math.max(affected.size, 1), col(BucketCol))
-        .write
-        .partitionBy(BucketCol)
-        .parquet(staging)
-      val rowsOut = obsOut.get("rowsOut").asInstanceOf[Long]
-
-      fs.mkdirs(new Path(dataDir))
       val newVersion = snap.version + 1
-      val moved = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-      val st = fs.listStatus(new Path(staging))
-      st.filter(_.isDirectory).foreach { d =>
-        val bucket = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-        var n = 0
-        fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
-          val dest = s"s$newVersion-b$bucket-$n.parquet"
-          val fileRows = parquetRowCount(f.getPath)
-          val destPath = new Path(s"$dataDir/$dest")
-          // a dest can only pre-exist from a dead attempt of this same
-          // (uncommitted) version — committed versions are never re-published
-          // — so overwriting is safe under the single-writer assumption
-          if (fs.exists(destPath)) fs.delete(destPath, false)
-          if (!fs.rename(f.getPath, destPath))
-            throw new IllegalStateException(s"rename failed publishing $dest")
-          moved += FileEntry(bucket, dest, fileRows)
-          n += 1
-        }
-      }
-      fs.delete(new Path(staging), true)
 
-      // per-file row counts live in the manifest (read once from parquet
-      // footers at publish) so total-row maintenance never re-scans data
-      val newRows = snap.rows - affFiles.map(_.rows).sum + rowsOut
+      // -- write the batch as DELTA files (O(batch), no table-side read) ---
+      val deltaOut = latest
+        .withColumn(LsnCol, col("lsn"))
+        .withColumnRenamed("op", OpCol)
+        .select((payloadCols :+ LsnCol :+ OpCol :+ BucketCol).map(col): _*)
+      val deltas = publish(deltaOut, s"$root/_staging-d-$epoch", s"d$newVersion", "d",
+        math.max(affected.size, 1))
+      lap("delta-publish")
+
+      var files = snap.files ++ deltas
+
+      // -- compaction: fold over-threshold buckets into new base files -----
+      val byBucket = files.groupBy(_.bucket)
+      val toCompact = byBucket.collect { case (b, fsOfB) =>
+        val dRows = fsOfB.filter(_.kind == "d").map(_.rows).sum
+        val bRows = fsOfB.filter(_.kind == "b").map(_.rows).sum
+        (b, dRows, bRows)
+      }.filter { case (_, dRows, bRows) =>
+        dRows > 0 && (dRows >= minCompactRows || dRows.toDouble > deltaRatio * math.max(bRows, 1L))
+      }.map(_._1).toSet
+
+      if (toCompact.nonEmpty) {
+        val cSnap = snap.copy(schema = Some(storedNew), files = files)
+        val compacted = resolved(cSnap, Some(toCompact))
+          .drop(OpCol) // tombstones resolved away; whole bucket rewritten
+          .withColumn(BucketCol, bucketExpr)
+        val newBase = publish(compacted, s"$root/_staging-c-$epoch", s"b$newVersion", "b",
+          math.max(toCompact.size, 1))
+        files = files.filterNot(f => toCompact.contains(f.bucket)) ++ newBase
+        lap(s"compact-${toCompact.size}")
+      }
+
+      val newRows = files.map(_.rows).sum
       val stats = MergeStats(epoch, skipped = false, rowsIn, rowsDistinct,
-        rowsIn - rowsDistinct, deletes, affected.size, newRows, skew)
-      // stats ride in the manifest so metrics commit atomically with data —
-      // an epoch interrupted after commit cannot lose or double its row
+        rowsIn - rowsDistinct, deletes, affected.size, newRows, skew,
+        seconds = (System.nanoTime() - tStart) / 1e9,
+        compactedBuckets = toCompact.size)
+      // stats ride in the manifest so metrics commit atomically with data
       commitSnapshot(Snapshot(
         version = newVersion,
         lastEpoch = epoch,
         schema = Some(storedNew),
         rows = newRows,
-        files = keptFiles ++ moved.toSeq,
+        files = files,
         stats = Some(stats)))
       stats
     } finally {
       latest.unpersist()
     }
+  }
+
+  /** Two-phase publish: write `df` partitioned by bucket into a staging dir,
+    * move files into data/ under collision-proof names, return the entries.
+    */
+  private def publish(df: DataFrame, staging: String, prefix: String, kind: String,
+      parallelism: Int): Seq[FileEntry] = {
+    fs.delete(new Path(staging), true)
+    df.repartition(parallelism, col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(staging)
+    fs.mkdirs(new Path(dataDir))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    fs.listStatus(new Path(staging)).filter(_.isDirectory).foreach { d =>
+      val bucket = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      var n = 0
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val dest = s"$prefix-$bucket-$n.parquet"
+        val fileRows = parquetRowCount(f.getPath)
+        val destPath = new Path(s"$dataDir/$dest")
+        // a dest can only pre-exist from a dead attempt of this same
+        // (uncommitted) version — overwriting is the recovery path
+        if (fs.exists(destPath)) fs.delete(destPath, false)
+        if (!fs.rename(f.getPath, destPath))
+          throw new IllegalStateException(s"rename failed publishing $dest")
+        if (fileRows > 0) moved += FileEntry(bucket, dest, fileRows, kind)
+        else fs.delete(destPath, false) // drop empty files
+        n += 1
+      }
+    }
+    fs.delete(new Path(staging), true)
+    moved.toSeq
   }
 
   /** Row count from the parquet footer — metadata only, no data read. */
@@ -283,6 +324,21 @@ final class LakeTable(
     rows.toDF()
   }
 
+  /** Force-fold all deltas into base files (maintenance entry point). */
+  def compactAll(): Unit = {
+    val snap = currentSnapshot()
+    if (!snap.files.exists(_.kind == "d")) return
+    val buckets = snap.files.filter(_.kind == "d").map(_.bucket).toSet
+    val compacted = resolved(snap, Some(buckets))
+      .drop(OpCol)
+      .withColumn(BucketCol, bucketExpr)
+    val newVersion = snap.version + 1
+    val newBase = publish(compacted, s"$root/_staging-ca-$newVersion", s"b$newVersion", "b",
+      math.max(buckets.size, 1))
+    val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
+    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
+  }
+
   /** Remove data files not referenced by the current snapshot (old-version
     * files kept until now for snapshot isolation of concurrent readers).
     */
@@ -300,9 +356,9 @@ final class LakeTable(
 object LakeTable {
   val LsnCol = "_lsn"
   val BucketCol = "_bucket"
-  val OpCol = "op"
+  val OpCol = "_op"
 
-  final case class FileEntry(bucket: Int, path: String, rows: Long)
+  final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String)
 
   final case class Snapshot(
       version: Long,
@@ -324,10 +380,13 @@ object LakeTable {
       deletes: Long,
       affectedBuckets: Int,
       tableRows: Long,
-      skewFactor: Double)
+      skewFactor: Double,
+      seconds: Double = 0.0,
+      compactedBuckets: Int = 0)
 
-  def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32): LakeTable =
-    new LakeTable(spark, root, keyCols, numBuckets)
+  def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
+      deltaRatio: Double = 0.3, minCompactRows: Long = 50000L): LakeTable =
+    new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, minCompactRows)
 
   // --------------------------------------------------------------- manifest IO
 
@@ -358,10 +417,10 @@ object LakeTable {
     s.stats.foreach { m =>
       sb.append("stats=").append(Seq(m.epoch, m.skipped, m.rowsIn, m.rowsApplied,
         m.duplicatesDropped, m.deletes, m.affectedBuckets, m.tableRows,
-        m.skewFactor).mkString(",")).append('\n')
+        m.skewFactor, m.seconds, m.compactedBuckets).mkString(",")).append('\n')
     }
     s.files.foreach(f => sb.append("file=").append(f.bucket).append('\t')
-      .append(f.path).append('\t').append(f.rows).append('\n'))
+      .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
     sb.toString
   }
 
@@ -380,13 +439,15 @@ object LakeTable {
         case "rows" => rows = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
-          val Array(b, path, rows) = v.split('\t')
-          files += FileEntry(b.toInt, path, rows.toLong)
+          val Array(b, path, r, kind) = v.split('\t')
+          files += FileEntry(b.toInt, path, r.toLong, kind)
         case "stats" =>
           val a = v.split(',')
           stats = Some(MergeStats(a(0).toLong, a(1).toBoolean, a(2).toLong,
             a(3).toLong, a(4).toLong, a(5).toLong, a(6).toInt, a(7).toLong,
-            a(8).toDouble))
+            a(8).toDouble,
+            if (a.length > 9) a(9).toDouble else 0.0,
+            if (a.length > 10) a(10).toInt else 0))
         case _ => ()
       }
     }

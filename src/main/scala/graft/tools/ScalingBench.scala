@@ -1,0 +1,71 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Gen
+import graft.engine.cdc.CdcPipeline
+import graft.lake.LakeTable
+
+/** Two-cluster-size scaling evidence (BASELINE.json north_rule: throughput
+  * scaling efficiency ≥ 0.8 from N to 4N executors). No real cluster exists
+  * in the sandbox, so the SAME seeded replay runs at local[N] and local[4N]
+  * on identical input; efficiency = (throughput_4N / throughput_N) / 4.
+  *
+  * Usage: ScalingBench [nEvents] [nCoresSmall] — runs N and 4N.
+  * Prints one JSON line; numbers are transcribed into BENCH.md.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.nonEmpty) args(0).toLong else 2000000L
+    val nSmall = if (args.length > 1) args(1).toInt else 8
+    val nBig = nSmall * 4
+
+    val work = Files.createTempDirectory("graft-scaling").toString
+    val cfg = Gen.GenConfig(nEvents = nEvents, nConvs = math.max(100L, nEvents / 100),
+      partitions = nBig * 2)
+
+    def session(cores: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-scaling-$cores")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    // one shared input log, generated once (identical bytes for both runs)
+    val gen = session(nBig)
+    Gen.writeChangeLog(gen, cfg, s"$work/log", nChunks = 8)
+    gen.stop()
+
+    def run(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      val table = LakeTable.create(s, s"$work/lake-$cores", Seq("conv_id", "turn_idx"),
+        numBuckets = cores)
+      val t0 = System.nanoTime()
+      CdcPipeline.replayAll(s, table,
+        CdcPipeline.CdcConfig(s"$work/log", s"$work/cp-$cores", maxFilesPerTrigger = 2))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = table.currentSnapshot().rows
+      s.stop()
+      (secs, rows)
+    }
+
+    val (secsSmall, rowsSmall) = run(nSmall)
+    val (secsBig, rowsBig) = run(nBig)
+    require(rowsSmall == rowsBig, s"final state diverged: $rowsSmall vs $rowsBig")
+
+    val thrSmall = nEvents / secsSmall
+    val thrBig = nEvents / secsBig
+    val eff = (thrBig / thrSmall) / (nBig.toDouble / nSmall)
+    println(
+      f"""{"events":$nEvents,"cores_small":$nSmall,"cores_big":$nBig,"seconds_small":$secsSmall%.2f,"seconds_big":$secsBig%.2f,"events_per_sec_small":$thrSmall%.0f,"events_per_sec_big":$thrBig%.0f,"scaling_efficiency":$eff%.3f,"final_rows":$rowsSmall}""")
+    scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SyncJob, Transformers}
+import graft.engine.SyncJob.{ErrorLimit, Sink, Source, WriteMode}
+
+/** Batch sync engine: sources/sinks round-trips, writeModes, error limiter,
+  * constant columns — the go-datax job model surface (SURVEY §2.1/2.2/2.5).
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def users = Seq(
+    (1L, "Alice", 30L, "alice@example.com"),
+    (2L, "Bob", 17L, "bob@example.com"),
+    (3L, "Charlie", 45L, "charlie@example.com"),
+    (4L, "Diana", 28L, "diana@example.com"),
+    (5L, "Eve", 22L, "eve@example.com"))
+    .toDF("id", "name", "age", "email")
+
+  test("csv round-trip with nullFormat and header") {
+    val dir = tmpDir("csv")
+    users.withColumn("email", when($"id" === 2, lit(null)).otherwise($"email"))
+      .write.option("header", "true").option("nullValue", "\\N").csv(s"$dir/src")
+    val back = SyncJob.read(spark, Source("csv", s"$dir/src",
+      options = Map("inferSchema" -> "true")))
+    assert(back.count() === 5)
+    assert(back.filter($"email".isNull).count() === 1) // \N decoded as null
+  }
+
+  test("jsonl and multiline json round-trip") {
+    val dir = tmpDir("json")
+    users.write.json(s"$dir/jsonl")
+    val back = SyncJob.read(spark, Source("jsonl", s"$dir/jsonl"))
+    assert(back.count() === 5)
+  }
+
+  test("constant columns (txtfilereader value spec)") {
+    val dir = tmpDir("const")
+    users.write.parquet(s"$dir/src")
+    val back = SyncJob.read(spark,
+      Source("parquet", s"$dir/src", constants = Map("source_tag" -> "batch-42")))
+    assert(back.select("source_tag").distinct().collect().map(_.getString(0)).toSeq === Seq("batch-42"))
+  }
+
+  test("writeMode nonConflict fails on non-empty target; truncate overwrites") {
+    val dir = tmpDir("modes")
+    SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.Truncate))
+    intercept[IllegalStateException] {
+      SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.NonConflict))
+    }
+    SyncJob.write(spark, users.limit(2), Sink("parquet", s"$dir/t", WriteMode.Truncate))
+    assert(spark.read.parquet(s"$dir/t").count() === 2)
+    SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.Append))
+    assert(spark.read.parquet(s"$dir/t").count() === 7)
+  }
+
+  test("error limiter: bad rows filtered, threshold aborts the job") {
+    val dir = tmpDir("err")
+    users.write.parquet(s"$dir/src")
+    // age<18 is "bad": 1 bad row of 5; limit 1 passes, writes only good rows
+    val res = SyncJob.run(spark, Source("parquet", s"$dir/src"), Nil,
+      Sink("parquet", s"$dir/ok", WriteMode.Truncate),
+      badPredicate = Some(col("age") < 18),
+      errorLimit = ErrorLimit(record = 1))
+    assert(res.rowsWritten === 4 && res.rowsBad === 1)
+    assert(spark.read.parquet(s"$dir/ok").count() === 4)
+    // limit 0 (the reference default) aborts
+    intercept[SyncJob.ErrorLimitExceeded] {
+      SyncJob.run(spark, Source("parquet", s"$dir/src"), Nil,
+        Sink("parquet", s"$dir/fail", WriteMode.Truncate),
+        badPredicate = Some(col("age") < 18),
+        errorLimit = ErrorLimit(record = 0))
+    }
+    // percentage limit: 20% bad > 10% allowed
+    intercept[SyncJob.ErrorLimitExceeded] {
+      SyncJob.run(spark, Source("parquet", s"$dir/src"), Nil,
+        Sink("parquet", s"$dir/fail2", WriteMode.Truncate),
+        badPredicate = Some(col("age") < 18),
+        errorLimit = ErrorLimit(record = 100, percentage = 0.1))
+    }
+  }
+
+  test("lake sink performs keyed upsert (last write wins per id)") {
+    val dir = tmpDir("lakesink")
+    SyncJob.write(spark, users, Sink("lake", s"$dir/t", keyCols = Seq("id"), numBuckets = 4))
+    val v2 = Seq((1L, "ALICE2", 31L, "alice2@example.com")).toDF("id", "name", "age", "email")
+    SyncJob.write(spark, v2, Sink("lake", s"$dir/t", keyCols = Seq("id"), numBuckets = 4))
+    val table = graft.lake.LakeTable.create(spark, s"$dir/t", Seq("id"), 4)
+    val got = table.read()
+    assert(got.count() === 5)
+    assert(got.filter($"id" === 1).select("name").collect()(0).getString(0) === "ALICE2")
+  }
+
+  test("transformer chain: order matters and null filters the record") {
+    val df = Seq((1L, "foo_bar"), (2L, null.asInstanceOf[String])).toDF("id", "s")
+    // substr of null -> null -> record dropped (filter-null contract)
+    val out = Transformers.chain(df, Seq(Transformers.DxSubstr(Right("s"), 0, 3)))
+    assert(out.count() === 1)
+    assert(out.collect()(0).getString(1) === "foo")
+    // positional addressing (reference columnIndex)
+    val byIdx = Transformers.chain(df.filter($"s".isNotNull),
+      Seq(Transformers.DxDigest(Left(1), "sha1")))
+    assert(byIdx.collect()(0).getString(1).length === 40)
+    // not like (regex)
+    val nl = Transformers.chain(df.filter($"s".isNotNull),
+      Seq(Transformers.DxFilter(Right("s"), "not like", "foo.*")))
+    assert(nl.count() === 0)
+  }
+}

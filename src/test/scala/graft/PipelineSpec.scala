@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline properties that the SQL oracle cannot express:
+  * MinHash recall against exact Jaccard, LSH-ANN recall against brute
+  * force, and the multimodal batch plumbing.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with planted near-duplicates: doc i and doc i+1000 share all but
+    * one word for i < 20.
+    */
+  private lazy val planted = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val dups = base.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000).as("doc_id"),
+        concat($"text", lit(" extraword")).as("text"))
+    base.unionByName(dups).cache()
+  }
+
+  test("minhash LSH candidates find every high-Jaccard planted pair") {
+    val truth = Dedup.jaccardPairs(planted, n = 3, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "planted dups must have jaccard >= 0.8")
+    val cand = Dedup.minhashCandidates(planted, n = 3, bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    // banding theory: P(candidate) = 1-(1-s^r)^b ~ 0.999 at s=0.9, r=2, b=4
+    val found = truth.intersect(cand)
+    assert(found.size.toDouble / truth.size >= 0.9,
+      s"recall ${found.size}/${truth.size} below 0.9")
+  }
+
+  test("simhash of near-duplicates has small hamming distance") {
+    val pairs = Dedup.simhashPairs(planted, maxDist = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val plantedPairs = (0L until 20L).map(i => (i, i + 1000L)).toSet
+    val found = plantedPairs.intersect(pairs)
+    assert(found.size >= 15, s"simhash found only ${found.size}/20 planted pairs")
+  }
+
+  test("dedupedCorpus drops planted near-duplicates and exact duplicates") {
+    val withExact = planted.unionByName(
+      planted.filter($"doc_id" === 0).select(($"doc_id" + 2000).as("doc_id"), $"text"))
+    val deduped = Dedup.dedupedCorpus(withExact, n = 3, bands = 4, rowsPerBand = 2)
+    val ids = deduped.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2000L), "exact dup should be dropped")
+    val survivors = ids.count(_ >= 1000L)
+    assert(survivors <= 2, s"$survivors planted near-dups survived")
+    // a few originals may legitimately pair with each other via LSH; the
+    // bulk must survive
+    assert(ids.count(_ < 100L) >= 95, "originals (smaller ids) must be kept")
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val truth = Similarity.knnJoinBrute(emb, k = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, k = 5, planes = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(ann).size.toDouble / truth.size
+    // random hyperplanes at 4 planes: buckets of ~n/16; recall is modest but
+    // must be far above chance (k/n ~ 1%) — and deterministic
+    assert(recall >= 0.15, f"ANN recall $recall%.3f below floor")
+    val ann2 = Similarity.annTopK(emb, k = 5, planes = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(ann === ann2, "ANN must be deterministic")
+  }
+
+  test("multimodal: batched stub decode preserves schema, locality and determinism") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.mediaFromDocs(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.columns.toSeq ===
+      Seq("doc_id", "modality", "n_bytes", "width", "height", "feature"))
+    val rows = feats.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(f => f.feature.length === 8 && f.width >= 64 && f.height >= 64))
+    // determinism across runs and partitionings
+    val again = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
+    assert(rows.map(f => (f.doc_id, f.width, f.height, f.feature.toSeq)).sortBy(_._1).toSeq ===
+      again.map(f => (f.doc_id, f.width, f.height, f.feature.toSeq)).sortBy(_._1).toSeq)
+  }
+}
