@@ -113,11 +113,15 @@ object SyncJob {
     case "lake" =>
       require(sink.keyCols.nonEmpty, "lake sink needs keyCols")
       val table = LakeTable.create(spark, sink.path, sink.keyCols, sink.numBuckets)
-      // batch upsert: whole input is one epoch after the last committed one
+      // batch upsert: whole input is one epoch after the last committed one.
+      // The epoch IS the lsn — later batches beat earlier ones per key
+      // (last-writer-wins across jobs, like the reference's re-run replace
+      // semantics); duplicate keys WITHIN one batch have no defined order in
+      // the reference either (channel arrival order), so any winner is valid.
       val epoch = table.currentSnapshot().lastEpoch + 1
       val withMeta = df
         .withColumn("op", lit("U"))
-        .withColumn("lsn", monotonically_increasing_id())
+        .withColumn("lsn", lit(epoch))
       table.merge(withMeta, epoch)
       ()
     case fmt =>

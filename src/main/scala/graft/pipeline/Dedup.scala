@@ -114,14 +114,13 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.vec
     val withNorm = emb.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
-      sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+      vec.norm(col(vecCol)).as("nrm")) // codegen'd kernel, not HOF aggregate
     withNorm.as("x").join(withNorm.as("y"), col("x.id") < col("y.id"))
-      .withColumn("cos",
-        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
-          / (col("x.nrm") * col("y.nrm")))
+      .withColumn("cos", vec.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 4).as("cos"))
   }

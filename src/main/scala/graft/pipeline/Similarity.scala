@@ -16,11 +16,14 @@ import TextOps.md5Head32
   */
 object Similarity {
 
-  private def norm(v: org.apache.spark.sql.Column) =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+  // codegen'd native kernels (graft.functions.VecDot/VecNorm) — a tight
+  // primitive loop in WholeStageCodegen instead of interpreted HOF lambdas;
+  // numerically identical to aggregate(zip_with(...)) (float multiply,
+  // double accumulate)
+  private def norm(v: org.apache.spark.sql.Column) = graft.functions.vec.norm(v)
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.vec.dot(a, b)
 
   /** Brute-force cosine top-k neighbors of ONE query vector (given by id).
     * Deterministic tie-break on neighbor id.
@@ -55,24 +58,38 @@ object Similarity {
   /** Random-hyperplane LSH bucket signature: bit p (p < planes) is the sign
     * of Σ_d w(p,d)·v[d], with w(p,d) = ±1 derived from md5(p ":" d) — fully
     * deterministic, reproducible on any engine.
+    *
+    * The hyperplane weights do not depend on the row, so they are computed
+    * ONCE on the driver (planes × dims md5 parities, same formula the
+    * previous per-row expression evaluated) and embedded as array literals;
+    * each projection is then one codegen'd [[graft.functions.VecDot]] —
+    * the whole signature is a narrow projection, no explode, no shuffle.
     */
   def lshSignature(emb: DataFrame, planes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dims = size(col(vecCol))
-    emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(sequence(lit(0), lit(planes - 1))).as("p"))
-      .withColumn("proj",
-        aggregate(
-          zip_with(col("v"),
-            transform(sequence(lit(0), size(col("v")) - 1),
-              d => when(md5Head32(concat(col("p").cast("string"), lit(":"), d.cast("string")))
-                .bitwiseAND(1) === 1, 1.0d).otherwise(-1.0d)),
-            (x, wgt) => x * wgt),
-          lit(0.0d), (acc, x) => acc + x))
-      .groupBy("id")
-      .agg(sum(when(col("proj") >= 0, pow(lit(2), col("p")).cast("long")).otherwise(0L))
-        .as("bucket"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val elemType = emb.schema(vecCol).dataType.asInstanceOf[ArrayType].elementType
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+
+    // parity of the first 8 hex chars of md5("p:d") — identical to
+    // md5Head32(concat(p, ':', d)) & 1 evaluated in the engine
+    def weightSign(p: Int, d: Int): Double = {
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      val hex = mdig.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+    }
+    val planeCols = (0 until planes).map { p =>
+      val w = (0 until dims).map(d => weightSign(p, d))
+      val wLit = elemType match {
+        case FloatType => typedLit(w.map(_.toFloat).toArray)
+        case DoubleType => typedLit(w.toArray)
+        case t => throw new IllegalArgumentException(s"embedding element type $t")
+      }
+      when(graft.functions.vec.dot(col(vecCol), wLit) >= 0, lit(1L << p)).otherwise(0L)
+    }
+    emb.select(col(idCol).as("id"),
+      planeCols.reduce(_ + _).as("bucket"))
   }
 
   /** ANN top-k via LSH buckets: candidates share a bucket signature, cosine

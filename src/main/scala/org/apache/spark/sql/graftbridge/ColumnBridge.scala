@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+
+/** Bridge between user-defined Catalyst [[Expression]]s and the public
+  * [[Column]] API. Spark 4 wraps columns in `ColumnNode`s and scopes the
+  * converters `private[sql]`, so third-party native expressions need a shim
+  * inside the `org.apache.spark.sql` package tree — the standard pattern for
+  * open-source Spark extension libraries that add codegen'd expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+}
