@@ -16,12 +16,18 @@ import graft.lake.LakeTable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the driver environment is local[32] (see TESTDATA.md) — default to it
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing targets bytes-per-task, which under-
+      // parallelizes the bucket-sorted MERGE write (measured: 32-partition
+      // shuffle coalesced to 18 tasks regardless of core count)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,7 +52,8 @@ object Bench {
     val table = LakeTable.create(spark, s"$work/lake", Seq("conv_id", "turn_idx"), numBuckets = cpus)
     val t0 = System.nanoTime()
     CdcPipeline.replayAll(spark, table,
-      CdcPipeline.CdcConfig(s"$work/log", s"$work/cp", maxFilesPerTrigger = 2))
+      // 8 segment files per chunk -> 2 chunks per trigger -> 4 epochs
+      CdcPipeline.CdcConfig(s"$work/log", s"$work/cp", maxFilesPerTrigger = 16))
     val cdcSecs = (System.nanoTime() - t0) / 1e9
     val eventsPerSec = cdcEvents / cdcSecs
 

@@ -65,6 +65,19 @@ object SparkEntry {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""")),
 
+    ("q_pushdown_sql", (s, dir) => {
+      // raw `querySql` passthrough mode (reference mysql_reader.go:74-92):
+      // the user-provided SQL IS the plan — full query pushdown
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+                      round(avg(o_totalprice), 2) AS avg_price
+               FROM orders_v WHERE o_totalprice > 100000
+               GROUP BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders WHERE o_totalprice > 100000
+      GROUP BY o_orderpriority""")),
+
     // ===== transformers (§2.4) ==========================================
     ("t_dx_filter", (s, dir) => {
       Transformers.chain(
@@ -175,6 +188,15 @@ object SparkEntry {
                    END::INT AS split
             FROM p)
       SELECT split, count(*) AS cnt FROM a GROUP BY split""")),
+
+    ("s_hash_split", (s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("split", Splits.hashSplitText(col("c_name"), 8))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+    }, Some("""
+      SELECT (('0x' || substr(md5(c_name), 1, 8))::BIGINT % 8)::INT AS split,
+             count(*) AS cnt
+      FROM customer GROUP BY 1""")),
 
     ("s_dict_split", (s, dir) => {
       Splits.dictionarySplit(t(s, dir, "customer"), "c_mktsegment", 3)
@@ -309,6 +331,22 @@ object SparkEntry {
       SELECT doc_id, sum(CASE WHEN s >= 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
       FROM sb GROUP BY doc_id""")),
 
+    ("d_simhash_pairs", (s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 6)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                   FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      sb AS (SELECT doc_id, b, sum(CASE WHEN (h // (2 ** b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN UNNEST(range(0, 32)) AS bb(b)
+             GROUP BY doc_id, b),
+      sh AS (SELECT doc_id, sum(CASE WHEN s >= 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+             FROM sb GROUP BY doc_id)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             bit_count(xor(x.simhash, y.simhash))::INT AS dist
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""")),
+
     ("d_embed_neardup", (s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
     }, Some("""
@@ -316,6 +354,30 @@ object SparkEntry {
              round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""")),
+
+    ("d_deduped_corpus", (s, dir) => {
+      // end-to-end dedup: drop exact-duplicate non-keepers and the larger
+      // id of every MinHash-LSH candidate pair
+      Dedup.dedupedCorpus(t(s, dir, "documents")).select("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+             FROM sh CROSS JOIN UNNEST(range(0, 8)) AS jj(j)
+             GROUP BY doc_id, j),
+      band AS (SELECT doc_id, (j // 2)::INT AS band, string_agg(mh, ',' ORDER BY mh) AS band_sig
+               FROM mh GROUP BY doc_id, (j // 2)::INT),
+      cand AS (SELECT DISTINCT y.doc_id AS b
+               FROM band x JOIN band y ON x.band = y.band AND x.band_sig = y.band_sig
+                                      AND x.doc_id < y.doc_id),
+      exact_drop AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM documents) WHERE doc_id <> keep_id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT b FROM cand)
+        AND doc_id NOT IN (SELECT doc_id FROM exact_drop)""")),
 
     // ===== similarity search ============================================
     ("sim_topk", (s, dir) => {
@@ -327,6 +389,22 @@ object SparkEntry {
       WHERE y.vec_id <> 1
       ORDER BY list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, y.vec_id ASC
       LIMIT 10""")),
+
+    ("sim_knn_brute", (s, dir) => {
+      Similarity.knnJoinBrute(t(s, dir, "embeddings"), k = 3)
+    }, Some("""
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos,
+             rk
+      FROM (SELECT x.vec_id, y.vec_id AS yid,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) DESC,
+                              y.vec_id ASC) AS rk
+            FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id) r
+      JOIN embeddings x ON x.vec_id = r.vec_id
+      JOIN embeddings y ON y.vec_id = r.yid
+      WHERE rk <= 3""")),
 
     ("sim_ann_lsh", (s, dir) => {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in

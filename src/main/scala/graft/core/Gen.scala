@@ -112,16 +112,21 @@ object Gen {
     spark.range(0L, cfg.nEvents, 1L, cfg.partitions).map(i => eventAt(cfg, i))
   }
 
-  /** Writes the change log as `nChunks` parquet files in arrival order —
-    * the binlog/WAL shape the streaming source tails. Chunks whose max lsn
-    * precedes `toolFromLsn` are written WITHOUT the `tool` column (schema v1)
-    * so the merge stage must do additive evolution.
+  /** Writes the change log as `nChunks` groups of `filesPerChunk` parquet
+    * segment files in arrival order — the binlog/WAL shape the streaming
+    * source tails (real WALs ship many bounded segments, and the per-trigger
+    * scan parallelism of the MERGE stage comes from segment count × input
+    * splits, so a monolithic file per chunk would serialize the scan at any
+    * cluster size). Chunks whose max lsn precedes `toolFromLsn` are written
+    * WITHOUT the `tool` column (schema v1) so the merge stage must do
+    * additive evolution.
     */
   def writeChangeLog(
       spark: SparkSession,
       cfg: GenConfig,
       dir: String,
-      nChunks: Int): Unit = {
+      nChunks: Int,
+      filesPerChunk: Int = 8): Unit = {
     val per = math.max(1L, cfg.nEvents / nChunks)
     var c = 0
     while (c < nChunks) {
@@ -136,9 +141,7 @@ object Gen {
         val df =
           if (hi + 64 <= cfg.toolFromLsn) ds.drop("tool") // schema v1: pre-evolution
           else ds.toDF()
-        // one file per chunk (repartition, not coalesce: coalesce(1) would
-        // collapse the generation itself to one thread)
-        df.repartition(1).write.mode("append").parquet(dir)
+        df.repartition(filesPerChunk).write.mode("append").parquet(dir)
       }
       c += 1
     }

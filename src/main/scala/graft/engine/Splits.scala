@@ -45,6 +45,14 @@ object Splits {
   /** Modulo split on a numeric key (oracle-friendly deterministic variant). */
   def modSplit(c: Column, n: Int): Column = pmod(c, lit(n)).cast("int")
 
+  /** Text-key hash split, cross-engine reproducible: first 32 bits of
+    * md5(key) mod n. Same role as the reference's `CRC32(pk) % N` /
+    * `MOD(ABS(HASHTEXT(pk)), N)` fallbacks but portable to any engine that
+    * has md5 (the DuckDB oracle reproduces it bit-identically).
+    */
+  def hashSplitText(c: Column, n: Int): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"), lit(n)).cast("int")
+
   /** Offset/limit split: rows ordered by `orderBy` are cut into n contiguous
     * slices; the remainder is spread over the FIRST slices one row each
     * (go-datax `mysql_reader.go:386-429`). Emits a `split` column.

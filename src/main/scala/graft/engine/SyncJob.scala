@@ -45,7 +45,13 @@ object SyncJob {
       options: Map[String, String] = Map.empty,
       /** upsert only: key columns + lsn column for LWW arbitration */
       keyCols: Seq[String] = Nil,
-      numBuckets: Int = 32)
+      numBuckets: Int = 32,
+      /** multi-target fan-out: rows are routed into one directory per value
+        * of these columns (Spark dynamic partitioning) — the analog of the
+        * reference's writer split into tableCount targets
+        * (`common/database/rdbms/writer/common.go:88-183`).
+        */
+      partitionCols: Seq[String] = Nil)
 
   /** Error limit, as `job.setting.errorLimit` (`error_limiter.go:24-113`):
     * fail when bad records exceed `record` or bad fraction exceeds
@@ -78,14 +84,27 @@ object SyncJob {
     * and counted inside the write job via `observe`, the Spark analog of the
     * reference's statistics-decorated channel, `core/registry/statistics.go`).
     */
+  /** Render the reference's `@table` placeholder into pre/post statements
+    * (go-datax `common/database/rdbms/writer/common.go:187-203`).
+    */
+  def renderSqls(sqls: Seq[String], table: String): Seq[String] =
+    sqls.map(_.replace("@table", table))
+
   def run(
       spark: SparkSession,
       src: Source,
       transforms: Seq[Transformers.Transform],
       sink: Sink,
       badPredicate: Option[Column] = None,
-      errorLimit: ErrorLimit = ErrorLimit(record = Long.MaxValue)): JobResult = {
+      errorLimit: ErrorLimit = ErrorLimit(record = Long.MaxValue),
+      /** statements executed before/after the write — the reference's
+        * preSql/postSql job phases (`jobcontainer.go:173-188,300-303`;
+        * `common.go:51-76,206-231`). Run against the session catalog.
+        */
+      preSql: Seq[String] = Nil,
+      postSql: Seq[String] = Nil): JobResult = {
     val t0 = System.nanoTime()
+    preSql.foreach(spark.sql(_).collect())
     val input = read(spark, src)
     val transformed = Transformers.chain(input, transforms)
 
@@ -98,6 +117,7 @@ object SyncJob {
       .filter(!coalesce(bad, lit(false)))
 
     write(spark, observed, sink)
+    postSql.foreach(spark.sql(_).collect())
 
     val m = obs.get
     val total = m("total").asInstanceOf[Long]
@@ -138,7 +158,8 @@ object SyncJob {
         case WriteMode.Upsert =>
           throw new IllegalArgumentException("upsert requires format=lake")
       }
-      val w = df.write.mode(mode).options(sink.options)
+      val w0 = df.write.mode(mode).options(sink.options)
+      val w = if (sink.partitionCols.nonEmpty) w0.partitionBy(sink.partitionCols: _*) else w0
       fmt match {
         case "csv" => w.option("header", "true").csv(sink.path)
         case "json" | "jsonl" => w.json(sink.path)

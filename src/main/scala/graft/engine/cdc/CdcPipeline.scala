@@ -48,10 +48,15 @@ object CdcPipeline {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.logDir)
 
+    val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
     val writer = src.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val t0 = System.nanoTime()
+        if (dbg) System.err.println(f"[cdc] epoch $epoch enter wall=${System.currentTimeMillis()}")
         table.merge(batch, epoch)
+        if (dbg) System.err.println(
+          f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -119,22 +119,30 @@ final class LakeTable(
     }
     val hasDeltas = files.exists(_.kind == "d")
     val df = dfFor(s, files)
-    if (!hasDeltas) df
-    else lwwWinners(df, keyCols, Seq(col(LsnCol).desc))
-      .filter(coalesce(col(OpCol), lit("U")) =!= "D")
+    // tombstone winners are RETAINED in base files (see compaction note), so
+    // reads always filter them — including the no-delta fast path
+    val winners =
+      if (!hasDeltas) df
+      else lwwWinners(df, keyCols, Seq(col(LsnCol).desc))
+    winners.filter(coalesce(col(OpCol), lit("U")) =!= "D")
   }
 
   /** Compaction-path resolution: same winners as [[resolved]] but computed
     * with the single-exchange bucket plan, so the output is already
-    * clustered+sorted by `_bucket` for the rewrite (see `lwwWinnersBucketed`).
-    * Output carries `_bucket`.
+    * clustered+sorted by `_bucket` for the rewrite (see `lwwWinnersBucketed`),
+    * and — crucially — TOMBSTONE WINNERS ARE KEPT (`_op` = D rows survive
+    * the rewrite). Dropping them would let an at-least-once source
+    * resurrect a deleted key by re-delivering an OLDER change after the
+    * compaction (duplicate with lower lsn arrives in a later epoch, no
+    * tombstone left to outrank it). Readers filter `_op = D`; tombstones
+    * older than the source's re-delivery horizon can be GC'd with
+    * [[expireTombstones]]. Output carries `_bucket`.
     */
   private def resolvedBucketed(s: Snapshot, buckets: Set[Int]): DataFrame = {
     val files = s.files.filter(f => buckets.contains(f.bucket))
     val df = dfFor(s, files).withColumn(BucketCol, bucketExpr)
     if (!files.exists(_.kind == "d")) df
     else lwwWinnersBucketed(df, Seq(col(LsnCol).desc))
-      .filter(coalesce(col(OpCol), lit("U")) =!= "D")
   }
 
   /** One winner per key with ONE exchange: hash-partition on `_bucket`
@@ -175,15 +183,14 @@ final class LakeTable(
     * files; compaction of over-threshold buckets happens in the same atomic
     * commit. Returns per-epoch ingest metrics; a replayed epoch is skipped.
     *
-    * Job structure per epoch (kept deliberately minimal):
-    *  1. ONE write job: scan batch → hash-agg LWW dedupe (map-side partial
-    *     combine absorbs duplicate/hot keys pre-shuffle) → bucket
-    *     repartition → parquet delta files. `rowsIn`/`deletes` ride the same
-    *     job via `observe`; per-bucket row counts come from parquet footers.
-    *  2. ONE small stats job: re-scan just the written deltas, ONLY the
-    *     first key column (column-pruned, page-cache-warm), for the skew
-    *     factor metric.
-    *  3. Compaction (only for over-threshold buckets) + atomic commit.
+    * Job structure per epoch (kept deliberately minimal — per-epoch driver
+    * work is the Amdahl serial fraction of the whole pipeline):
+    *  1. ONE write job: scan batch → single-exchange LWW dedupe → bucket-
+    *     laid-out parquet delta files. `rowsIn`/`deletes` ride the same job
+    *     via `observe`; per-bucket row counts come from parquet footers
+    *     (read in parallel); the skew-factor metric derives from the bucket
+    *     counts — no second pass over the data, ever.
+    *  2. Compaction (only for over-threshold buckets) + atomic commit.
     */
   def merge(batch: DataFrame, epoch: Long): MergeStats = {
     val tStart = System.nanoTime()
@@ -250,22 +257,16 @@ final class LakeTable(
       return st
     }
 
-    // deletes among the WINNERS (post-dedupe tombstones): derived from the
-    // pre-dedupe observation is wrong under re-delivery, so count them in
-    // the stats pass below together with the skew factor.
-    val back = spark.read
-      .schema(StructType(Seq(storedNew(keyCols.head), StructField(OpCol, StringType, nullable = true))))
-      .parquet(deltas.map(f => s"$dataDir/${f.path}"): _*)
-    val statsRow = back
-      .groupBy(col(keyCols.head))
-      .agg(count(lit(1)).as("n"), sum(when(col(OpCol) === "D", 1L).otherwise(0L)).as("d"))
-      .agg(max("n").as("mx"), avg("n").as("mean"), sum("d").as("dels"))
-      .collect()(0)
-    lap("stats")
+    // metrics without any extra job: `deletes` = tombstone events seen in
+    // the batch (from the same observation that rode the write job); the
+    // skew factor = max/mean rows per bucket from the parquet footer counts
+    // — the shuffle-partition-level skew that the salting/bucketing design
+    // has to absorb, measured where it physically materializes.
+    val deletes = obsIn.get("deletesIn").asInstanceOf[Long]
+    val perBucket = deltas.groupBy(_.bucket).map(_._2.map(_.rows).sum)
     val skew =
-      if (statsRow.isNullAt(1) || statsRow.getDouble(1) == 0.0) 1.0
-      else statsRow.getLong(0).toDouble / statsRow.getDouble(1)
-    val deletes = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+      if (perBucket.isEmpty) 1.0
+      else perBucket.max.toDouble / (perBucket.sum.toDouble / perBucket.size)
 
     var files = snap.files ++ deltas
 
@@ -286,8 +287,10 @@ final class LakeTable(
 
     if (toCompact.nonEmpty) {
       val cSnap = snap.copy(schema = Some(storedNew), files = files)
+      // tombstone winners ride into the new base (_op = D kept) — see
+      // resolvedBucketed: dropping them would un-delete keys on late
+      // re-delivery of older duplicates
       val compacted = resolvedBucketed(cSnap, toCompact)
-        .drop(OpCol) // tombstones resolved away; whole bucket rewritten
       val newBase = publish(compacted, s"$root/_staging-c-$epoch", s"b$newVersion", "b",
         math.max(toCompact.size, 1), reshuffle = false)
       files = files.filterNot(f => toCompact.contains(f.bucket)) ++ newBase
@@ -319,26 +322,37 @@ final class LakeTable(
     val shaped = if (reshuffle) df.repartition(parallelism, col(BucketCol)) else df
     shaped.write.partitionBy(BucketCol).parquet(staging)
     fs.mkdirs(new Path(dataDir))
-    val moved = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-    fs.listStatus(new Path(staging)).filter(_.isDirectory).foreach { d =>
-      val bucket = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-      var n = 0
-      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+    // footer row counts in PARALLEL: with hundreds of buckets a serial
+    // driver loop over footers becomes the Amdahl bottleneck of the commit
+    // (it grows with bucket count while everything else parallelizes)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val candidates = for {
+      d <- fs.listStatus(new Path(staging)).toSeq.filter(_.isDirectory)
+      bucket = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      (f, n) <- fs.listStatus(d.getPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+    } yield (bucket, n, f.getPath)
+    val counted = Await.result(
+      Future.traverse(candidates) { case (bucket, n, p) =>
+        Future((bucket, n, p, parquetRowCount(p)))
+      }, Duration.Inf)
+    val moved = counted.flatMap { case (bucket, n, src, fileRows) =>
+      if (fileRows == 0) None // drop empty files
+      else {
         val dest = s"$prefix-$bucket-$n.parquet"
-        val fileRows = parquetRowCount(f.getPath)
         val destPath = new Path(s"$dataDir/$dest")
         // a dest can only pre-exist from a dead attempt of this same
         // (uncommitted) version — overwriting is the recovery path
         if (fs.exists(destPath)) fs.delete(destPath, false)
-        if (!fs.rename(f.getPath, destPath))
+        if (!fs.rename(src, destPath))
           throw new IllegalStateException(s"rename failed publishing $dest")
-        if (fileRows > 0) moved += FileEntry(bucket, dest, fileRows, kind)
-        else fs.delete(destPath, false) // drop empty files
-        n += 1
+        Some(FileEntry(bucket, dest, fileRows, kind))
       }
     }
     fs.delete(new Path(staging), true)
-    moved.toSeq
+    moved
   }
 
   /** Row count from the parquet footer — metadata only, no data read. */
@@ -366,16 +380,36 @@ final class LakeTable(
     rows.toDF()
   }
 
-  /** Force-fold all deltas into base files (maintenance entry point). */
+  /** Force-fold all deltas into base files (maintenance entry point).
+    * Tombstone winners are retained (see [[expireTombstones]]).
+    */
   def compactAll(): Unit = {
     val snap = currentSnapshot()
     if (!snap.files.exists(_.kind == "d")) return
     val buckets = snap.files.filter(_.kind == "d").map(_.bucket).toSet
-    val compacted = resolvedBucketed(snap, buckets).drop(OpCol)
+    val compacted = resolvedBucketed(snap, buckets)
     val newVersion = snap.version + 1
     val newBase = publish(compacted, s"$root/_staging-ca-$newVersion", s"b$newVersion", "b",
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
+    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
+  }
+
+  /** Tombstone GC: rewrite all buckets dropping `_op = D` winners whose
+    * `_lsn` is below `horizonLsn` — safe once the source can no longer
+    * re-deliver changes older than that lsn (the at-least-once re-delivery
+    * horizon). The lake analog of Iceberg's delete-file expiry.
+    */
+  def expireTombstones(horizonLsn: Long): Unit = {
+    val snap = currentSnapshot()
+    if (snap.files.isEmpty) return
+    val buckets = snap.files.map(_.bucket).toSet
+    val kept = resolvedBucketed(snap, buckets)
+      .filter(coalesce(col(OpCol), lit("U")) =!= "D" || col(LsnCol) >= horizonLsn)
+    val newVersion = snap.version + 1
+    val newBase = publish(kept, s"$root/_staging-tg-$newVersion", s"b$newVersion", "b",
+      math.max(buckets.size, 1), reshuffle = false)
+    val files = newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
   }
 

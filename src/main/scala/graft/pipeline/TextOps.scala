@@ -18,15 +18,25 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Word n-gram shingles of a token array. (Guarded: Spark's
-    * `sequence(1, 0)` DESCENDS rather than returning empty, so short docs
-    * need the explicit empty branch.)
+  /** Word n-gram shingles of a token array.
+    *
+    * Built by zipping the array with its own shifted copies — NOT with
+    * `transform(sequence(1, size-n+1), i => slice(toks, i, n))`: that lambda
+    * CAPTURES the outer `toks` expression, and Catalyst re-evaluates a
+    * captured expression on every lambda invocation, so when `toks` is
+    * itself `tokens(normalized(text))` the whole tokenize pipeline ran once
+    * PER SHINGLE (quadratic; measured 10×+ slowdown on the corpus ops).
+    * Here every lambda references only its own arguments; `toks` is
+    * evaluated a constant number of times per row. Trailing windows that run
+    * past the end zip with null, concat to null, and are filtered away.
     */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks), lit(1))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    filter(grams, g => g.isNotNull)
+  }
 
   /** First 8 hex chars of md5 as a non-negative 32-bit value (long). */
   def md5Head32(c: Column): Column =

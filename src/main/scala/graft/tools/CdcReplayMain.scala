@@ -27,6 +27,11 @@ object CdcReplayMain {
       .appName("graft-cdc-replay")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing targets bytes-per-task, which under-
+      // parallelizes the bucket-sorted MERGE write (measured: 32-partition
+      // shuffle coalesced to 18 tasks regardless of core count)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,7 +47,8 @@ object CdcReplayMain {
     val table = LakeTable.create(spark, s"$workDir/lake", Model.keyCols, buckets)
     val t0 = System.nanoTime()
     val epochs = CdcPipeline.replayAll(spark, table,
-      CdcPipeline.CdcConfig(logDir, s"$workDir/checkpoint", maxFilesPerTrigger = 4))
+      // 8 segment files per chunk -> 4 chunks per trigger
+      CdcPipeline.CdcConfig(logDir, s"$workDir/checkpoint", maxFilesPerTrigger = 32))
     val secs = (System.nanoTime() - t0) / 1e9
 
     val snap = table.currentSnapshot()

@@ -96,6 +96,36 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.currentSnapshot().lastEpoch === 0L)
   }
 
+  test("late re-delivery of an older duplicate cannot resurrect a deleted key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val lakeDir = tmpDir("lake5")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 2)
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, text: String) =
+      Model.ChangeEvent(op, lsn, ts, "conv-1", 0,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(text), None)
+
+    // epoch 0: insert then delete (tombstone wins, lsn 2 > 1)
+    table.merge(Seq(ev("I", 1L, "hello"), ev("D", 2L, "")).toDF(), 0L)
+    assert(table.read().count() === 0L)
+    // epoch 0 compacted (empty base promotes) — tombstone must SURVIVE it
+    // epoch 1: at-least-once source re-delivers the ORIGINAL insert (lsn 1)
+    table.merge(Seq(ev("I", 1L, "hello")).toDF(), 1L)
+    assert(table.read().count() === 0L,
+      "re-delivered older duplicate resurrected a deleted key")
+
+    // a NEWER insert (lsn 3) legitimately recreates the key
+    table.merge(Seq(ev("I", 3L, "hello again")).toDF(), 2L)
+    assert(table.read().count() === 1L)
+
+    // tombstone GC below the re-delivery horizon keeps live rows only
+    table.expireTombstones(horizonLsn = 3L)
+    assert(table.read().count() === 1L)
+    assert(table.readInternal().count() === 1L) // D(lsn 2) physically gone
+  }
+
   test("additive schema evolution: early batches lack `tool`, final state has it") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)

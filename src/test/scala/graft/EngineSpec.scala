@@ -93,6 +93,53 @@ class EngineSpec extends SparkSpec {
     assert(got.filter($"id" === 1).select("name").collect()(0).getString(0) === "ALICE2")
   }
 
+  test("gzip-compressed csv round-trip (txtfile_compress analog)") {
+    val dir = tmpDir("gz")
+    users.write.option("header", "true").option("compression", "gzip").csv(s"$dir/src")
+    assert(new java.io.File(s"$dir/src").listFiles().exists(_.getName.endsWith(".csv.gz")))
+    val back = SyncJob.read(spark, Source("csv", s"$dir/src",
+      options = Map("inferSchema" -> "true")))
+    assert(back.count() === 5)
+  }
+
+  test("nested json dotted-path access (jsonfilereader user.name analog)") {
+    val dir = tmpDir("nested")
+    Seq((1L, ("Alice", 30L)), (2L, ("Bob", 17L)))
+      .toDF("id", "user")
+      .select($"id", $"user._1".as("name").as("name"), struct($"user._1".as("name"), $"user._2".as("age")).as("user"))
+      .select("id", "user")
+      .write.json(s"$dir/src")
+    val back = SyncJob.read(spark, Source("jsonl", s"$dir/src"))
+      .select(col("id"), col("user.name").as("name"), col("user.age").as("age"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "Alice"), (2L, "Bob")))
+  }
+
+  test("multi-target fan-out via partition columns (writer @table split analog)") {
+    val dir = tmpDir("fanout")
+    val withTarget = users.withColumn("target", concat(lit("t"), pmod($"id", lit(2))))
+    SyncJob.write(spark, withTarget,
+      Sink("parquet", s"$dir/out", WriteMode.Truncate, partitionCols = Seq("target")))
+    val subdirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("target=t0", "target=t1"))
+    assert(spark.read.parquet(s"$dir/out").count() === 5)
+  }
+
+  test("preSql/postSql phases with @table rendering") {
+    val dir = tmpDir("presql")
+    users.write.parquet(s"$dir/src")
+    users.limit(0).write.parquet(s"$dir/aux") // registered by preSql
+    val pre = SyncJob.renderSqls(
+      Seq("CREATE OR REPLACE TEMP VIEW pre_marker AS SELECT '@table' AS t"), "users_t")
+    assert(pre.head.contains("'users_t'"))
+    SyncJob.run(spark, Source("parquet", s"$dir/src"), Nil,
+      Sink("parquet", s"$dir/out", WriteMode.Truncate),
+      preSql = pre,
+      postSql = Seq("CREATE OR REPLACE TEMP VIEW post_marker AS SELECT 1 AS ok"))
+    assert(spark.table("pre_marker").collect()(0).getString(0) === "users_t")
+    assert(spark.table("post_marker").count() === 1)
+  }
+
   test("transformer chain: order matters and null filters the record") {
     val df = Seq((1L, "foo_bar"), (2L, null.asInstanceOf[String])).toDF("id", "s")
     // substr of null -> null -> record dropped (filter-null contract)
