@@ -1,0 +1,88 @@
+package graft.engine
+
+/** JDBC source/sink shapes: the reference's RDBMS reader/writer surface
+  * mapped onto Spark's JDBC data source options (zero-egress sandbox — the
+  * option/predicate GENERATION is fully implemented and unit-tested; the
+  * network read itself is `spark.read.format("jdbc").options(...)`, which is
+  * Spark-native).
+  *
+  * go-datax reader modes covered (`plugins/reader/mysqlreader/mysql_reader.go`):
+  *  - table + column list + where  → dbtable/column pruning + filter pushdown
+  *  - raw querySql                 → option("query", ...)
+  *  - splitPk numeric range        → partitionColumn/lowerBound/upperBound/
+  *                                   numPartitions (`mysql_reader.go:214-255`)
+  *  - splitPk hash fallback        → predicates array `CRC32(pk)%N=i` /
+  *                                   `MOD(ABS(HASHTEXT(pk)),N)=i`
+  *                                   (`mysql_reader.go:432-444`,
+  *                                   `postgresql_reader.go:858-864`)
+  *  - text dictionary ranges       → predicates array `pk >= 'a' AND pk < 'b'`
+  *                                   (`mysql_reader.go:279-383`)
+  *  - table-partition split        → predicates array `PARTITION(p)` scans
+  *                                   (`oceanbase_reader.go:287-312`)
+  * Writer modes (`mysql_writer.go:382-390`): insert → append; replace/update
+  * → the lake MERGE (last-writer-wins per PK).
+  */
+object Jdbc {
+
+  /** Options for a numeric-range-partitioned JDBC scan. */
+  def rangeScanOptions(
+      url: String,
+      table: String,
+      splitPk: String,
+      lower: Long,
+      upper: Long,
+      numPartitions: Int): Map[String, String] = Map(
+    "url" -> url,
+    "dbtable" -> table,
+    "partitionColumn" -> splitPk,
+    "lowerBound" -> lower.toString,
+    "upperBound" -> upper.toString,
+    "numPartitions" -> numPartitions.toString)
+
+  /** Options for a raw querySql passthrough scan. */
+  def querySqlOptions(url: String, querySql: String): Map[String, String] =
+    Map("url" -> url, "query" -> querySql)
+
+  /** Per-task hash-split predicates — MySQL dialect (`CRC32(pk) % N = i`). */
+  def hashPredicatesMysql(splitPk: String, n: Int): Array[String] =
+    Array.tabulate(n)(i => s"CRC32(`$splitPk`) % $n = $i")
+
+  /** Per-task hash-split predicates — PostgreSQL dialect
+    * (`MOD(ABS(HASHTEXT(pk)), N) = i`).
+    */
+  def hashPredicatesPostgres(splitPk: String, n: Int): Array[String] =
+    Array.tabulate(n)(i => s"MOD(ABS(HASHTEXT(\"$splitPk\")), $n) = $i")
+
+  /** Dictionary-range predicates from sorted boundary values: half-open
+    * ranges with open first/last ends, as the reference's text splitter.
+    */
+  def dictionaryPredicates(splitPk: String, boundaries: Seq[String]): Array[String] = {
+    require(boundaries.nonEmpty)
+    val b = boundaries.map(v => v.replace("'", "''"))
+    val first = s"$splitPk < '${b.head}'"
+    val mids = b.sliding(2).collect {
+      case Seq(lo, hi) => s"$splitPk >= '$lo' AND $splitPk < '$hi'"
+    }.toSeq
+    val last = s"$splitPk >= '${b.last}'"
+    (first +: mids :+ last).toArray
+  }
+
+  /** Physical-partition scan predicates (OceanBase/MySQL `PARTITION(p)`). */
+  def partitionPredicates(partitions: Seq[String]): Array[String] =
+    partitions.map(p => s"PARTITION($p)").toArray
+
+  /** Offset/limit slice clauses (`ORDER BY pk LIMIT l OFFSET o`), remainder
+    * spread over the first slices (`mysql_reader.go:386-429`).
+    */
+  def offsetLimitClauses(splitPk: String, total: Long, n: Int): Array[String] = {
+    val base = total / n
+    val rem = total % n
+    var offset = 0L
+    Array.tabulate(n) { i =>
+      val limit = base + (if (i < rem) 1L else 0L)
+      val c = s"ORDER BY $splitPk LIMIT $limit OFFSET $offset"
+      offset += limit
+      c
+    }
+  }
+}

@@ -22,7 +22,14 @@ object ScalingBench {
     val nSmall = if (args.length > 1) args(1).toInt else 8
     val nBig = nSmall * 4
 
-    val work = Files.createTempDirectory("graft-scaling").toString
+    // Work dir on tmpfs when available: the sandbox VM's disk writes at
+    // ~140 MB/s (measured), a SERIAL floor that would dominate every epoch
+    // (shuffle + delta + compaction writes ~0.5-1 GB each) and measure the
+    // disk, not the architecture. A real cluster's nodes bring their own
+    // NVMe; see BASELINE.md "hardware control experiments".
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val work = Files.createTempDirectory(java.nio.file.Paths.get(base), "graft-scaling").toString
     val cfg = Gen.GenConfig(nEvents = nEvents, nConvs = math.max(100L, nEvents / 100),
       partitions = nBig * 2)
     // SAME physical table layout at both sizes (bucket count is a property
@@ -36,6 +43,7 @@ object ScalingBench {
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.local.dir", s"$work/sparklocal-$cores") // shuffle on the same (tmpfs) volume
         .config("spark.sql.adaptive.enabled", "true")
       // AQE partition coalescing targets bytes-per-task, which under-
       // parallelizes the bucket-sorted MERGE write (measured: 32-partition

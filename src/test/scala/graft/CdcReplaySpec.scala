@@ -126,6 +126,32 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.readInternal().count() === 1L) // D(lsn 2) physically gone
   }
 
+  test("snapshot isolation: a reader pinned before a merge sees the old state; vacuum reclaims") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)
+    val lakeDir = tmpDir("lake6")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val all = Gen.changeEvents(spark, cfg)
+    table.merge(all.filter($"lsn" < 1000L).toDF(), 0L)
+    val oldCount = table.read().count()
+    // pin the old snapshot's PLAN (file list resolved now, lazily executed)
+    val pinned = table.read()
+    table.merge(all.filter($"lsn" >= 1000L).toDF(), 1L)
+    // the pinned reader still executes against the old version's files
+    assert(pinned.count() === oldCount)
+    assert(table.read().count() > oldCount)
+    // vacuum drops files unreferenced by the CURRENT snapshot
+    assert(table.vacuum() > 0)
+    assert(table.read().count() > oldCount) // current snapshot intact
+  }
+
+  test("generator is parallelism-independent (seed-splittable)") {
+    val cfg = Gen.GenConfig(nEvents = 5000L, nConvs = 100L, partitions = 3)
+    val a = Gen.changeEvents(spark, cfg).toDF()
+    val b = Gen.changeEvents(spark, cfg.copy(partitions = 17)).toDF()
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
+
   test("additive schema evolution: early batches lack `tool`, final state has it") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)
