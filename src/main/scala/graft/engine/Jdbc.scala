@@ -71,6 +71,27 @@ object Jdbc {
   def partitionPredicates(partitions: Seq[String]): Array[String] =
     partitions.map(p => s"PARTITION($p)").toArray
 
+  /** Token-range split over the signed 64-bit Murmur3 token space — the
+    * Cassandra reader's partitioner split (`cassandra_reader.go:155-197`,
+    * `splitMurmur3Partitioner`): n contiguous ranges covering
+    * [Long.Min, Long.Max], first range open-ended below, last above.
+    */
+  def tokenRangePredicates(tokenFn: String, n: Int): Array[String] = {
+    require(n > 0)
+    // n-1 interior boundaries at equal spacing of the 2^64 token span
+    val span = (BigInt(Long.MaxValue) - BigInt(Long.MinValue) + 1) / n
+    val bounds = (1 until n).map(i => (BigInt(Long.MinValue) + span * i).toLong)
+    if (n == 1) Array(s"$tokenFn >= ${Long.MinValue}")
+    else {
+      val first = s"$tokenFn < ${bounds.head}"
+      val mids = bounds.sliding(2).collect {
+        case Seq(lo, hi) => s"$tokenFn >= $lo AND $tokenFn < $hi"
+      }.toSeq
+      val last = s"$tokenFn >= ${bounds.last}"
+      (first +: mids :+ last).toArray
+    }
+  }
+
   /** Offset/limit slice clauses (`ORDER BY pk LIMIT l OFFSET o`), remainder
     * spread over the first slices (`mysql_reader.go:386-429`).
     */

@@ -34,7 +34,13 @@ object CdcPipeline {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 4,
       availableNow: Boolean = true,
-      toolColumn: Boolean = true)
+      toolColumn: Boolean = true,
+      /** remove snapshot-unreferenced data files every N epochs (0 = never).
+        * Old-version files exist for snapshot isolation of concurrent
+        * readers; a retention of a few epochs is the streaming-ingest
+        * default (Iceberg's expire-snapshots analog).
+        */
+      vacuumEvery: Int = 0)
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -55,6 +61,8 @@ object CdcPipeline {
         val t0 = System.nanoTime()
         if (dbg) System.err.println(f"[cdc] epoch $epoch enter wall=${System.currentTimeMillis()}")
         table.merge(batch, epoch)
+        if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
+          table.vacuum()
         if (dbg) System.err.println(
           f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()

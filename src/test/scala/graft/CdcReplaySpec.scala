@@ -126,6 +126,22 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.readInternal().count() === 1L) // D(lsn 2) physically gone
   }
 
+  test("periodic vacuum during streaming replay keeps state correct and reclaims files") {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val logDir = tmpDir("cdclogv")
+    val lakeDir = tmpDir("lakev")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 10)
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 8)
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(logDir, tmpDir("cpv"), maxFilesPerTrigger = 24, vacuumEvery = 2))
+    assertStateMatches(table, cfg)
+    // every live file is referenced; a final vacuum removes only leftovers
+    val live = table.currentSnapshot().files.map(_.path).toSet
+    table.vacuum()
+    assert(table.currentSnapshot().files.map(_.path).toSet === live)
+    assertStateMatches(table, cfg)
+  }
+
   test("snapshot isolation: a reader pinned before a merge sees the old state; vacuum reclaims") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)

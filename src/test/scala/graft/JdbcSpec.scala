@@ -43,4 +43,15 @@ class JdbcSpec extends AnyFunSuite {
     assert(Jdbc.partitionPredicates(Seq("p0", "p1")).toSeq ===
       Seq("PARTITION(p0)", "PARTITION(p1)"))
   }
+
+  test("token ranges cover the whole signed 64-bit space without gaps") {
+    val p = Jdbc.tokenRangePredicates("token(id)", 4)
+    assert(p.length === 4)
+    assert(p.head.startsWith("token(id) < "))
+    assert(p.last.startsWith("token(id) >= "))
+    // interior ranges chain: each lower bound equals the previous upper
+    val bounds = p.flatMap("-?\\d+".r.findAllIn(_)).map(_.toLong)
+    assert(bounds(0) === bounds(1)) // first upper == second lower
+    assert(Jdbc.tokenRangePredicates("token(id)", 1).head === s"token(id) >= ${Long.MinValue}")
+  }
 }
