@@ -54,14 +54,20 @@ object Dedup {
     * over the shingle set — lexicographic min over hex strings, which any
     * engine reproduces bit-identically (no seeded JVM hash).
     * Output: (doc_id, j, mh).
+    *
+    * All k lanes are aggregate COLUMNS of one groupBy over the shingle rows
+    * (k md5s per row, map-side partial min) — an explode(0..k-1) would
+    * multiply the shuffle k× for the same result.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val lanes = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"_mh$j"))
     docShingles(docs, n)
+      .groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
       .select(col("doc_id"),
-        explode(sequence(lit(0), lit(k - 1))).as("j"),
-        col("sh"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("mh"))
+        posexplode(array((0 until k).map(j => col(s"_mh$j")): _*)).as(Seq("j", "mh")))
+  }
 
   /** LSH banding: k = bands × rowsPerBand; docs sharing a full band signature
     * become candidate pairs. Returns distinct (a, b) with a < b.
@@ -81,20 +87,23 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens: bit b is the sign of
     * Σ_tokens (bit b of md5-head32(token) ? +1 : −1). Near-duplicates have
     * small Hamming distance between simhashes.
+    *
+    * The 32 bit-sums are aggregate COLUMNS of one groupBy over token rows
+    * (bit tests via shiftright are codegen'd) — exploding 0..31 would
+    * multiply the shuffle 32× for the same result.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b"))
+    val toBits = (0 until 32).map(b =>
+      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(0L))
     docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5Head32(col("tok")))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("bit"), col("h"))
-      .groupBy("doc_id", "bit")
-      // bit test via exact integer division (h < 2^32 « 2^53, so pow is
-      // exact); keeps the expression portable to the SQL oracle
-      .agg(sum(when(floor(col("h") / pow(lit(2), col("bit"))).cast("long") % 2 === 1, 1)
-        .otherwise(-1)).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") >= 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), toBits.reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (compared via
     * bit_count(xor)); quadratic compare here, banded at scale (split the 32
