@@ -18,7 +18,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the driver environment is local[32] (see TESTDATA.md) — default to it
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "1000000").toLong
+    // 4M events => 1M-row epochs: large enough that per-epoch commit
+    // overhead (~1 s) is amortized and the number reflects sustained rate
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "4000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
