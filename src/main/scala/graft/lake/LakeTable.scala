@@ -104,6 +104,16 @@ final class LakeTable(
     resolved(s).drop(LsnCol, OpCol)
   }
 
+  /** Time travel: read the table as of snapshot `version` (files of old
+    * versions remain on disk until [[vacuum]] — Iceberg-style snapshot
+    * reads).
+    */
+  def readVersion(version: Long): DataFrame = {
+    val p = new Path(s"$snapDir/snap-$version.txt")
+    require(fs.exists(p), s"snapshot version $version does not exist")
+    resolved(readSnapshot(fs, p, version)).drop(LsnCol, OpCol)
+  }
+
   /** Contents including the internal `_lsn` arbitration column. */
   def readInternal(): DataFrame = resolved(currentSnapshot()).drop(OpCol)
 

@@ -96,6 +96,26 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.currentSnapshot().lastEpoch === 0L)
   }
 
+  test("schema evolution generalizes: a second new column and a type conflict") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)
+    val lakeDir = tmpDir("lake7")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val all = Gen.changeEvents(spark, cfg)
+    table.merge(all.filter($"lsn" < 1000L).drop("tool").toDF(), 0L)
+    // second epoch adds BOTH `tool` and a brand-new `score` column
+    table.merge(all.filter($"lsn" >= 1000L).toDF()
+      .withColumn("score", (col("lsn") % 7).cast("double")), 1L)
+    val schema = table.read().schema
+    assert(schema.fieldNames.contains("tool") && schema.fieldNames.contains("score"))
+    // old rows are null-filled in the evolved columns
+    assert(table.read().where(col("score").isNull).count() > 0L)
+    assert(table.read().where(col("score").isNotNull).count() > 0L)
+    // non-additive change (type conflict) is rejected
+    val bad = all.limit(10).toDF().withColumn("score", lit("not-a-double"))
+    intercept[IllegalArgumentException] { table.merge(bad, 2L) }
+  }
+
   test("late re-delivery of an older duplicate cannot resurrect a deleted key") {
     import spark.implicits._
     import java.sql.Timestamp
