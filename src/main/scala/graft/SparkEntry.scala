@@ -387,7 +387,8 @@ object SparkEntry {
              round(list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
       FROM embeddings y, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
       WHERE y.vec_id <> 1
-      ORDER BY list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, y.vec_id ASC
+      ORDER BY round(list_cosine_similarity(y.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+               y.vec_id ASC
       LIMIT 10""")),
 
     ("sim_knn_brute", (s, dir) => {
@@ -399,7 +400,7 @@ object SparkEntry {
       FROM (SELECT x.vec_id, y.vec_id AS yid,
                    row_number() OVER (
                      PARTITION BY x.vec_id
-                     ORDER BY list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) DESC,
+                     ORDER BY round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) DESC,
                               y.vec_id ASC) AS rk
             FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id) r
       JOIN embeddings x ON x.vec_id = r.vec_id

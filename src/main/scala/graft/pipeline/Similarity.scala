@@ -32,10 +32,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    // rank on the ROUNDED cosine: near-ties below 1e-4 would otherwise be
+    // ordered by sub-ulp float-vs-double noise and flip between engines
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")))
-      .select(col(idCol).as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .withColumn("cos", round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), 4))
+      .select(col(idCol).as("neighbor_id"), col("cos"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
       .limit(k)
   }
@@ -49,10 +51,11 @@ object Similarity {
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)
     e.as("x").join(e.as("y"), col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        // rounded BEFORE ranking — cross-engine-stable tie-break (see topK)
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"), col("rk"))
+      .select(col("a"), col("b"), col("cos"), col("rk"))
   }
 
   /** Random-hyperplane LSH bucket signature: bit p (p < planes) is the sign
