@@ -222,7 +222,7 @@ object SparkEntry {
                              THEN regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT END AS k
                  FROM events)
       SELECT event_type, count(*) AS total,
-             sum(CASE WHEN k IS NULL OR k > 90 THEN 1 ELSE 0 END) AS bad_records
+             sum(CASE WHEN k IS NULL OR k > 90 THEN 1 ELSE 0 END)::BIGINT AS bad_records
       FROM e GROUP BY event_type""")),
 
     // ===== CDC / upsert core semantics over the events log =============
@@ -417,10 +417,30 @@ object SparkEntry {
 
     ("sim_ann_lsh", (s, dir) => {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in
-      // ScalaTest; rows-only check here (no oracle: the bucket join is the
-      // point, not SQL-expressible compactly)
+      // ScalaTest; the md5-parity hyperplanes are engine-portable, so the
+      // signature + bucket join + re-rank is ALSO oracle-checked end to end
       Similarity.annTopK(t(s, dir, "embeddings"), k = 5, planes = 6)
-    }, None),
+    }, Some("""
+      WITH w AS (SELECT p, list_transform(range(0, 64),
+                   d -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                             THEN 1.0 ELSE -1.0 END) AS wv
+                 FROM UNNEST(range(0, 6)) AS t(p)),
+      e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings),
+      sig AS (SELECT e.id,
+                     sum(CASE WHEN list_dot_product(e.v, w.wv) >= 0
+                              THEN (2 ** p)::BIGINT ELSE 0 END)::BIGINT AS bucket
+              FROM e CROSS JOIN w GROUP BY e.id),
+      cand AS (SELECT sx.id AS a, sy.id AS b,
+                      round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+               FROM sig sx JOIN sig sy ON sx.bucket = sy.bucket AND sx.id <> sy.id
+               JOIN e x ON x.id = sx.id JOIN e y ON y.id = sy.id)
+      SELECT a, b, cos, rk FROM (
+        SELECT a, b, cos,
+               row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+        FROM cand) r
+      WHERE rk <= 5""")),
 
     // ===== text analysis ================================================
     ("ta_langid", (s, dir) => {
@@ -500,10 +520,25 @@ object SparkEntry {
 
     ("mm_features", (s, dir) => {
       // STUB decode (no codecs in sandbox) — real batched mapPartitions
-      // plumbing; deterministic, rows-only check
+      // plumbing; md5-derived stub features make it fully oracle-checkable
+      // (f0 probes the feature vector; the raw array column is spot-checked
+      // via its first element, rounded like every float column)
       Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, dir, "documents")))
-        .toDF().drop("feature")
-    }, None)
+        .toDF()
+        .withColumn("f0", round(element_at(col("feature"), 1).cast("double"), 4))
+        .drop("feature")
+    }, Some("""
+      WITH h AS (SELECT doc_id,
+                        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+                        octet_length(encode(text))::BIGINT AS n_bytes
+                 FROM documents)
+      SELECT doc_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             n_bytes,
+             (64 + (h % 64))::INT AS width,
+             (64 + ((h // 256) % 64))::INT AS height,
+             round((h % 1000) / 1000.0, 4) AS f0
+      FROM h"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,18 +19,27 @@ import org.apache.spark.sql.types._
   * preference order the Spark guide gives (native Expression > UDF > HOF for
   * hot paths).
   *
-  * Numeric semantics match the HOF formulation exactly: element product in
-  * the array's element type (float multiply for `array<float>`), accumulated
-  * in double, so results are bit-identical to the previous implementation
-  * and to the DuckDB oracle within its 4-decimal rounding.
+  * Numeric semantics: elements are PROMOTED TO DOUBLE before the multiply
+  * and accumulated in double. For `array<float>` inputs every product is
+  * exact (a float×float product is representable in double), so the result
+  * agrees with any engine that computes the dot in double over the same
+  * float values (e.g. DuckDB's `list_dot_product(a::DOUBLE[], …)`) up to
+  * summation-order rounding — which the 4-decimal oracle rounding absorbs.
+  * This deliberately diverges from `aggregate(zip_with(a,b,_*_),0d,_+_)`,
+  * which multiplies IN float and loses ~1e-7 relative per product.
   *
-  * Null handling: null array ⇒ null result (standard null-intolerant binary
-  * expression); null ELEMENTS are not expected (parquet embeddings are
-  * dense) and read as 0.
+  * Null handling: null array ⇒ null result; arrays of DIFFERENT lengths ⇒
+  * null (matching the HOF formulation, where `zip_with` pads the short side
+  * with null and the sum over a null product is null — a ragged pair is a
+  * data bug that should surface as null, not as a silently truncated dot).
+  * Null ELEMENTS are not expected (parquet embeddings are dense), read as 0.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null is also produced for length-mismatched (ragged) array pairs
+  override def nullable: Boolean = true
 
   private def elemType: DataType = left.dataType match {
     case ArrayType(et, _) => et
@@ -49,11 +58,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     if (elemType == FloatType) {
-      while (i < n) { s += (x.getFloat(i) * y.getFloat(i)).toDouble; i += 1 }
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     } else {
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     }
@@ -67,12 +77,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)($a.$get($i) * $b.$get($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double)$a.$get($i)) * ((double)$b.$get($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }
@@ -106,7 +120,7 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     var s = 0.0
     var i = 0
     if (elemType == FloatType) {
-      while (i < n) { s += (x.getFloat(i) * x.getFloat(i)).toDouble; i += 1 }
+      while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
     } else {
       while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
     }
@@ -123,7 +137,8 @@ case class VecNorm(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)($a.$get($i) * $a.$get($i));
+         |  double v = (double)$a.$get($i);
+         |  $s += v * v;
          |}
          |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin

@@ -118,23 +118,32 @@ final class LakeTable(
   def readInternal(): DataFrame = resolved(currentSnapshot()).drop(OpCol)
 
   /** Merge-on-read resolution: one row per key (the max-`_lsn` winner),
-    * tombstones dropped. Winner selection is a hash aggregate (`max_by`),
-    * not a sort-window — partial combine shrinks the shuffle and no sort is
-    * ever needed. Fast path: no deltas ⇒ plain scan.
+    * tombstones dropped.
+    *
+    * Winner resolution is PER-BUCKET-PRUNED: rows are hash-bucketed on the
+    * key, so a key's winner can only involve files of its own bucket. Only
+    * buckets that actually have delta files go through the window shuffle;
+    * delta-free buckets are a plain scan unioned alongside. Between
+    * compactions most buckets are clean, so read cost is O(dirty buckets),
+    * not O(table) — at 100× scale one stray delta file no longer drags every
+    * clean bucket's rows through the exchange.
     */
   private def resolved(s: Snapshot, buckets: Option[Set[Int]] = None): DataFrame = {
     val files = buckets match {
       case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
       case None => s.files
     }
-    val hasDeltas = files.exists(_.kind == "d")
-    val df = dfFor(s, files)
+    val dirty: Set[Int] = files.filter(_.kind == "d").map(_.bucket).toSet
     // tombstone winners are RETAINED in base files (see compaction note), so
     // reads always filter them — including the no-delta fast path
-    val winners =
-      if (!hasDeltas) df
-      else lwwWinners(df, keyCols, Seq(col(LsnCol).desc))
-    winners.filter(coalesce(col(OpCol), lit("U")) =!= "D")
+    val live = coalesce(col(OpCol), lit("U")) =!= "D"
+    if (dirty.isEmpty) return dfFor(s, files).filter(live)
+    val (dirtyFiles, cleanFiles) = files.partition(f => dirty.contains(f.bucket))
+    val winners = lwwWinners(dfFor(s, dirtyFiles), keyCols, Seq(col(LsnCol).desc))
+    val all =
+      if (cleanFiles.isEmpty) winners
+      else winners.unionByName(dfFor(s, cleanFiles))
+    all.filter(live)
   }
 
   /** Compaction-path resolution: same winners as [[resolved]] but computed
@@ -234,8 +243,14 @@ final class LakeTable(
     // already clustered+sorted by bucket, so the dynamic-partition parquet
     // write needs no further exchange or sort. A key-partitioned window (or
     // groupBy-agg) would shuffle a second time to lay out buckets.
+    // final tie-break: a stable hash of the payload, so duplicate keys with
+    // identical (lsn, ts) — e.g. batch upserts that stamp lsn = epoch — have
+    // a DETERMINISTIC winner independent of sort-arrival order (re-running
+    // the same input reproduces the same surviving rows)
+    val payloadHash = xxhash64(payloadCols.map(col): _*)
     val ord =
-      if (hasTs) Seq(col("lsn").desc, col("ts").desc) else Seq(col("lsn").desc)
+      (if (hasTs) Seq(col("lsn").desc, col("ts").desc) else Seq(col("lsn").desc)) :+
+        payloadHash.desc
     val latest = lwwWinnersBucketed(evs.withColumn(BucketCol, bucketExpr), ord)
 
     val deltaOut = latest
@@ -261,9 +276,12 @@ final class LakeTable(
     val affected: Set[Int] = deltas.map(_.bucket).toSet
 
     if (rowsDistinct == 0L) {
-      // still advance the epoch so replays of an empty batch stay idempotent
+      // still advance the epoch so replays of an empty batch stay idempotent;
+      // the resolved schema is committed exactly like the non-empty path so
+      // additive columns introduced by an empty batch persist
       val st = MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, snap.rows, 1.0)
-      commitSnapshot(snap.copy(version = newVersion, lastEpoch = epoch, stats = Some(st)))
+      commitSnapshot(snap.copy(version = newVersion, lastEpoch = epoch,
+        schema = Some(storedNew), stats = Some(st)))
       return st
     }
 

@@ -46,18 +46,22 @@ object Multimodal {
   /** STUB decoder ======================================================
     * A real implementation would decode the payload with an image/audio
     * library inside this per-batch loop (exactly where a Pandas UDF would
-    * run). The stub derives deterministic pseudo-features from the bytes so
-    * the distributed plumbing (batching, schema, partition locality) is
-    * fully exercised and testable.
+    * run). The stub derives deterministic pseudo-features from md5 of the
+    * payload bytes — an engine-portable function (DuckDB computes the same
+    * values, so the plumbing is ORACLE-checked, not just rows-counted) —
+    * while the distributed shape (batching, schema, partition locality) is
+    * exactly what a real codec would ride.
     */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     // ??? <- real codec call goes here (e.g. ImageIO.read / ffmpeg bindings)
-    val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-    val width = 64 + (Math.floorMod(h, 64L)).toInt
-    val height = 64 + (Math.floorMod(h >> 8, 64L)).toInt
-    val feat = Array.tabulate(8)(i =>
-      (Math.floorMod(h >> (i * 4), 1000L)).toFloat / 1000.0f)
+    // h = first 15 hex chars (60 bits, non-negative) of md5(payload)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).take(8).map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val width = 64 + (h % 64L).toInt
+    val height = 64 + ((h >> 8) % 64L).toInt
+    val feat = Array.tabulate(8)(i => ((h >> (i * 4)) % 1000L).toFloat / 1000.0f)
     MediaFeatures(r.doc_id, r.modality, r.n_bytes, width, height, feat)
   }
 

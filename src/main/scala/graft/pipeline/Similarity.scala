@@ -108,9 +108,10 @@ object Similarity {
     withSig.as("x").join(withSig.as("y"), Seq("bucket"))
       .filter(col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        // rounded BEFORE ranking — cross-engine-stable tie-break (see topK)
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"), col("rk"))
+      .select(col("a"), col("b"), col("cos"), col("rk"))
   }
 }

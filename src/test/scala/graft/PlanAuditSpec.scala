@@ -45,6 +45,16 @@ class PlanAuditSpec extends SparkSpec {
   test("vec_dot is codegen-compatible (no CodegenFallback in similarity scan)") {
     val df = SparkEntry.queries("sim_topk")(spark, sfDir)
     val plan = planOf(df)
-    assert(plan.contains("vec_dot") || plan.contains("VecDot") || df.collect().nonEmpty)
+    assert(!plan.contains("CodegenFallback"),
+      s"vec kernel fell back to interpreted eval:\n$plan")
+    // the kernel must sit INSIDE a WholeStageCodegen ("*(n)") operator line
+    // — audit the AQE FINAL plan only (the "Initial Plan" echo that
+    // AdaptiveSparkPlan appends prints the same operators un-starred)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val kernelLines = finalPlan.linesIterator.filter(l =>
+      l.contains("vec_dot") || l.contains("vec_norm")).toSeq
+    assert(kernelLines.nonEmpty, s"vec kernels absent from plan:\n$plan")
+    assert(kernelLines.forall(_.contains("*(")),
+      s"vec kernel outside codegen span:\n${kernelLines.mkString("\n")}")
   }
 }
