@@ -408,12 +408,63 @@ object SparkEntry {
       WHERE rk <= 3""")),
 
     ("sim_ann_ivf", (s, dir) => {
-      // IVF coarse-quantizer ANN (scale path #2) — recall vs brute force
-      // gated in ScalaTest (PipelineSpec); rows-only check here
+      // IVF ANN over a MATERIALIZED index: assignment runs once at build
+      // time, the probe scan prunes to nProbe cell partitions. The whole
+      // train→index→probe path is oracle-checked — the unrolled k-means
+      // below is engine-portable (md5-selected init, exact-double dots,
+      // float-rounded centroid means). Recall gates live in PipelineSpec.
+      import graft.pipeline.Ivf
       val emb = t(s, dir, "embeddings")
-      val model = graft.pipeline.Ivf.train(emb, k = 8, iters = 2)
-      graft.pipeline.Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 4)
-    }, None),
+      val model = Ivf.train(emb, k = 8, iters = 2)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+      Ivf.buildIndex(emb, model, idx)
+      Ivf.searchIndex(s, idx, model, Ivf.vectorOf(emb, 1L),
+        topK = 10, nProbe = 4, excludeId = Some(1L))
+    }, Some("""
+      WITH c0 AS (
+        SELECT (row_number() OVER (ORDER BY md5v)) - 1 AS cell, cv FROM (
+          SELECT md5(vec_id::VARCHAR) AS md5v, embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY md5v LIMIT 8)),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      a1 AS (SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, c0.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.cell ASC) AS rn
+          FROM e CROSS JOIN c0) WHERE rn = 1),
+      m1 AS (SELECT cell, list(elem ORDER BY d) AS cv FROM (
+          SELECT cell, d, avg(val)::FLOAT::DOUBLE AS elem FROM (
+            SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a1)
+          GROUP BY cell, d) GROUP BY cell),
+      c1 AS (SELECT c0.cell, coalesce(m1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN m1 ON c0.cell = m1.cell),
+      a2 AS (SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, c1.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c1.cv) DESC, c1.cell ASC) AS rn
+          FROM e CROSS JOIN c1) WHERE rn = 1),
+      m2 AS (SELECT cell, list(elem ORDER BY d) AS cv FROM (
+          SELECT cell, d, avg(val)::FLOAT::DOUBLE AS elem FROM (
+            SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a2)
+          GROUP BY cell, d) GROUP BY cell),
+      c2 AS (SELECT c1.cell, coalesce(m2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell),
+      q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 1),
+      probe AS (SELECT cell FROM (
+          SELECT c2.cell, row_number() OVER (
+                   ORDER BY list_dot_product(c2.cv, q.qv) DESC, c2.cell ASC) AS rn
+          FROM c2 CROSS JOIN q) WHERE rn <= 4),
+      a3 AS (SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, c2.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c2.cv) DESC, c2.cell ASC) AS rn
+          FROM e CROSS JOIN c2) WHERE rn = 1)
+      SELECT vec_id AS neighbor_id,
+             round(list_dot_product(a3.v, q.qv)
+                   / (sqrt(list_dot_product(a3.v, a3.v)) * q.qn), 4) AS cos
+      FROM a3 JOIN probe USING (cell) CROSS JOIN q
+      WHERE vec_id <> 1
+      ORDER BY cos DESC, neighbor_id ASC
+      LIMIT 10""")),
 
     ("sim_ann_lsh", (s, dir) => {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,17 +10,21 @@ import graft.functions.vec
   * next to the random-hyperplane LSH in [[Similarity]].
   *
   * Coarse quantizer: k spherical-k-means centroids trained with a few Lloyd
-  * iterations, deterministically initialized (the k vectors with the
-  * smallest md5(id) — a reproducible pseudo-random sample). Every vector is
-  * assigned to its nearest centroid cell (argmax cosine — one codegen'd
-  * [[graft.functions.VecDot]] per centroid, k is small); a query probes only
-  * the `nProbe` cells nearest to it and re-ranks candidates by exact cosine.
-  * Search cost drops from O(n·d) to O(n·d·nProbe/k) per query at recall
-  * governed by nProbe/k.
+  * iterations, deterministically initialized with the k corpus vectors of
+  * smallest md5(id) — selected WITHOUT a global sort (an md5-prefix range
+  * filter shrinks the corpus to ~O(k) candidates first; the k smallest
+  * candidates are provably the k smallest overall once ≥ k rows pass the
+  * filter, because the 8-hex-char prefix orders consistently with the full
+  * hash). Training iterations are narrow projections + one small aggregate;
+  * the only collects are k×d centroid matrices.
   *
-  * At 100 TB the train step runs on a sample (`trainSample`), assignment is
-  * one narrow projection over the corpus, and the cell column becomes a
-  * partition key so a probe prunes file scans to nProbe cells.
+  * The index is MATERIALIZED: [[buildIndex]] assigns every vector to its
+  * nearest centroid cell (argmax of one codegen'd [[graft.functions.VecDot]]
+  * per centroid) and writes the corpus partitioned BY `_cell`, so
+  * [[searchIndex]] prunes the file scan to the `nProbe` probed cells —
+  * search cost is O(n·d·nProbe/k) in bytes READ, not just rows compared.
+  * At 100 TB the cell directories are the inverted lists; a probe touches
+  * nProbe directories and re-ranks by exact cosine.
   */
 object Ivf {
 
@@ -28,20 +32,50 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  private def normCols(vecCol: String) = vec.norm(col(vecCol))
+  private def md5Head(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** Deterministic spherical k-means on (a sample of) the corpus. */
+  /** The k corpus rows of smallest md5(id), WITHOUT a total ordering of the
+    * corpus: filter md5's 32-bit prefix below an oversampled bound (a narrow
+    * codegen'd scan), then top-k ONLY the surviving candidates
+    * (TakeOrderedAndProject over ~16k rows). Every row passing the prefix
+    * filter hash-orders below every row that fails it, so once ≥ k rows
+    * survive, their k smallest ARE the global k smallest — identical output
+    * to `orderBy(md5(id)).limit(k)` at a fraction of the cost. The bound
+    * quadruples (rerun) in the binomially-unlikely case of < k survivors.
+    */
+  private[graft] def smallestByMd5(df: DataFrame, idCol: String, k: Int, n: Long): DataFrame = {
+    var frac = math.min(1.0, 16.0 * k / math.max(n, 1L))
+    while (true) {
+      val bound = (frac * 4294967296.0).toLong // 2^32 × fraction
+      val cand = df.filter(md5Head(idCol) < bound)
+        .orderBy(md5(col(idCol).cast("string")))
+        .limit(k)
+      if (frac >= 1.0) return cand
+      val got = cand.count()
+      if (got >= k) return cand
+      frac = math.min(1.0, frac * 4)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Deterministic spherical k-means on (a fraction of) the corpus.
+    * `trainSample` bounds the expected training-set size: rows are kept by
+    * the same md5-prefix range predicate (no sort, no shuffle — a filter),
+    * giving a reproducible ~`trainSample`-row subset on any engine.
+    */
   def train(emb: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Option[Long] = None): Model = {
+    val n = emb.count()
     val base = trainSample match {
-      case Some(n) => emb.orderBy(md5(col(idCol).cast("string"))).limit(n.toInt)
-      case None => emb
+      case Some(s) if s < n =>
+        val bound = (math.min(1.0, s.toDouble / n) * 4294967296.0).toLong
+        emb.filter(md5Head(idCol) < bound)
+      case _ => emb
     }
-    // init: k reproducibly-sampled vectors
-    var centroids: Array[Array[Float]] = base
-      .orderBy(md5(col(idCol).cast("string")))
-      .limit(k)
+    val nBase = trainSample.map(s => math.min(s, n)).getOrElse(n)
+    var centroids: Array[Array[Float]] = smallestByMd5(base, idCol, k, nBase)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray)
@@ -70,7 +104,7 @@ object Ivf {
     Model(centroids)
   }
 
-  /** Add `_cell` = argmax over centroids of dot(v, c). */
+  /** Add `_cell` = argmax over centroids of dot(v, c) (ties → lowest cell). */
   def assignCell(emb: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame = {
     val dots: Column = array(model.centroids.map(c =>
       vec.dot(col(vecCol), typedLit(c))): _*)
@@ -79,46 +113,78 @@ object Ivf {
       .drop("_dots")
   }
 
-  /** Top-k neighbors of the query vector, probing `nProbe` cells. */
-  def search(emb: DataFrame, model: Model, queryId: Long, topK: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qRow = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).collect()(0).getSeq[Float](0).toArray
-    // driver-side: the nProbe cells nearest to the query
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { s += (a(i) * b(i)).toDouble; i += 1 }
-      s
-    }
-    val cells = model.centroids.zipWithIndex
-      .sortBy { case (c, _) => -dot(c, qRow) }
+  /** Materialize the inverted file: the corpus written partitioned by
+    * `_cell`, so each cell is its own directory and a probe's scan prunes to
+    * the probed cells' files (PartitionFilters in the scan — asserted in
+    * PlanAuditSpec). Assignment runs ONCE here, never at query time.
+    */
+  def buildIndex(emb: DataFrame, model: Model, path: String,
+      vecCol: String = "embedding"): Unit =
+    assignCell(emb, model, vecCol)
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** exact double dot (driver-side, k×d work): float operands promote to
+    * double so products are exact — mirrors [[graft.functions.VecDot]].
+    */
+  private def ddot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** The `nProbe` cells nearest the query vector (dot desc, cell asc). */
+  def nearestCells(model: Model, query: Array[Float], nProbe: Int): Seq[Int] =
+    model.centroids.zipWithIndex
+      .sortBy { case (c, _) => -ddot(c, query) } // stable: ties keep cell order
       .take(nProbe).map(_._2).toSeq
 
-    val qLit = typedLit(qRow)
-    val qNorm = math.sqrt(dot(qRow, qRow))
-    assignCell(emb, model, vecCol)
-      .filter(col("_cell").isin(cells: _*) && col(idCol) =!= queryId)
-      .withColumn("cos", vec.dot(col(vecCol), qLit) / (normCols(vecCol) * lit(qNorm)))
+  /** Fetch one vector by id (pushed-down point lookup). */
+  def vectorOf(emb: DataFrame, id: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Float] =
+    emb.filter(col(idCol) === id).select(col(vecCol))
+      .collect()(0).getSeq[Float](0).toArray
+
+  /** Top-k neighbors of `query`, probing `nProbe` cells of a materialized
+    * index: the parquet scan reads ONLY the probed cell partitions
+    * (partition pruning on `_cell`), then exact cosine re-ranks.
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, model: Model,
+      query: Array[Float], topK: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    val cells = nearestCells(model, query, nProbe)
+    val qLit = typedLit(query)
+    val qNorm = math.sqrt(ddot(query, query))
+    val scan = spark.read.parquet(indexPath)
+      .filter(col("_cell").isin(cells: _*))
+    val base = excludeId.fold(scan)(q => scan.filter(col(idCol) =!= q))
+    base
+      .withColumn("cos", vec.dot(col(vecCol), qLit) / (vec.norm(col(vecCol)) * lit(qNorm)))
       .select(col(idCol).as("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
       .limit(topK)
   }
 
-  /** All-queries ANN top-k (kNN join over the IVF index): candidates share a
+  /** All-queries ANN top-k (kNN join over the IVF cells): candidates share a
     * cell with the anchor (nProbe=1 join form — the scalable bulk shape;
     * higher recall comes from more/larger cells or LSH in [[Similarity]]).
+    * Reads the materialized index when given a path, so the join's both
+    * sides are already cell-partitioned files.
     */
   def knnJoin(emb: DataFrame, model: Model, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = assignCell(emb, model, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"), normCols(vecCol).as("nrm"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"),
+        vec.norm(col(vecCol)).as("nrm"))
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)
     a.as("x").join(a.as("y"), Seq("_cell"))
       .filter(col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        (vec.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        // rounded BEFORE ranking — cross-engine-stable tie-break
+        round(vec.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"), col("rk"))
+      .select(col("a"), col("b"), col("cos"), col("rk"))
   }
 }

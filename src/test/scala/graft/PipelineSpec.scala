@@ -76,22 +76,51 @@ class PipelineSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val model = Ivf.train(emb, k = 8, iters = 2)
     assert(model.k === 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    Ivf.buildIndex(emb, model, idx)
+    val q = Ivf.vectorOf(emb, 1L)
 
     // single-query search at nProbe=4 must recover most of the brute top-10
     val truth = Similarity.topK(emb, queryId = 1L, k = 10)
       .select("neighbor_id").as[Long].collect().toSet
-    val ann = Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 4)
-      .select("neighbor_id").as[Long].collect().toSet
+    val probe = Ivf.searchIndex(spark, idx, model, q, topK = 10, nProbe = 4,
+      excludeId = Some(1L))
+    val ann = probe.select("neighbor_id").as[Long].collect().toSet
     val recall = truth.intersect(ann).size.toDouble / truth.size
     assert(recall >= 0.5, f"IVF recall $recall%.2f below floor at nProbe=4/8")
     // full probe (nProbe = k) is exhaustive => exact
-    val full = Ivf.search(emb, model, queryId = 1L, topK = 10, nProbe = 8)
-      .select("neighbor_id").as[Long].collect().toSet
+    val full = Ivf.searchIndex(spark, idx, model, q, topK = 10, nProbe = 8,
+      excludeId = Some(1L)).select("neighbor_id").as[Long].collect().toSet
     assert(full === truth)
+
+    // the probe scan PRUNES to the probed cell partitions: partition
+    // filters in the plan, fewer files read than the index holds
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_cell"),
+      s"no partition pruning in probe scan:\n$plan")
+    val prunedFiles = spark.read.parquet(idx)
+      .filter($"_cell".isin(Ivf.nearestCells(model, q, 4).map(Int.box): _*))
+      .select(input_file_name()).distinct().count()
+    val totalFiles = spark.read.parquet(idx)
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < totalFiles,
+      s"probe read $prunedFiles of $totalFiles files — no pruning")
 
     // deterministic across retrains
     val model2 = Ivf.train(emb, k = 8, iters = 2)
     assert(model.centroids.map(_.toSeq).toSeq === model2.centroids.map(_.toSeq).toSeq)
+
+    // init takes the k md5-smallest WITHOUT a global sort: top-k runs on an
+    // md5-prefix-filtered candidate set (Filter under TakeOrderedAndProject)
+    // and still selects exactly the k rows a full orderBy.limit would
+    val n = emb.count()
+    val initDf = Ivf.smallestByMd5(emb, "vec_id", 8, n)
+    val initPlan = initDf.queryExecution.executedPlan.toString
+    assert(initPlan.contains("TakeOrderedAndProject"), s"init plan:\n$initPlan")
+    assert(initPlan.contains("Filter"), s"init must pre-filter candidates:\n$initPlan")
+    val viaSort = emb.orderBy(md5($"vec_id".cast("string"))).limit(8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(initDf.select("vec_id").as[Long].collect().toSeq === viaSort)
 
     // knn-join form returns k rows per anchor within cells
     val kj = Ivf.knnJoin(emb, model, topK = 3)
