@@ -105,16 +105,36 @@ object Dedup {
       .select(col("doc_id"), toBits.reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (compared via
-    * bit_count(xor)); quadratic compare here, banded at scale (split the 32
-    * bits into bands like LSH).
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, BANDED like
+    * LSH: the 32 bits split into `maxDist + 1` bands — by pigeonhole, any
+    * pair within maxDist differing bits has at least one band with ZERO
+    * differing bits, so an equi-join on (band, band value) finds every
+    * qualifying pair (exactly the quadratic join's output) while only
+    * comparing docs that collide on a band. Cost: a (maxDist+1)× row fan-out
+    * plus a hash join on band buckets — no cartesian, no
+    * BroadcastNestedLoopJoin (asserted in PlanAuditSpec).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val s = simhash(docs)
-    s.as("x").join(s.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("dist", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+    val b = maxDist + 1
+    val bounds = (0 to b).map(i => (i * 32) / b)
+    val bandCols = (0 until b).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val banded = s
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct() // (sa, sb) are functions of (a, b) — this dedupes pairs
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("dist") <= maxDist)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .select(col("a"), col("b"), col("dist"))
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold. Brute force

@@ -42,6 +42,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"transformer chain must be narrow:\n$plan")
   }
 
+  test("simhash pair mining is banded — no cartesian/nested-loop join") {
+    val plan = planOf(SparkEntry.queries("d_simhash_pairs")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"simhash pairs must band-join, not cross-join:\n$plan")
+  }
+
   test("vec_dot is codegen-compatible (no CodegenFallback in similarity scan)") {
     val df = SparkEntry.queries("sim_topk")(spark, sfDir)
     val plan = planOf(df)
