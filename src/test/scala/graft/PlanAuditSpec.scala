@@ -42,6 +42,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"transformer chain must be narrow:\n$plan")
   }
 
+  test("MOR read shuffles only dirty buckets (clean buckets bypass the window)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+
+    val root = tmpDir("graft-mor-prune")
+    val t = graft.lake.LakeTable.create(spark, s"$root/t", Seq("k"), numBuckets = 32)
+    val base = (1 to 3200).map(i => ("U", i.toLong, i.toLong, s"v$i"))
+      .toDF("op", "lsn", "k", "payload")
+    t.merge(base, 0)
+    t.compactAll() // all 32 buckets now clean base files
+    // one tiny delta -> exactly one dirty bucket
+    t.merge(Seq(("U", 10000L, 5L, "updated")).toDF("op", "lsn", "k", "payload"), 1)
+
+    val df = t.read().select("k", "payload")
+    val rows = df.collect()
+    assert(rows.length === 3200)
+    assert(rows.find(_.getLong(0) == 5L).get.getString(1) === "updated")
+
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => q +: unwrap(q.plan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    // two scans: the dirty-bucket files (through the window) + clean bases
+    assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) === 2, nodes.mkString("\n"))
+    val shuffled = nodes.collect { case s: ShuffleExchangeLike =>
+      s.metrics("shuffleRecordsWritten").value }
+    assert(shuffled.nonEmpty, "expected the dirty-bucket window shuffle")
+    // ~3200/32 = 100 base rows + 1 delta row in the dirty bucket; all 31
+    // clean buckets (3100 rows) must NOT enter the exchange
+    assert(shuffled.sum > 0 && shuffled.sum < 400,
+      s"window shuffled ${shuffled.sum} rows — clean buckets not pruned")
+  }
+
   test("simhash pair mining is banded — no cartesian/nested-loop join") {
     val plan = planOf(SparkEntry.queries("d_simhash_pairs")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
