@@ -78,6 +78,35 @@ object SparkEntry {
       FROM orders WHERE o_totalprice > 100000
       GROUP BY o_orderpriority""")),
 
+    ("r_typed_csv", (s, dir) => {
+      // txtfilereader typed {index,type,format} projection end-to-end
+      // (txtfile_reader.go:399-481): a header-less CSV fixture derived from
+      // orders is re-read with columns REORDERED BY INDEX, a date parsed via
+      // the 6-format fallback chain, an out-of-range index (⇒ null) and a
+      // constant column — then oracle-checked against the original table.
+      import graft.engine.SyncJob
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-typed-csv"
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"),
+          col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").option("header", "false").csv(tmp)
+      SyncJob.read(s, SyncJob.Source("csv", tmp,
+        options = Map("header" -> "false"),
+        columns = Seq(
+          SyncJob.ColumnSpec(index = 3, colType = "string", name = "status"),
+          SyncJob.ColumnSpec(index = 0, colType = "long", name = "okey"),
+          SyncJob.ColumnSpec(index = 1, colType = "date", name = "odate"),
+          SyncJob.ColumnSpec(index = 2, colType = "double", name = "price"),
+          SyncJob.ColumnSpec(index = 9, colType = "string", name = "missing"),
+          SyncJob.ColumnSpec(value = "src1", name = "tag"))))
+    }, Some("""
+      SELECT o_orderstatus AS status, o_orderkey AS okey,
+             date_trunc('second', o_orderdate) AS odate,
+             o_totalprice AS price, NULL::VARCHAR AS missing, 'src1' AS tag
+      FROM orders""")),
+
     // ===== transformers (§2.4) ==========================================
     ("t_dx_filter", (s, dir) => {
       Transformers.chain(

@@ -29,14 +29,32 @@ object SyncJob {
     val Append, Truncate, NonConflict, Upsert = Value
   }
 
+  /** One column of txtfilereader's `{index | value, type, format}` spec
+    * (`txtfile_reader.go:399-432`): either a 0-based positional `index`
+    * into the raw record or a constant `value`; converted to `type` with an
+    * optional date `format` (Spark/Java pattern). Out-of-range indexes
+    * yield null (`txtfile_reader.go:424-428`).
+    */
+  final case class ColumnSpec(
+      index: Int = -1,
+      value: String = null,
+      colType: String = "string", // string | long | double | boolean | date
+      format: String = "",
+      name: String = "")
+
   final case class Source(
-      format: String, // csv | json | jsonl | parquet | text
+      format: String, // csv | json | jsonl | json-auto | parquet | text
       path: String,
       options: Map[String, String] = Map.empty,
-      /** `{index | name, type, format, value}` projection incl. constant
-        * columns, as txtfilereader's column spec (`txtfile_reader.go:399-432`).
+      /** constant columns appended by name (txtfilereader {type, value}) */
+      constants: Map[String, String] = Map.empty,
+      /** typed positional projection; when non-empty the output is EXACTLY
+        * these columns in this order (reference 常规模式,
+        * `txtfile_reader.go:388-395`)
         */
-      constants: Map[String, String] = Map.empty)
+      columns: Seq[ColumnSpec] = Nil,
+      /** string treated as SQL NULL (reference nullFormat, default `\N`) */
+      nullFormat: String = "\\N")
 
   final case class Sink(
       format: String, // csv | json | parquet | text | lake
@@ -67,16 +85,94 @@ object SyncJob {
     val base = src.format match {
       case "csv" =>
         spark.read
-          .option("header", "true").option("nullValue", "\\N") // nullFormat \N: txtfile_reader.go:108-118
+          .option("header", "true").option("nullValue", src.nullFormat) // nullFormat \N: txtfile_reader.go:108-118
           .options(src.options).csv(src.path)
       case "jsonl" => spark.read.options(src.options).json(src.path)
       case "json" => spark.read.option("multiLine", "true").options(src.options).json(src.path)
+      case "json-auto" => // sniff `[` vs `{`: jsonfile_reader.go:378-400
+        return read(spark, src.copy(format = sniffJsonFormat(spark, src.path)))
       case "parquet" => spark.read.options(src.options).parquet(src.path)
       case "text" => spark.read.options(src.options).text(src.path)
       case f => throw new IllegalArgumentException(s"source format '$f'")
     }
+    val projected =
+      if (src.columns.isEmpty) base
+      else typedProjection(base, src.columns, src.nullFormat)
     // constant columns (txtfilereader {type:"string", value:...})
-    src.constants.foldLeft(base) { case (df, (name, value)) => df.withColumn(name, lit(value)) }
+    src.constants.foldLeft(projected) { case (df, (name, value)) => df.withColumn(name, lit(value)) }
+  }
+
+  /** The reference's 6-format date fallback chain
+    * (`txtfile_reader.go:461-481`), as Spark patterns, tried in order after
+    * any user-supplied format.
+    */
+  val DateFallbackFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd",
+    "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy")
+
+  /** Typed positional projection (txtfilereader 常规模式,
+    * `txtfile_reader.go:399-481`): each output column is either a constant
+    * or the `index`-th raw field, null-normalized (`nullFormat`/empty ⇒
+    * null) and converted — long/double/boolean parse failures default to
+    * 0/0.0/false like the reference's strconv fallbacks; dates try the
+    * user format then the 6-format fallback chain. One divergence, on
+    * purpose: a date that no format parses is NULL here, not a raw string
+    * (a typed engine cannot store both in one column — the reference's
+    * string fallback is a dynamically-typed-record artifact).
+    * All of it is a narrow codegen'd projection over the scan.
+    */
+  def typedProjection(df: DataFrame, specs: Seq[ColumnSpec], nullFormat: String): DataFrame = {
+    val inCols = df.columns
+    val cols = specs.zipWithIndex.map { case (sp, i) =>
+      val outName = if (sp.name.nonEmpty) sp.name else s"col$i"
+      val raw: Column =
+        if (sp.value != null) lit(sp.value)
+        else if (sp.index >= 0 && sp.index < inCols.length) col(inCols(sp.index)).cast("string")
+        else lit(null).cast("string") // out-of-range index ⇒ null
+      val nn = when(raw.isNull || raw === "" || raw === nullFormat, lit(null).cast("string"))
+        .otherwise(raw)
+      val converted: Column = sp.colType match {
+        // try_cast: malformed input ⇒ null ⇒ the reference's 0/false default
+        // (strconv fallbacks, txtfile_reader.go:440-459) — ANSI-mode safe
+        case "long" => when(nn.isNull, lit(null).cast("long"))
+          .otherwise(coalesce(nn.try_cast("long"), lit(0L)))
+        case "double" => when(nn.isNull, lit(null).cast("double"))
+          .otherwise(coalesce(nn.try_cast("double"), lit(0.0)))
+        case "boolean" | "bool" => when(nn.isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(nn.try_cast("boolean"), lit(false)))
+        case "date" | "timestamp" =>
+          val fmts = (if (sp.format.nonEmpty) Seq(sp.format) else Nil) ++ DateFallbackFormats
+          coalesce(fmts.map(f => try_to_timestamp(nn, lit(f))): _*)
+        case _ => nn
+      }
+      converted.as(outName)
+    }
+    df.select(cols: _*)
+  }
+
+  /** First-non-space byte of the first data file decides `[` (JSON array,
+    * multiline) vs `{` (JSONL); default JSONL — `jsonfile_reader.go:378-400`.
+    */
+  private def sniffJsonFormat(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")).sortBy(_.getPath.getName).headOption.map(_.getPath)
+      else Some(p)
+    file match {
+      case Some(f) =>
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](1024)
+          val n = in.read(buf)
+          val head = new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8).trim
+          if (head.startsWith("[")) "json" else "jsonl"
+        } finally in.close()
+      case None => "jsonl"
+    }
   }
 
   /** Run the job: read → transform chain → error-split → write; enforce the

@@ -140,6 +140,54 @@ class EngineSpec extends SparkSpec {
     assert(spark.table("post_marker").count() === 1)
   }
 
+  test("typed column projection: index reorder, casts, date fallback, out-of-range") {
+    import SyncJob.ColumnSpec
+    val dir = tmpDir("typedcols")
+    // header-less positional CSV, reference-style: id,name,joined,score,active
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      ("""1,Alice,01/15/2024,9.5,true
+         |2,Bob,2024-02-01 10:30:00,notanumber,0
+         |3,\N,2024/03/05,7.25,yes
+         |""".stripMargin).getBytes("UTF-8"))
+    val got = SyncJob.read(spark, Source("csv", s"$dir/data.csv",
+      options = Map("header" -> "false"),
+      columns = Seq(
+        ColumnSpec(index = 1, colType = "string", name = "name"), // reordered
+        ColumnSpec(index = 0, colType = "long", name = "id"),
+        ColumnSpec(index = 2, colType = "date", name = "joined"),
+        ColumnSpec(index = 3, colType = "double", name = "score"),
+        ColumnSpec(index = 4, colType = "boolean", name = "active"),
+        ColumnSpec(index = 7, colType = "long", name = "absent"), // out of range
+        ColumnSpec(value = "fixed", name = "tag"))))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(got(0).getString(0) === "Alice" && got(2).isNullAt(0)) // \N -> null
+    // date fallback chain parses three different formats
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    assert(got.map(r => fmt.format(r.getTimestamp(2).toInstant)).toSeq ===
+      Seq("2024-01-15 00:00:00", "2024-02-01 10:30:00", "2024-03-05 00:00:00"))
+    assert(got(0).getDouble(3) === 9.5 && got(1).getDouble(3) === 0.0) // parse-fail -> 0
+    assert(got(0).getBoolean(4) === true && got(1).getBoolean(4) === false)
+    assert(got.forall(_.isNullAt(5))) // out-of-range index -> null
+    assert(got.forall(_.getString(6) == "fixed"))
+  }
+
+  test("json-auto sniffs array vs jsonl from the first byte") {
+    val dir = tmpDir("jsonauto")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/arr.json"),
+      """[ {"id": 1, "n": "a"}, {"id": 2, "n": "b"} ]""".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/lines"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/lines/part-0.json"),
+      "{\"id\": 3, \"n\": \"c\"}\n{\"id\": 4, \"n\": \"d\"}\n".getBytes("UTF-8"))
+    val arr = SyncJob.read(spark, Source("json-auto", s"$dir/arr.json"))
+    assert(arr.count() === 2)
+    val lines = SyncJob.read(spark, Source("json-auto", s"$dir/lines"))
+    assert(lines.count() === 2)
+    assert(arr.select("n").orderBy("id").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(lines.select("n").orderBy("id").collect().map(_.getString(0)).toSeq === Seq("c", "d"))
+  }
+
   test("transformer chain: order matters and null filters the record") {
     val df = Seq((1L, "foo_bar"), (2L, null.asInstanceOf[String])).toDF("id", "s")
     // substr of null -> null -> record dropped (filter-null contract)
