@@ -69,7 +69,17 @@ object SyncJob {
         * reference's writer split into tableCount targets
         * (`common/database/rdbms/writer/common.go:88-183`).
         */
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      /** clickhousewriter-style DUAL flush thresholds
+        * (`clickhouse_writer.go:103-104,320-340`): a batch (here: an output
+        * file) closes when it reaches `flushRows` rows OR ~`flushBytes`
+        * logical bytes, whichever first. 0 = unbounded. The byte bound maps
+        * to a rows-equivalent via the mean logical row size (one tiny
+        * aggregate), because Spark's file roll-over knob is row-based
+        * (`maxRecordsPerFile`).
+        */
+      flushRows: Long = 0L,
+      flushBytes: Long = 0L)
 
   /** Error limit, as `job.setting.errorLimit` (`error_limiter.go:24-113`):
     * fail when bad records exceed `record` or bad fraction exceeds
@@ -77,7 +87,13 @@ object SyncJob {
     */
   final case class ErrorLimit(record: Long = 0L, percentage: Double = 1.0)
 
-  final case class JobResult(rowsWritten: Long, rowsBad: Long, seconds: Double)
+  /** `bytesWritten` = logical bytes of the good rows (reference
+    * `record.GetByteSize()` semantics — see [[graft.core.ByteSize]]),
+    * observed on the write job itself, feeding bytes/s like
+    * `jobcontainer.go:320-336`.
+    */
+  final case class JobResult(rowsWritten: Long, rowsBad: Long, seconds: Double,
+      bytesWritten: Long = 0L)
 
   final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
 
@@ -206,10 +222,12 @@ object SyncJob {
 
     val bad = badPredicate.getOrElse(lit(false))
     val obs = Observation(s"sync-${System.nanoTime()}")
+    val rowBytes = graft.core.ByteSize.logicalBytes(transformed)
     val observed = transformed
       .observe(obs,
         count(lit(1)).as("total"),
-        sum(when(bad, 1L).otherwise(0L)).as("bad"))
+        sum(when(bad, 1L).otherwise(0L)).as("bad"),
+        sum(when(coalesce(bad, lit(false)), 0L).otherwise(rowBytes)).as("goodBytes"))
       .filter(!coalesce(bad, lit(false)))
 
     write(spark, observed, sink)
@@ -218,11 +236,12 @@ object SyncJob {
     val m = obs.get
     val total = m("total").asInstanceOf[Long]
     val nBad = m("bad").asInstanceOf[Long]
+    val goodBytes = Option(m("goodBytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
     if (nBad > errorLimit.record ||
         (total > 0 && nBad.toDouble / total > errorLimit.percentage))
       throw new ErrorLimitExceeded(
         s"error limit exceeded: $nBad bad of $total (limit ${errorLimit.record} / ${errorLimit.percentage})")
-    JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9)
+    JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9, goodBytes)
   }
 
   def write(spark: SparkSession, df: DataFrame, sink: Sink): Unit = sink.format match {
@@ -254,8 +273,20 @@ object SyncJob {
         case WriteMode.Upsert =>
           throw new IllegalArgumentException("upsert requires format=lake")
       }
+      // dual flush thresholds -> one row-based file cap: rows bound AND the
+      // byte bound divided by the observed mean logical row size
+      val fileCap: Option[Long] = {
+        val byRows = if (sink.flushRows > 0) Some(sink.flushRows) else None
+        val byBytes = if (sink.flushBytes > 0) {
+          val mean = df.agg(avg(graft.core.ByteSize.logicalBytes(df))).collect()(0)
+          val avgB = (if (mean.isNullAt(0)) 1.0 else mean.getDouble(0)).max(1.0)
+          Some(math.max(1L, (sink.flushBytes / avgB).toLong))
+        } else None
+        (byRows.toSeq ++ byBytes.toSeq).reduceOption((a, b) => math.min(a, b))
+      }
       val w0 = df.write.mode(mode).options(sink.options)
-      val w = if (sink.partitionCols.nonEmpty) w0.partitionBy(sink.partitionCols: _*) else w0
+      val w1 = fileCap.fold(w0)(c => w0.option("maxRecordsPerFile", c))
+      val w = if (sink.partitionCols.nonEmpty) w1.partitionBy(sink.partitionCols: _*) else w1
       fmt match {
         case "csv" => w.option("header", "true").csv(sink.path)
         case "json" | "jsonl" => w.json(sink.path)

@@ -234,7 +234,10 @@ final class LakeTable(
     val obsIn = Observation(s"lake-in-$epoch")
     evs = evs.observe(obsIn,
       count(lit(1)).as("rowsIn"),
-      sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"))
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"),
+      // logical ingest bytes (reference GetByteSize semantics) — rides the
+      // same observation; zero extra jobs
+      sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"))
 
     // -- LWW dedupe within the batch ---------------------------------------
     // Single-exchange plan: partition by bucket (a pure function of the key,
@@ -275,11 +278,15 @@ final class LakeTable(
     val rowsDistinct = deltas.map(_.rows).sum
     val affected: Set[Int] = deltas.map(_.bucket).toSet
 
+    def observedBytes: Long =
+      Option(obsIn.get("bytesIn")).map(_.asInstanceOf[Long]).getOrElse(0L)
+
     if (rowsDistinct == 0L) {
       // still advance the epoch so replays of an empty batch stay idempotent;
       // the resolved schema is committed exactly like the non-empty path so
       // additive columns introduced by an empty batch persist
-      val st = MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, snap.rows, 1.0)
+      val st = MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, snap.rows, 1.0,
+        bytesIn = observedBytes)
       commitSnapshot(snap.copy(version = newVersion, lastEpoch = epoch,
         schema = Some(storedNew), stats = Some(st)))
       return st
@@ -329,7 +336,8 @@ final class LakeTable(
     val stats = MergeStats(epoch, skipped = false, rowsIn, rowsDistinct,
       rowsIn - rowsDistinct, deletes, affected.size, newRows, skew,
       seconds = (System.nanoTime() - tStart) / 1e9,
-      compactedBuckets = toCompact.size)
+      compactedBuckets = toCompact.size,
+      bytesIn = observedBytes)
     // stats ride in the manifest so metrics commit atomically with data
     commitSnapshot(Snapshot(
       version = newVersion,
@@ -484,7 +492,9 @@ object LakeTable {
       tableRows: Long,
       skewFactor: Double,
       seconds: Double = 0.0,
-      compactedBuckets: Int = 0)
+      compactedBuckets: Int = 0,
+      /** logical bytes of the epoch's change events (GetByteSize analog) */
+      bytesIn: Long = 0L)
 
   def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
       deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12): LakeTable =
@@ -538,7 +548,7 @@ object LakeTable {
     s.stats.foreach { m =>
       sb.append("stats=").append(Seq(m.epoch, m.skipped, m.rowsIn, m.rowsApplied,
         m.duplicatesDropped, m.deletes, m.affectedBuckets, m.tableRows,
-        m.skewFactor, m.seconds, m.compactedBuckets).mkString(",")).append('\n')
+        m.skewFactor, m.seconds, m.compactedBuckets, m.bytesIn).mkString(",")).append('\n')
     }
     s.files.foreach(f => sb.append("file=").append(f.bucket).append('\t')
       .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
@@ -568,7 +578,8 @@ object LakeTable {
             a(3).toLong, a(4).toLong, a(5).toLong, a(6).toInt, a(7).toLong,
             a(8).toDouble,
             if (a.length > 9) a(9).toDouble else 0.0,
-            if (a.length > 10) a(10).toInt else 0))
+            if (a.length > 10) a(10).toInt else 0,
+            if (a.length > 11) a(11).toLong else 0L))
         case _ => ()
       }
     }

@@ -48,6 +48,9 @@ class CdcReplaySpec extends SparkSpec {
     assert(m.columns.toSet.contains("rowsApplied"))
     assert(m.agg(sum("rowsIn")).collect()(0).getLong(0) === cfg.nEvents)
     assert(m.agg(sum("duplicatesDropped")).collect()(0).getLong(0) > 0L)
+    // logical ingest bytes ride the manifest (GetByteSize analog): every
+    // non-skipped epoch reports > 0 bytes, observed on the write job itself
+    assert(m.where(!col("skipped")).where(col("bytesIn") <= 0L).count() === 0L)
   }
 
   test("restart from checkpoint: stop mid-stream, resume, no double-apply") {

@@ -8,6 +8,16 @@ import graft.engine.SyncJob.{ErrorLimit, Sink, Source, WriteMode}
 /** Batch sync engine: sources/sinks round-trips, writeModes, error limiter,
   * constant columns — the go-datax job model surface (SURVEY §2.1/2.2/2.5).
   */
+/** Shared mutable state reachable from executor threads (local mode = one
+  * JVM) for the batched-executor test.
+  */
+object EngineSpecState {
+  val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = { rows.set(0L); batchSizes.clear(); failOnce.set(false) }
+}
+
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -186,6 +196,73 @@ class EngineSpec extends SparkSpec {
     assert(lines.count() === 2)
     assert(arr.select("n").orderBy("id").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
     assert(lines.select("n").orderBy("id").collect().map(_.getString(0)).toSeq === Seq("c", "d"))
+  }
+
+  test("dual flush thresholds bound output files by rows AND bytes") {
+    val dir = tmpDir("flush")
+    // ~48 logical bytes/row (8 + 40); byte bound 300 => ~6 rows/file wins
+    // over the 30-row bound
+    val df = (1 to 100).map(i => (i.toLong, "x" * 40)).toDF("id", "payload")
+    SyncJob.write(spark, df.repartition(1),
+      Sink("csv", s"$dir/out", WriteMode.Truncate, flushRows = 30, flushBytes = 300))
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length >= 10, s"expected many small files, got ${files.length}")
+    files.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val rows = try src.getLines().size - 1 finally src.close() // minus header
+      assert(rows <= 6, s"${f.getName} has $rows rows — byte bound not applied")
+    }
+    // rows-only bound
+    SyncJob.write(spark, df.repartition(1),
+      Sink("csv", s"$dir/out2", WriteMode.Truncate, flushRows = 25))
+    val files2 = new java.io.File(s"$dir/out2").listFiles().filter(_.getName.endsWith(".csv"))
+    files2.foreach { f =>
+      val src = scala.io.Source.fromFile(f)
+      val rows = try src.getLines().size - 1 finally src.close()
+      assert(rows <= 25)
+    }
+    assert(spark.read.option("header", "true").csv(s"$dir/out").count() === 100)
+  }
+
+  test("batched statement executor: UNWIND-style batches with retry") {
+    import scala.jdk.CollectionConverters._
+    import graft.engine.BatchedExec
+    EngineSpecState.reset()
+    val df = (1 to 95).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(4)
+    BatchedExec.foreachBatch(df, batchSize = 10,
+      BatchedExec.RetryPolicy(retryTimes = 2, retrySleepMillis = 0)) { batch =>
+      // one transient failure somewhere in the job — must be retried,
+      // and the failing attempt records nothing (statement re-run whole)
+      if (EngineSpecState.failOnce.compareAndSet(false, true))
+        throw new RuntimeException("transient")
+      EngineSpecState.batchSizes.add(batch.size)
+      EngineSpecState.rows.addAndGet(batch.size.toLong)
+    }
+    assert(EngineSpecState.rows.get === 95L)
+    assert(EngineSpecState.batchSizes.asScala.forall(_ <= 10))
+    assert(EngineSpecState.failOnce.get)
+    // a permanently failing batch aborts the job after retryTimes+1 attempts
+    intercept[org.apache.spark.SparkException] {
+      BatchedExec.foreachBatch(df, 10,
+        BatchedExec.RetryPolicy(retryTimes = 1, retrySleepMillis = 0)) { _ =>
+        throw new RuntimeException("permanent")
+      }
+    }
+  }
+
+  test("job result reports logical bytes written (GetByteSize analog)") {
+    val dir = tmpDir("bytes")
+    users.write.parquet(s"$dir/src")
+    val res = SyncJob.run(spark, Source("parquet", s"$dir/src"), Nil,
+      Sink("parquet", s"$dir/out", WriteMode.Truncate))
+    // id 8 + name len + age 8 + email len, summed over the 5 rows
+    val expected = Seq(
+      ("Alice", "alice@example.com"), ("Bob", "bob@example.com"),
+      ("Charlie", "charlie@example.com"), ("Diana", "diana@example.com"),
+      ("Eve", "eve@example.com"))
+      .map { case (n, e) => 8L + n.length + 8L + e.length }.sum
+    assert(res.bytesWritten === expected)
   }
 
   test("transformer chain: order matters and null filters the record") {
