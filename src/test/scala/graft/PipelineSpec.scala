@@ -71,6 +71,35 @@ class PipelineSpec extends SparkSpec {
     assert(ann === ann2, "ANN must be deterministic")
   }
 
+  test("LSH ANN bounds bucket skew: refinement keeps recall with a mega-bucket") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val truth = Similarity.knnJoinBrute(emb, k = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // planes=1 => TWO buckets, each holding ~half the corpus — both exceed
+    // maxBucket = n/4, so the skew path triggers: 3 extra hyperplanes refine
+    // the mega-buckets by actual geometry before the candidate join
+    val ann = Similarity.annTopK(emb, k = 5, planes = 1,
+      maxBucket = (n / 4).toInt, extraPlanes = 3)
+    val pairs = ann.select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(pairs).size.toDouble / truth.size
+    // refined buckets ≈ 4-plane buckets: recall must stay far above chance
+    // (the unrefined 4-plane gate in the test above uses the same floor)
+    assert(recall >= 0.15, f"skew-bounded ANN recall $recall%.3f below floor")
+    // candidate generation actually bounded: no anchor compares against
+    // more than the refined bucket population; and the run is deterministic
+    val again = Similarity.annTopK(emb, k = 5, planes = 1,
+      maxBucket = (n / 4).toInt, extraPlanes = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === again, "skew-bounded ANN must be deterministic")
+    // hard cap backstop: with refinement disabled the cap still bounds the
+    // per-anchor candidate set to maxBucket - 1 others
+    val capped = Similarity.annTopK(emb, k = 1000, planes = 1,
+      maxBucket = 20, extraPlanes = 0)
+    val maxCand = capped.groupBy("a").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxCand <= 20L, s"cap leaked: anchor saw $maxCand candidates")
+  }
+
   test("IVF ANN: recall vs brute force, determinism, and probe pruning") {
     import graft.pipeline.Ivf
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
