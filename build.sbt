@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Benchmark JVMs (runMain graft.Bench / tools.*) get a FIXED pre-touched
+// heap: this host's kernel page-allocation path collapses beyond ~8 threads,
+// so faulting the heap in during the timed window destroys scaling
+// (measured 2x efficiency loss — BASELINE.md "Hardware control experiments").
+// Run-scope only: test JVMs don't pay the pre-touch startup.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
+)

@@ -21,9 +21,17 @@ object Bench {
     // 4M events => 1M-row epochs: large enough that per-epoch commit
     // overhead (~1 s) is amortized and the number reflects sustained rate
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "4000000").toLong
+    // BASELINE.md protocol parity: the sandbox disk writes 140 MB/s serially,
+    // so both the CDC work dir AND the shuffle spill dir live on tmpfs when
+    // available (BASELINE.md "Sandbox measurement protocol"); JVM pre-touch
+    // flags come from build.sbt's run scope
+    val tmpBase = sys.env.getOrElse("SPARK_GRAFT_WORKDIR",
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir", tmpBase)
       .config("spark.sql.adaptive.enabled", "true")
       // AQE partition coalescing targets bytes-per-task, which under-
       // parallelizes the bucket-sorted MERGE write (measured: 32-partition
@@ -47,7 +55,8 @@ object Bench {
     val results = sorted.map { case (name, fn) => name -> once(name, fn) }
 
     // headline: CDC replay throughput (generation excluded from the timer)
-    val work = Files.createTempDirectory("graft-bench-cdc").toString
+    val work = Files.createTempDirectory(
+      java.nio.file.Paths.get(tmpBase), "graft-bench-cdc").toString
     val cfg = Gen.GenConfig(nEvents = cdcEvents, nConvs = math.max(100L, cdcEvents / 100),
       partitions = cpus * 2)
     Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 8)
@@ -61,10 +70,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + cdcSecs
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$cdcEvents,"cdc_seconds":$cdcSecs%.3f,"cdc_events_per_sec":$eventsPerSec%.0f,"cores":$cpus}""")
     spark.stop()
     // best-effort cleanup of the bench work dir
     scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+    // the JSON line is the LAST clean stdout of the run (after spark.stop,
+    // after cleanup) so the driver's parse never races trailing log lines
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$cdcEvents,"cdc_seconds":$cdcSecs%.3f,"cdc_events_per_sec":$eventsPerSec%.0f,"cores":$cpus,"workdir":"$tmpBase"}""")
   }
 }

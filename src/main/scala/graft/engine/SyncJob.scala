@@ -202,6 +202,15 @@ object SyncJob {
   def renderSqls(sqls: Seq[String], table: String): Seq[String] =
     sqls.map(_.replace("@table", table))
 
+  /** Run the job. When a BINDING error limit is configured, file-format
+    * sinks write through a STAGING directory that is published (renamed/
+    * merged) into the target only after the limit check passes — an
+    * over-limit job leaves the target untouched, unlike the reference's
+    * half-written abort (`error_limiter.go` aborts mid-transfer with rows
+    * already committed). Lake sinks are exempt: their epoch-keyed merge is
+    * atomic and idempotent by construction, so a failed job is simply
+    * re-run.
+    */
   def run(
       spark: SparkSession,
       src: Source,
@@ -230,18 +239,65 @@ object SyncJob {
         sum(when(coalesce(bad, lit(false)), 0L).otherwise(rowBytes)).as("goodBytes"))
       .filter(!coalesce(bad, lit(false)))
 
-    write(spark, observed, sink)
-    postSql.foreach(spark.sql(_).collect())
+    val binding = errorLimit.record != Long.MaxValue || errorLimit.percentage < 1.0
+    val staged = binding && sink.format != "lake"
+    val fs = new Path(sink.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = s"${sink.path}.staging-${System.nanoTime()}"
+
+    if (staged) {
+      // nonConflict pre-checks the REAL target before any work
+      if (sink.writeMode == WriteMode.NonConflict) {
+        val p = new Path(sink.path)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+          throw new IllegalStateException(s"nonConflict: target ${sink.path} not empty")
+      }
+      write(spark, observed, sink.copy(path = stagingPath, writeMode = WriteMode.Truncate))
+    } else {
+      write(spark, observed, sink)
+    }
 
     val m = obs.get
     val total = m("total").asInstanceOf[Long]
     val nBad = m("bad").asInstanceOf[Long]
     val goodBytes = Option(m("goodBytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
     if (nBad > errorLimit.record ||
-        (total > 0 && nBad.toDouble / total > errorLimit.percentage))
+        (total > 0 && nBad.toDouble / total > errorLimit.percentage)) {
+      if (staged) fs.delete(new Path(stagingPath), true)
       throw new ErrorLimitExceeded(
         s"error limit exceeded: $nBad bad of $total (limit ${errorLimit.record} / ${errorLimit.percentage})")
+    }
+    if (staged) {
+      val target = new Path(sink.path)
+      if (sink.writeMode == WriteMode.Truncate) fs.delete(target, true)
+      mergeMove(fs, new Path(stagingPath), target)
+    }
+    postSql.foreach(spark.sql(_).collect())
     JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9, goodBytes)
+  }
+
+  /** Recursive publish of a staging dir into the target: rename whole when
+    * the target is absent, else merge children (Spark part-file names are
+    * task-UUID-unique, so file-level renames cannot collide) — the job-level
+    * analog of hdfswriter's tmp→rename publish (`hdfs_writer.go:458-507`).
+    */
+  private def mergeMove(fs: org.apache.hadoop.fs.FileSystem, src: Path, dst: Path): Unit = {
+    if (!fs.exists(dst)) {
+      val parent = dst.getParent
+      if (parent != null) fs.mkdirs(parent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"staged publish failed: $src -> $dst")
+    } else {
+      fs.listStatus(src).foreach { st =>
+        val d = new Path(dst, st.getPath.getName)
+        if (st.isDirectory) mergeMove(fs, st.getPath, d)
+        else {
+          if (fs.exists(d)) fs.delete(d, false) // _SUCCESS markers etc.
+          if (!fs.rename(st.getPath, d))
+            throw new IllegalStateException(s"staged publish failed: ${st.getPath} -> $d")
+        }
+      }
+      fs.delete(src, true)
+    }
   }
 
   def write(spark: SparkSession, df: DataFrame, sink: Sink): Unit = sink.format match {

@@ -90,6 +90,13 @@ class EngineSpec extends SparkSpec {
         badPredicate = Some(col("age") < 18),
         errorLimit = ErrorLimit(record = 100, percentage = 0.1))
     }
+    // staged publish: an over-limit job leaves NO data at the target (and
+    // no staging leftovers) — unlike the reference's half-written abort
+    for (t <- Seq("fail", "fail2")) {
+      assert(!new java.io.File(s"$dir/$t").exists(), s"$t published despite limit")
+      assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(s"$t.staging")),
+        "staging dir leaked")
+    }
   }
 
   test("lake sink performs keyed upsert (last write wins per id)") {
