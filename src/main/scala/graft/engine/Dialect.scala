@@ -1,0 +1,146 @@
+package graft.engine
+
+/** Per-dialect RDBMS quirks, mirroring the reference's plugin matrix where
+  * behavior actually differs (everything else rides one Spark JDBC source):
+  *
+  *  - identifier quoting: backticks (mysql family), double quotes (ANSI /
+  *    postgres / oracle), brackets (sqlserver/sybase) — as each plugin's
+  *    generated SQL (`mysql_writer.go:470-518`, `postgresql` via
+  *    `common.go:560-585`)
+  *  - reader fetchSize / writer batchSize defaults of 1024
+  *    (`mysql_reader.go:20-22`, `common/database/rdbms/writer/common.go:17-19`)
+  *  - splitPk hash fallback function (`CRC32` on mysql family, `HASHTEXT`
+  *    on postgres family — `mysql_reader.go:432-444`,
+  *    `postgresql_reader.go:858-864`)
+  *  - writer upsert statement, 4 scenarios (`common.go:556-616`): no PK ⇒
+  *    plain INSERT; all columns are PKs ⇒ skip-duplicates form (INSERT
+  *    IGNORE / ON CONFLICT DO NOTHING); PK + payload ⇒ true upsert (ON
+  *    DUPLICATE KEY UPDATE / ON CONFLICT DO UPDATE); any other dialect ⇒
+  *    plain INSERT. MySQL `replace` writeMode ⇒ `REPLACE INTO`
+  *    (`mysql_writer.go:470`).
+  *
+  * These builders feed either Spark's JDBC writer options or the
+  * [[BatchedExec]] statement executor (the reference's batched flush).
+  */
+sealed abstract class Dialect(
+    val name: String,
+    quoteL: String,
+    quoteR: String,
+    val defaultFetchSize: Int = 1024,
+    val defaultBatchSize: Int = 1024) {
+
+  def quote(ident: String): String = s"$quoteL$ident$quoteR"
+
+  /** Hash-split predicates for a text/unordered splitPk; generic dialects
+    * fall back to range/offset splits (no portable hash function).
+    */
+  def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] = None
+
+  private def placeholders(cols: Seq[String], rows: Int): String =
+    Seq.fill(rows)(cols.map(_ => "?").mkString("(", ", ", ")")).mkString(", ")
+
+  protected def insertSql(table: String, cols: Seq[String], rows: Int): String =
+    s"INSERT INTO ${quote(table)} (${cols.map(quote).mkString(", ")}) " +
+      s"VALUES ${placeholders(cols, rows)}"
+
+  /** The 4-scenario upsert of `common.go:556-616`. */
+  def upsertSql(table: String, cols: Seq[String], primaryKeys: Seq[String],
+      rows: Int = 1): String = {
+    val updateCols = cols.filterNot(primaryKeys.contains)
+    if (primaryKeys.isEmpty) insertSql(table, cols, rows)
+    else if (updateCols.isEmpty) allPkSql(table, cols, primaryKeys, rows)
+    else upsertWithUpdate(table, cols, primaryKeys, updateCols, rows)
+  }
+
+  protected def allPkSql(table: String, cols: Seq[String],
+      pks: Seq[String], rows: Int): String = insertSql(table, cols, rows)
+
+  protected def upsertWithUpdate(table: String, cols: Seq[String],
+      pks: Seq[String], updateCols: Seq[String], rows: Int): String =
+    insertSql(table, cols, rows)
+
+  /** writeMode=replace (`mysql_writer.go:470`); non-MySQL dialects fall back
+    * to the upsert form, which has replace semantics per key.
+    */
+  def replaceSql(table: String, cols: Seq[String], primaryKeys: Seq[String],
+      rows: Int = 1): String = upsertSql(table, cols, primaryKeys, rows)
+
+  /** Spark JDBC reader options with the dialect's defaults applied. */
+  def readerOptions(url: String, table: String): Map[String, String] = Map(
+    "url" -> url, "dbtable" -> table, "fetchsize" -> defaultFetchSize.toString)
+
+  /** Spark JDBC writer options with the dialect's defaults applied. */
+  def writerOptions(url: String, table: String): Map[String, String] = Map(
+    "url" -> url, "dbtable" -> table, "batchsize" -> defaultBatchSize.toString)
+}
+
+object Dialect {
+
+  /** Backtick family: mysql + the mysql-protocol lakes/OLAP engines the
+    * reference ships separate plugins for (doris/starrocks/oceanbase read
+    * the mysql wire protocol).
+    */
+  sealed class MysqlFamily(name: String) extends Dialect(name, "`", "`") {
+    override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
+      Some(Jdbc.hashPredicatesMysql(splitPk, n))
+    override protected def allPkSql(table: String, cols: Seq[String],
+        pks: Seq[String], rows: Int): String =
+      insertSql(table, cols, rows).replaceFirst("^INSERT INTO", "INSERT IGNORE INTO")
+    override protected def upsertWithUpdate(table: String, cols: Seq[String],
+        pks: Seq[String], updateCols: Seq[String], rows: Int): String =
+      insertSql(table, cols, rows) + " ON DUPLICATE KEY UPDATE " +
+        updateCols.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
+    override def replaceSql(table: String, cols: Seq[String],
+        primaryKeys: Seq[String], rows: Int): String =
+      insertSql(table, cols, rows).replaceFirst("^INSERT INTO", "REPLACE INTO")
+  }
+
+  /** ANSI double-quote family with ON CONFLICT upsert (postgres, gaussdb). */
+  sealed class PostgresFamily(name: String) extends Dialect(name, "\"", "\"") {
+    override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
+      Some(Jdbc.hashPredicatesPostgres(splitPk, n))
+    override protected def allPkSql(table: String, cols: Seq[String],
+        pks: Seq[String], rows: Int): String =
+      insertSql(table, cols, rows) +
+        s" ON CONFLICT (${pks.map(quote).mkString(", ")}) DO NOTHING"
+    override protected def upsertWithUpdate(table: String, cols: Seq[String],
+        pks: Seq[String], updateCols: Seq[String], rows: Int): String =
+      insertSql(table, cols, rows) +
+        s" ON CONFLICT (${pks.map(quote).mkString(", ")}) DO UPDATE SET " +
+        updateCols.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
+  }
+
+  /** Scenario-4 dialects: plain INSERT regardless of keys (`common.go:611-616`). */
+  sealed class AnsiQuoted(name: String) extends Dialect(name, "\"", "\"")
+  sealed class Bracketed(name: String) extends Dialect(name, "[", "]")
+
+  case object Mysql extends MysqlFamily("mysql")
+  case object Doris extends MysqlFamily("doris")
+  case object StarRocks extends MysqlFamily("starrocks")
+  case object OceanBase extends MysqlFamily("oceanbase")
+  case object Postgres extends PostgresFamily("postgresql")
+  case object GaussDb extends PostgresFamily("gaussdb")
+  case object Oracle extends AnsiQuoted("oracle")
+  case object Sqlite extends AnsiQuoted("sqlite")
+  case object ClickHouse extends MysqlFamily("clickhouse") {
+    // clickhouse quotes with backticks but has no conflict clause: its
+    // plugin buffers and plain-INSERTs (dedup is engine-side ReplacingMergeTree)
+    override protected def allPkSql(t: String, c: Seq[String], p: Seq[String], r: Int): String =
+      insertSql(t, c, r)
+    override protected def upsertWithUpdate(t: String, c: Seq[String], p: Seq[String],
+        u: Seq[String], r: Int): String = insertSql(t, c, r)
+    override def replaceSql(t: String, c: Seq[String], p: Seq[String], r: Int): String =
+      insertSql(t, c, r)
+  }
+  case object SqlServer extends Bracketed("sqlserver")
+  case object Sybase extends Bracketed("sybase")
+
+  // lazy: forcing the nested modules from the companion constructor would
+  // race their own lazy initialization (observed as nulls in the Seq)
+  lazy val all: Seq[Dialect] = Seq(Mysql, Doris, StarRocks, OceanBase, Postgres,
+    GaussDb, Oracle, Sqlite, ClickHouse, SqlServer, Sybase)
+
+  def byName(name: String): Dialect =
+    all.find(_.name == name.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"unknown dialect '$name'"))
+}

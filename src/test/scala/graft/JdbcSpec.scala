@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.Jdbc
+import graft.engine.{Dialect, Jdbc}
 
 /** Split-predicate generation for the JDBC source shapes (pure functions —
   * no database in the sandbox; the scan itself is Spark's native JDBC
@@ -37,6 +37,54 @@ class JdbcSpec extends AnyFunSuite {
     assert(c(0) === "ORDER BY id LIMIT 4 OFFSET 0")
     assert(c(1) === "ORDER BY id LIMIT 3 OFFSET 4")
     assert(c(2) === "ORDER BY id LIMIT 3 OFFSET 7")
+  }
+
+  test("dialect quoting, defaults, and hash-split routing") {
+    assert(Dialect.Mysql.quote("a b") === "`a b`")
+    assert(Dialect.Postgres.quote("a") === "\"a\"")
+    assert(Dialect.SqlServer.quote("a") === "[a]")
+    assert(Dialect.byName("STARROCKS").quote("x") === "`x`")
+    // reference defaults: fetchSize/batchSize 1024
+    assert(Dialect.Mysql.readerOptions("u", "t")("fetchsize") === "1024")
+    assert(Dialect.Postgres.writerOptions("u", "t")("batchsize") === "1024")
+    // hash fallback routes to the dialect's function; ANSI dialects have none
+    assert(Dialect.Doris.hashSplitPredicates("id", 4).get(1).startsWith("CRC32"))
+    assert(Dialect.GaussDb.hashSplitPredicates("id", 4).get(0).contains("HASHTEXT"))
+    assert(Dialect.Oracle.hashSplitPredicates("id", 4).isEmpty)
+  }
+
+  test("dialect upsert SQL: the 4 scenarios of common.go:556-616") {
+    val cols = Seq("id", "name", "age")
+    // scenario 1: no PK -> plain INSERT (both dialects)
+    assert(Dialect.Mysql.upsertSql("t", cols, Nil) ===
+      "INSERT INTO `t` (`id`, `name`, `age`) VALUES (?, ?, ?)")
+    assert(Dialect.Postgres.upsertSql("t", cols, Nil) ===
+      "INSERT INTO \"t\" (\"id\", \"name\", \"age\") VALUES (?, ?, ?)")
+    // scenario 2: all columns are PKs -> skip-duplicates form
+    assert(Dialect.Mysql.upsertSql("t", Seq("id", "code"), Seq("id", "code")) ===
+      "INSERT IGNORE INTO `t` (`id`, `code`) VALUES (?, ?)")
+    assert(Dialect.Postgres.upsertSql("t", Seq("id", "code"), Seq("id", "code")) ===
+      "INSERT INTO \"t\" (\"id\", \"code\") VALUES (?, ?) ON CONFLICT (\"id\", \"code\") DO NOTHING")
+    // scenario 3: PK + payload -> true upsert
+    assert(Dialect.Mysql.upsertSql("t", cols, Seq("id")) ===
+      "INSERT INTO `t` (`id`, `name`, `age`) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE `name` = VALUES(`name`), `age` = VALUES(`age`)")
+    assert(Dialect.Postgres.upsertSql("t", cols, Seq("id")) ===
+      "INSERT INTO \"t\" (\"id\", \"name\", \"age\") VALUES (?, ?, ?) " +
+        "ON CONFLICT (\"id\") DO UPDATE SET \"name\" = EXCLUDED.\"name\", \"age\" = EXCLUDED.\"age\"")
+    // scenario 4: other dialects -> plain INSERT regardless of keys
+    assert(Dialect.Oracle.upsertSql("t", cols, Seq("id")) ===
+      "INSERT INTO \"t\" (\"id\", \"name\", \"age\") VALUES (?, ?, ?)")
+    assert(Dialect.ClickHouse.upsertSql("t", cols, Seq("id")) ===
+      "INSERT INTO `t` (`id`, `name`, `age`) VALUES (?, ?, ?)")
+    // replace mode: REPLACE INTO on mysql, upsert elsewhere
+    assert(Dialect.Mysql.replaceSql("t", cols, Seq("id")) ===
+      "REPLACE INTO `t` (`id`, `name`, `age`) VALUES (?, ?, ?)")
+    assert(Dialect.Postgres.replaceSql("t", cols, Seq("id")) ===
+      Dialect.Postgres.upsertSql("t", cols, Seq("id")))
+    // multi-row batch placeholders (the batched flush shape)
+    assert(Dialect.Mysql.upsertSql("t", Seq("id"), Nil, rows = 3) ===
+      "INSERT INTO `t` (`id`) VALUES (?), (?), (?)")
   }
 
   test("partition predicates") {
