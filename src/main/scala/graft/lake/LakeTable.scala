@@ -117,6 +117,25 @@ final class LakeTable(
   /** Contents including the internal `_lsn` arbitration column. */
   def readInternal(): DataFrame = resolved(currentSnapshot()).drop(OpCol)
 
+  /** Point lookup: resolve ONE key touching only ITS bucket's files — the
+    * payoff of hash-bucketing the layout (O(table/buckets) bytes read, not
+    * O(table)). The bucket is computed driver-side with the same `hash`
+    * expression the writer uses, so the pruning can never disagree with the
+    * layout.
+    */
+  def readKey(keyValues: Seq[Any]): DataFrame = {
+    require(keyValues.length == keyCols.length,
+      s"expected ${keyCols.length} key values (${keyCols.mkString(",")})")
+    val bucket = spark.range(1)
+      .select(pmod(hash(keyValues.map(lit): _*), lit(numBuckets)).as("b"))
+      .head().getInt(0)
+    val cond = keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    resolved(currentSnapshot(), buckets = Some(Set(bucket)))
+      .filter(cond)
+      .drop(LsnCol, OpCol)
+  }
+
   /** Merge-on-read resolution: one row per key (the max-`_lsn` winner),
     * tombstones dropped.
     *

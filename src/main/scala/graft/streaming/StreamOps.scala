@@ -38,6 +38,24 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("op"), col("events"), col("max_lsn"))
 
+  /** Streaming exact dedup by key within the watermark horizon: the
+    * at-least-once transport's duplicate deliveries are dropped BEFORE the
+    * merge (state bounded by the watermark — a duplicate older than the
+    * delay has already been LWW-absorbed by the lake's `_lsn` arbitration,
+    * which remains the correctness backstop). `dropDuplicatesWithinWatermark`
+    * keeps first arrival per key; on a batch frame it degrades to plain
+    * `dropDuplicates` semantics over the same keys.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermarkDelay)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
   /** One progress sample per micro-batch. */
   final case class ProgressSample(
       batchId: Long,

@@ -78,6 +78,18 @@ class PlanAuditSpec extends SparkSpec {
     // clean buckets (3100 rows) must NOT enter the exchange
     assert(shuffled.sum > 0 && shuffled.sum < 400,
       s"window shuffled ${shuffled.sum} rows — clean buckets not pruned")
+
+    // point lookup prunes to the key's single bucket: right row, and the
+    // scans read ≤ the bucket's files, not the table's
+    val lookup = t.readKey(Seq(5L))
+    val hit = lookup.collect()
+    assert(hit.length === 1 && hit(0).getString(1) === "updated")
+    val scanned = unwrap(lookup.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    val totalFiles = 33 // 32 compacted bases + 1 delta
+    assert(scanned > 0 && scanned < 4,
+      s"point lookup scanned $scanned of ~$totalFiles files")
+    assert(t.readKey(Seq(99999L)).collect().isEmpty)
   }
 
   test("simhash pair mining is banded — no cartesian/nested-loop join") {

@@ -47,4 +47,36 @@ class StreamingSpec extends SparkSpec {
       assert(collector.samples.map(_.numInputRows).sum === cfg.nEvents)
     } finally spark.streams.removeListener(collector)
   }
+
+  test("streaming dedup within watermark drops transport duplicates pre-merge") {
+    val cfg = Gen.GenConfig(nEvents = 5000L, nConvs = 50L, partitions = 4)
+    val dir = tmpDir("deduplog")
+    Gen.writeChangeLog(spark, cfg, dir, nChunks = 4)
+
+    val src = spark.readStream
+      .schema(Model.changeEventSchema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    // generator ts spans ~83 min (1 s per lsn) and duplicate deliveries can
+    // lag arbitrarily — the delay must cover the re-delivery horizon for
+    // EXACT dedup (shorter delays bound state; late dups then fall through
+    // to the lake's _lsn arbitration)
+    val q = StreamOps.dedupWithinWatermark(src, Seq("conv_id", "turn_idx", "lsn"),
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("deduped")
+    val batch = spark.read.schema(Model.changeEventSchema).parquet(dir)
+    val distinctEvents = batch.select("conv_id", "turn_idx", "lsn").distinct().count()
+    // the generator plants duplicate deliveries; the stream must emit each
+    // (key, lsn) exactly once and fewer rows than arrived
+    assert(got.count() === distinctEvents)
+    assert(got.count() < cfg.nEvents)
+    assert(got.groupBy("conv_id", "turn_idx", "lsn").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
 }
