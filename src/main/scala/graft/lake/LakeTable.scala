@@ -450,21 +450,34 @@ final class LakeTable(
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
   }
 
-  /** Tombstone GC: rewrite all buckets dropping `_op = D` winners whose
-    * `_lsn` is below `horizonLsn` — safe once the source can no longer
-    * re-deliver changes older than that lsn (the at-least-once re-delivery
-    * horizon). The lake analog of Iceberg's delete-file expiry.
+  /** Tombstone GC: drop `_op = D` winners whose `_lsn` is below
+    * `horizonLsn` — safe once the source can no longer re-deliver changes
+    * older than that lsn (the at-least-once re-delivery horizon). The lake
+    * analog of Iceberg's delete-file expiry.
+    *
+    * BUCKET-PRUNED: a first pass scans ONLY (`_op`, `_lsn`) — two tiny
+    * columns, filters pushed to parquet — to find the files actually
+    * holding expirable tombstones; only those files' buckets are rewritten,
+    * every other file survives untouched. At scale this turns a full-table
+    * rewrite into O(buckets-with-old-deletes).
     */
   def expireTombstones(horizonLsn: Long): Unit = {
     val snap = currentSnapshot()
     if (snap.files.isEmpty) return
-    val buckets = snap.files.map(_.bucket).toSet
+    val hot: Set[String] = dfFor(snap, snap.files)
+      .select(col(OpCol), col(LsnCol), input_file_name().as("_f"))
+      .filter(col(OpCol) === "D" && col(LsnCol) < horizonLsn)
+      .select("_f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val buckets = snap.files
+      .filter(f => hot.exists(_.endsWith("/" + f.path))).map(_.bucket).toSet
+    if (buckets.isEmpty) return
     val kept = resolvedBucketed(snap, buckets)
       .filter(coalesce(col(OpCol), lit("U")) =!= "D" || col(LsnCol) >= horizonLsn)
     val newVersion = snap.version + 1
     val newBase = publish(kept, s"$root/_staging-tg-$newVersion", s"b$newVersion", "b",
       math.max(buckets.size, 1), reshuffle = false)
-    val files = newBase
+    val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
   }
 

@@ -149,6 +149,33 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.readInternal().count() === 1L) // D(lsn 2) physically gone
   }
 
+  test("tombstone GC rewrites only buckets holding expirable tombstones") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val table = LakeTable.create(spark, tmpDir("lakegc"), Model.keyCols, numBuckets = 8)
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, conv: String) =
+      Model.ChangeEvent(op, lsn, ts, conv, 0,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(s"text-$conv"), None)
+    table.merge((0 until 64).map(i => ev("I", i + 1L, s"conv-$i")).toDF(), 0L)
+    table.compactAll()
+    // one delete -> after compaction its tombstone sits in ONE bucket's base
+    table.merge(Seq(ev("D", 1000L, "conv-3")).toDF(), 1L)
+    table.compactAll()
+    val before = table.currentSnapshot().files.map(f => (f.bucket, f.path)).toSet
+    table.expireTombstones(horizonLsn = 2000L)
+    val after = table.currentSnapshot().files.map(f => (f.bucket, f.path)).toSet
+    val changed = (before.diff(after) ++ after.diff(before)).map(_._1)
+    assert(changed.size === 1, s"GC rewrote buckets $changed — must touch only the tombstone's")
+    assert(table.read().count() === 63)
+    assert(table.readInternal().count() === 63) // tombstone physically gone
+    // nothing left to expire -> provably a no-op (no new snapshot version)
+    val v = table.currentSnapshot().version
+    table.expireTombstones(horizonLsn = 2000L)
+    assert(table.currentSnapshot().version === v, "empty GC must not commit")
+  }
+
   test("periodic vacuum during streaming replay keeps state correct and reclaims files") {
     val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
     val logDir = tmpDir("cdclogv")
