@@ -65,6 +65,17 @@ sealed abstract class Dialect(
   def replaceSql(table: String, cols: Seq[String], primaryKeys: Seq[String],
       rows: Int = 1): String = upsertSql(table, cols, primaryKeys, rows)
 
+  /** writeModes this dialect's plugin accepts (`insert` everywhere; mysql
+    * family adds `replace`/`update`; gaussdb REJECTS everything but insert,
+    * `gaussdb_writer.go:43-46`).
+    */
+  def supportedWriteModes: Set[String] = Set("insert", "replace", "update")
+
+  def validateWriteMode(mode: String): Unit =
+    require(supportedWriteModes.contains(mode),
+      s"dialect $name does not support writeMode '$mode' " +
+        s"(supported: ${supportedWriteModes.toSeq.sorted.mkString(", ")})")
+
   /** Spark JDBC reader options with the dialect's defaults applied. */
   def readerOptions(url: String, table: String): Map[String, String] = Map(
     "url" -> url, "dbtable" -> table, "fetchsize" -> defaultFetchSize.toString)
@@ -119,7 +130,9 @@ object Dialect {
   case object StarRocks extends MysqlFamily("starrocks")
   case object OceanBase extends MysqlFamily("oceanbase")
   case object Postgres extends PostgresFamily("postgresql")
-  case object GaussDb extends PostgresFamily("gaussdb")
+  case object GaussDb extends PostgresFamily("gaussdb") {
+    override def supportedWriteModes: Set[String] = Set("insert")
+  }
   case object Oracle extends AnsiQuoted("oracle")
   case object Sqlite extends AnsiQuoted("sqlite")
   case object ClickHouse extends MysqlFamily("clickhouse") {

@@ -272,6 +272,39 @@ class EngineSpec extends SparkSpec {
     assert(res.bytesWritten === expected)
   }
 
+  test("synthetic source: column specs, constants, and parallelism-independence") {
+    import graft.sources.SyntheticSource
+    import graft.sources.SyntheticSource.ColumnGen
+    val specs = Seq(
+      ColumnGen("id_rand", "long"),
+      ColumnGen("score", "double"),
+      ColumnGen("name", "string"),
+      ColumnGen("flag", "bool"),
+      ColumnGen("ts", "date"),
+      ColumnGen("tag", "string", value = Some("fixed")),
+      ColumnGen("k", "long", value = Some("7")))
+    val a = SyntheticSource.generate(spark, specs, sliceRecordCount = 100, slices = 4)
+    assert(a.count() === 400)
+    assert(a.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("fixed"))
+    assert(a.select("k").distinct().collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(a.schema("score").dataType.typeName === "double")
+    assert(a.schema("flag").dataType.typeName === "boolean")
+    assert(a.schema("ts").dataType.typeName === "timestamp")
+    assert(a.select("name").collect().forall(_.getString(0).length === 10))
+    // seeded + splittable: same data regardless of slice count (the property
+    // the reference's math/rand generator does NOT have)
+    val b = SyntheticSource.generate(spark, specs, sliceRecordCount = 400, slices = 1)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
+
+  test("dialect writeMode validation (gaussdb rejects non-insert)") {
+    import graft.engine.Dialect
+    Dialect.Mysql.validateWriteMode("replace")
+    Dialect.GaussDb.validateWriteMode("insert")
+    intercept[IllegalArgumentException] { Dialect.GaussDb.validateWriteMode("replace") }
+    intercept[IllegalArgumentException] { Dialect.Postgres.validateWriteMode("merge") }
+  }
+
   test("transformer chain: order matters and null filters the record") {
     val df = Seq((1L, "foo_bar"), (2L, null.asInstanceOf[String])).toDF("id", "s")
     // substr of null -> null -> record dropped (filter-null contract)
