@@ -117,6 +117,30 @@ final class LakeTable(
   /** Contents including the internal `_lsn` arbitration column. */
   def readInternal(): DataFrame = resolved(currentSnapshot()).drop(OpCol)
 
+  /** Incremental read (CDC-out): the LWW-resolved change set committed
+    * AFTER snapshot `sinceVersion` — one row per key changed in
+    * (sinceVersion, current], INCLUDING tombstone rows (`_op` = "D") so a
+    * downstream merge can propagate deletes. Iceberg-style incremental
+    * scan: built from the delta files each commit ADDED (all snapshot
+    * manifests are retained), so cost is O(changes in the window), never
+    * O(table). Delta files later folded by compaction remain on disk until
+    * [[vacuum]] — incremental consumers must read their window before
+    * vacuuming, exactly like Iceberg snapshot expiry.
+    */
+  def readChangesSince(sinceVersion: Long): DataFrame = {
+    val cur = currentSnapshot()
+    require(sinceVersion <= cur.version,
+      s"sinceVersion $sinceVersion is beyond current ${cur.version}")
+    val files = ((sinceVersion + 1) to cur.version).flatMap { v =>
+      readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v).addedDeltas
+    }
+    // current (additive-evolved) schema null-fills older delta files
+    val df = dfFor(cur, files)
+    if (files.isEmpty) df.withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+    else lwwWinners(df, keyCols, Seq(col(LsnCol).desc))
+      .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+  }
+
   /** Point lookup: resolve ONE key touching only ITS bucket's files — the
     * payoff of hash-bucketing the layout (O(table/buckets) bytes read, not
     * O(table)). The bucket is computed driver-side with the same `hash`
@@ -307,7 +331,7 @@ final class LakeTable(
       val st = MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, snap.rows, 1.0,
         bytesIn = observedBytes)
       commitSnapshot(snap.copy(version = newVersion, lastEpoch = epoch,
-        schema = Some(storedNew), stats = Some(st)))
+        schema = Some(storedNew), stats = Some(st), addedDeltas = Nil))
       return st
     }
 
@@ -364,7 +388,8 @@ final class LakeTable(
       schema = Some(storedNew),
       rows = newRows,
       files = files,
-      stats = Some(stats)))
+      stats = Some(stats),
+      addedDeltas = deltas)) // pre-compaction: incremental readers keep them
     stats
   }
 
@@ -447,7 +472,8 @@ final class LakeTable(
     val newBase = publish(compacted, s"$root/_staging-ca-$newVersion", s"b$newVersion", "b",
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
-    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
+    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
+      files = files, addedDeltas = Nil))
   }
 
   /** Tombstone GC: drop `_op = D` winners whose `_lsn` is below
@@ -478,7 +504,8 @@ final class LakeTable(
     val newBase = publish(kept, s"$root/_staging-tg-$newVersion", s"b$newVersion", "b",
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
-    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum, files = files))
+    commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
+      files = files, addedDeltas = Nil))
   }
 
   /** Remove data files not referenced by the current snapshot (old-version
@@ -508,7 +535,13 @@ object LakeTable {
       schema: Option[StructType],
       rows: Long,
       files: Seq[FileEntry],
-      stats: Option[MergeStats] = None)
+      stats: Option[MergeStats] = None,
+      /** delta files PUBLISHED by this commit — recorded even when inline
+        * compaction folds them out of `files` within the same commit, so
+        * incremental readers ([[LakeTable#readChangesSince]]) never lose a
+        * window. Physical files live until [[LakeTable#vacuum]].
+        */
+      addedDeltas: Seq[FileEntry] = Nil)
 
   /** Per-epoch ingest metrics row (north-rule: rows applied, dedupe rate,
     * skew factor, written to a metrics table).
@@ -584,6 +617,8 @@ object LakeTable {
     }
     s.files.foreach(f => sb.append("file=").append(f.bucket).append('\t')
       .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
+    s.addedDeltas.foreach(f => sb.append("delta=").append(f.bucket).append('\t')
+      .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
     sb.toString
   }
 
@@ -594,6 +629,7 @@ object LakeTable {
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     val files = Seq.newBuilder[FileEntry]
+    val addedDeltas = Seq.newBuilder[FileEntry]
     lines.foreach { ln =>
       val i = ln.indexOf('=')
       val (k, v) = (ln.substring(0, i), ln.substring(i + 1))
@@ -604,6 +640,9 @@ object LakeTable {
         case "file" =>
           val Array(b, path, r, kind) = v.split('\t')
           files += FileEntry(b.toInt, path, r.toLong, kind)
+        case "delta" =>
+          val Array(b, path, r, kind) = v.split('\t')
+          addedDeltas += FileEntry(b.toInt, path, r.toLong, kind)
         case "stats" =>
           val a = v.split(',')
           stats = Some(MergeStats(a(0).toLong, a(1).toBoolean, a(2).toLong,
@@ -615,7 +654,8 @@ object LakeTable {
         case _ => ()
       }
     }
-    Snapshot(version, lastEpoch, schema, rows, files.result(), stats)
+    Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
+      addedDeltas.result())
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

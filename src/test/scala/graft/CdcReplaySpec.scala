@@ -176,6 +176,42 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.currentSnapshot().version === v, "empty GC must not commit")
   }
 
+  test("incremental CDC-out: readChangesSince yields the window's LWW change set") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val table = LakeTable.create(spark, tmpDir("lakeinc"), Model.keyCols, numBuckets = 4)
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, conv: String, text: String) =
+      Model.ChangeEvent(op, lsn, ts, conv, 0,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(text), None)
+
+    table.merge(Seq(ev("I", 1L, "conv-a", "a1"), ev("I", 2L, "conv-b", "b1")).toDF(), 0L)
+    val v0 = table.currentSnapshot().version
+    table.merge(Seq(ev("U", 3L, "conv-a", "a2"), ev("I", 4L, "conv-c", "c1")).toDF(), 1L)
+    table.merge(Seq(ev("D", 5L, "conv-b", "")).toDF(), 2L)
+
+    val changes = table.readChangesSince(v0)
+      .select("conv_id", "text", "_op", "_lsn").collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2), r.getLong(3)))).toMap
+    assert(changes.size === 3)
+    assert(changes("conv-a") === ((Some("a2"), "U", 3L))) // LWW within the window
+    assert(changes("conv-b")._2 === "D") // tombstone visible downstream
+    assert(changes("conv-c") === ((Some("c1"), "I", 4L)))
+    // empty window
+    assert(table.readChangesSince(table.currentSnapshot().version).count() === 0L)
+    // maintenance compaction between reads does not lose the window
+    table.compactAll()
+    assert(table.readChangesSince(v0).count() === 3L)
+    // a merge whose deltas are folded by INLINE compaction still reports
+    // its changes (addedDeltas recorded pre-compaction)
+    val v2 = table.currentSnapshot().version
+    val st = table.merge(Seq(ev("U", 6L, "conv-a", "a3")).toDF(), 3L)
+    assert(st.compactedBuckets > 0, "expected inline compaction for this probe")
+    val inc = table.readChangesSince(v2).select("conv_id", "_lsn").collect()
+    assert(inc.length === 1 && inc(0).getString(0) === "conv-a" && inc(0).getLong(1) === 6L)
+  }
+
   test("periodic vacuum during streaming replay keeps state correct and reclaims files") {
     val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
     val logDir = tmpDir("cdclogv")
