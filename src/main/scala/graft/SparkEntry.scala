@@ -598,6 +598,41 @@ object SparkEntry {
              substr(lower(hex(encode(text))), 1, 8) AS head_hex
       FROM documents""")),
 
+    ("mm_frames", (s, dir) => {
+      // video-style frame sampling: every 2nd 256-byte chunk as its own row
+      // (binary substr + explode — codegen'd; compared via hex-slice md5,
+      // which equals the byte-slice at 2x offsets)
+      Multimodal.frameSample(Multimodal.mediaFromDocs(t(s, dir, "documents")),
+        frameBytes = 256, everyNth = 2)
+    }, Some("""
+      WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                        octet_length(encode(text))::BIGINT AS nb
+                 FROM documents),
+      f AS (SELECT doc_id, hx, i AS frame_idx
+            FROM m, UNNEST(range(0, greatest((nb + 255) // 256, 1))) AS u(i)
+            WHERE i % 2 = 0)
+      SELECT doc_id, frame_idx,
+             (length(substr(hx, (frame_idx * 512 + 1)::INT, 512)) // 2)::BIGINT AS frame_bytes,
+             md5(substr(hx, (frame_idx * 512 + 1)::INT, 512)) AS frame_md5
+      FROM f""")),
+
+    ("sim_topk_batch", (s, dir) => {
+      // many-queries-one-pass serving shape: 5 query vectors broadcast,
+      // corpus streamed once, top-3 per query
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKBatch(emb, emb.filter(col("vec_id") < 5), k = 3)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cos, rk FROM (
+        SELECT c.*, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM c) r
+      WHERE rk <= 3""")),
+
     ("mm_features", (s, dir) => {
       // STUB decode (no codecs in sandbox) — real batched mapPartitions
       // plumbing; md5-derived stub features make it fully oracle-checkable

@@ -82,4 +82,40 @@ object Multimodal {
     media.select(
       col("doc_id"), col("modality"), col("n_bytes"),
       substring(lower(hex(col("payload"))), 1, 8).as("head_hex"))
+
+  /** Frame sampling over an opaque media payload: every `everyNth`
+    * fixed-`frameBytes` chunk is sliced into its own row — pure column
+    * expressions (binary substr + explode), fully codegen'd, no decode, so
+    * only the SAMPLED frames ever hit the shuffle/output. A real video
+    * codec would replace the fixed stride with keyframe offsets inside the
+    * decode batch; the distributed shape (explode fan-out, per-frame rows,
+    * payload locality) is identical. Zero-byte payloads yield one empty
+    * frame so every doc appears downstream.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, everyNth: Int = 2): DataFrame = {
+    val nFrames = greatest(
+      floor((col("n_bytes") + lit(frameBytes - 1)) / lit(frameBytes)).cast("long"), lit(1L))
+    media
+      .select(col("doc_id"), col("payload"),
+        explode(filter(sequence(lit(0L), nFrames - 1),
+          i => i % everyNth === 0)).as("frame_idx"))
+      .withColumn("frame",
+        col("payload").substr(col("frame_idx").cast("int") * frameBytes + 1, lit(frameBytes)))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        md5(lower(hex(col("frame")))).as("frame_md5"))
+  }
+
+  /** STUB resize: integer-exact thumbnail geometry from the decoded
+    * metadata, aspect preserved (`floor(side × maxSide / longest)`); a real
+    * implementation would scale pixels inside the decode batch — the
+    * geometry contract and column shape are what downstream consumes.
+    */
+  def resizeStub(features: DataFrame, maxSide: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      floor(col("width") * maxSide / longest).cast("int").as("thumb_w"),
+      floor(col("height") * maxSide / longest).cast("int").as("thumb_h"))
+  }
 }

@@ -42,6 +42,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched top-k: MANY query vectors answered in ONE pass over the
+    * corpus — the query set is broadcast (small side), each corpus
+    * partition scores its rows against every query locally, and a window
+    * per query keeps the top k. This is the serving shape at scale: the
+    * corpus streams once, nothing self-joins, the only shuffle is the
+    * per-query ranking of candidate rows.
+    */
+  def topKBatch(emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+      norm(col(queryVecCol)).as("qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // rounded BEFORE ranking — cross-engine-stable tie-break (see topK)
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** All-pairs top-k (kNN join) by brute force — window over cosine per
     * anchor. Quadratic; baseline only.
     */

