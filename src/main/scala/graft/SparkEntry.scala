@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.ColumnCasts
-import graft.engine.{Splits, Transformers}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.engine.{AsOf, Splits, Transformers}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2
   * + the training-data pipeline family), each with DuckDB-equivalent oracle
@@ -254,6 +254,31 @@ object SparkEntry {
              sum(CASE WHEN k IS NULL OR k > 90 THEN 1 ELSE 0 END)::BIGINT AS bad_records
       FROM e GROUP BY event_type""")),
 
+    ("q_asof_join", (s, dir) => {
+      // as-of (point-in-time) join: each click is annotated with the user's
+      // latest purchase at-or-before it — union+window formulation, ONE
+      // exchange, no pair blow-up (engine/AsOf.scala). The oracle is
+      // DuckDB's native ASOF LEFT JOIN: an independent algorithm that must
+      // produce the identical row set.
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value_r"),
+          col("p_event_id"), round(col("p_value"), 4).as("p_value_r"))
+    }, Some("""
+      WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+           r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+                 FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, round(l.value, 4) AS value_r,
+             r.p_event_id, round(r.p_value, 4) AS p_value_r
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
     // ===== CDC / upsert core semantics over the events log =============
     ("cdc_lww_state", (s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
@@ -407,6 +432,69 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT b FROM cand)
         AND doc_id NOT IN (SELECT doc_id FROM exact_drop)""")),
+
+    ("d_dedup_clusters", (s, dir) => {
+      // pairs → transitive CLUSTERS: min-label propagation + pointer
+      // jumping over the MinHash-LSH candidate edges; the oracle computes
+      // the same components by recursive transitive closure
+      Dedup.dedupClusters(t(s, dir, "documents"))
+    }, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+               FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+             FROM sh CROSS JOIN UNNEST(range(0, 8)) AS jj(j)
+             GROUP BY doc_id, j),
+      band AS (SELECT doc_id, (j // 2)::INT AS band, string_agg(mh, ',' ORDER BY mh) AS band_sig
+               FROM mh GROUP BY doc_id, (j // 2)::INT),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM band x JOIN band y ON x.band = y.band AND x.band_sig = y.band_sig
+                                      AND x.doc_id < y.doc_id),
+      e AS (SELECT a AS s, b AS d FROM cand UNION SELECT b AS s, a AS d FROM cand),
+      reach(id, r) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+      cc AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""")),
+
+    ("d_sample_hash", (s, dir) => {
+      // deterministic 20% uniform sample — pure hash filter, no shuffle
+      Curation.hashSample(t(s, dir, "documents"), "doc_id", 0.2).select("doc_id")
+    }, Some("""
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 2000""")),
+
+    ("d_sample_stratified", (s, dir) => {
+      // language-stratified rates: downsample en to 10%, de to 50%, keep
+      // the rest whole — selection is a pure function of (doc_id, stratum)
+      Curation.stratifiedSample(
+        TextAnalysis.langId(t(s, dir, "documents")).select("doc_id", "lang_pred"),
+        "lang_pred", "doc_id", Map("en" -> 0.1, "de" -> 0.5))
+    }, Some("""
+      WITH h AS (SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','is','in','that','with'))) AS hits_en,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS hits_de,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('le','la','et','les','des','est','dans','une'))) AS hits_fr,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('el','la','los','las','es','en','que','una'))) AS hits_es
+        FROM documents),
+      lp AS (SELECT doc_id,
+        CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+             WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+             WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+             WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+        FROM h)
+      SELECT doc_id, lang_pred FROM lp
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+            < CASE lang_pred WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 ELSE 10000 END""")),
 
     // ===== similarity search ============================================
     ("sim_topk", (s, dir) => {
@@ -587,6 +675,50 @@ object SparkEntry {
              GROUP BY doc_id)
       SELECT toks.doc_id, md5(n) AS content_fp, sh.shingle_fp
       FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id""")),
+
+    ("ta_pack", (s, dir) => {
+      // concat-and-chunk sequence packing: 8 parallel shards, 512-token
+      // sequences; layout is a pure function of (doc_id, token counts)
+      Curation.packSequences(t(s, dir, "documents"), budgetTokens = 512, nShards = 8)
+    }, Some("""
+      WITH tk AS (SELECT doc_id,
+                         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+                         (doc_id % 8)::BIGINT AS shard
+                  FROM documents),
+      o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+            FROM tk)
+      SELECT doc_id, n_tokens, shard,
+             (shard * 1000000 + off // 512)::BIGINT AS seq_id,
+             (off % 512)::BIGINT AS seq_offset
+      FROM o""")),
+
+    ("ta_pii", (s, dir) => {
+      // the corpus text carries no PII, so the query fabricates a
+      // deterministic PII-bearing column (email + IP + account number per
+      // doc) and redacts it — the operator itself is generic
+      val withPii = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.1."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".33 acct 123456789"), col("doc_id").cast("string")))
+      TextAnalysis.redactPii(withPii)
+    }, Some("""
+      WITH p AS (SELECT doc_id,
+        text || ' contact: user' || doc_id || '@example.com ip 10.1.'
+             || (doc_id % 200) || '.33 acct 123456789' || doc_id AS t0
+        FROM documents),
+      r1 AS (SELECT doc_id, t0,
+               regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t1 FROM p),
+      r2 AS (SELECT doc_id, t0, t1,
+               regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2 FROM r1)
+      SELECT doc_id,
+             len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+             len(regexp_extract_all(t2, '[0-9]{9,}')) AS n_idnums,
+             regexp_replace(t2, '[0-9]{9,}', '<IDNUM>', 'g') AS redacted
+      FROM r2""")),
 
     // ===== multimodal plumbing ==========================================
     ("mm_meta", (s, dir) => {

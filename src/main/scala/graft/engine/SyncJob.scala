@@ -307,9 +307,13 @@ object SyncJob {
       // batch upsert: whole input is one epoch after the last committed one.
       // The epoch IS the lsn — later batches beat earlier ones per key
       // (last-writer-wins across jobs, like the reference's re-run replace
-      // semantics); duplicate keys WITHIN one batch have no defined order in
-      // the reference either (channel arrival order), so any winner is valid.
-      val epoch = table.currentSnapshot().lastEpoch + 1
+      // semantics). Duplicate keys WITHIN one batch have no defined order in
+      // the reference (channel arrival order), so any winner is VALID — the
+      // merge's LWW ordering ends with a payload-hash tie-break, so the
+      // winner is nonetheless DETERMINISTIC: re-running the same job input
+      // reproduces the same surviving rows (EngineSpec "deterministic
+      // winner" guards this).
+      val epoch = table.currentSnapshot().lastEpochFor(LakeTable.DefaultWriter) + 1
       val withMeta = df
         .withColumn("op", lit("U"))
         .withColumn("lsn", lit(epoch))

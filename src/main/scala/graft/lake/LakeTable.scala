@@ -75,25 +75,52 @@ final class LakeTable(
 
   // ---------------------------------------------------------------- snapshots
 
+  /** Latest committed snapshot. The commit point is the existence of
+    * `snap-<v>.txt` itself (claimed atomically — see [[commitSnapshot]]);
+    * `_current` is only a HINT that spares the forward scan, so a writer
+    * that crashed between claiming the snapshot and updating the pointer
+    * still committed — readers roll the hint forward to the true head.
+    * (Same design as Iceberg's Hadoop tables: metadata-file creation is the
+    * commit, version-hint.text is advisory.)
+    */
   def currentSnapshot(): Snapshot = {
     val p = new Path(pointer)
-    if (!fs.exists(p)) Snapshot(version = -1L, lastEpoch = -1L, schema = None, rows = 0L, files = Nil)
-    else {
-      val v = readString(fs, p).trim.toLong
-      readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
-    }
+    var v = if (fs.exists(p)) readString(fs, p).trim.toLong else -1L
+    while (fs.exists(new Path(s"$snapDir/snap-${v + 1}.txt"))) v += 1
+    if (v < 0) Snapshot(version = -1L, lastEpoch = -1L, schema = None, rows = 0L, files = Nil)
+    else readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
   }
 
+  /** Atomically claim `snap-<version>.txt` for this snapshot — optimistic
+    * concurrency control. The body is fully written to a nonce-named file
+    * first, then published under the version name by an operation that
+    * FAILS if the name is already taken (hard link on the local fs — POSIX
+    * `link(2)` is atomic-exclusive; non-replacing `rename` elsewhere —
+    * HDFS rename returns false when the destination exists). Exactly one
+    * of N concurrent committers of the same version wins; losers get
+    * [[LakeTable.CommitConflictException]] and must rebase onto the new
+    * head and retry. The pointer hint update afterwards is best-effort.
+    */
   private def commitSnapshot(s: Snapshot): Unit = {
     fs.mkdirs(new Path(snapDir))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
+    writeString(fs, body, renderSnapshot(s))
     val snapPath = new Path(s"$snapDir/snap-${s.version}.txt")
-    // an existing snap file can only be a dead attempt of this same version
-    // (pointer never advanced to it) — overwrite is the recovery path
-    writeString(fs, snapPath, renderSnapshot(s))
-    // two-phase pointer swap: write tmp fully, then atomic rename over _current
-    val tmp = new Path(s"$pointer.tmp")
-    writeString(fs, tmp, s.version.toString)
-    atomicReplace(fs, tmp, new Path(pointer))
+    if (!atomicClaim(fs, body, snapPath)) {
+      fs.delete(body, false)
+      throw new CommitConflictException(
+        s"version ${s.version} was committed concurrently (epoch ${s.lastEpoch} lost the race)")
+    }
+    if (fs.exists(body)) fs.delete(body, false) // link path leaves the nonce name behind
+    // advance the hint (never backwards — a slow loser of an EARLIER race
+    // must not rewind the hint past a newer committed version)
+    val cur = if (fs.exists(new Path(pointer))) readString(fs, new Path(pointer)).trim.toLong else -1L
+    if (s.version > cur) {
+      val tmp = new Path(s"$pointer.tmp-$nonce")
+      writeString(fs, tmp, s.version.toString)
+      atomicReplace(fs, tmp, new Path(pointer))
+    }
   }
 
   // ---------------------------------------------------------------- read
@@ -254,10 +281,11 @@ final class LakeTable(
     *     counts — no second pass over the data, ever.
     *  2. Compaction (only for over-threshold buckets) + atomic commit.
     */
-  def merge(batch: DataFrame, epoch: Long): MergeStats = {
+  def merge(batch: DataFrame, epoch: Long,
+      writerId: String = DefaultWriter): MergeStats = {
     val tStart = System.nanoTime()
     val snap = currentSnapshot()
-    if (epoch <= snap.lastEpoch)
+    if (epoch <= snap.lastEpochFor(writerId))
       return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, snap.rows, 1.0)
 
     // -- schema resolution (additive evolution) --------------------------
@@ -313,8 +341,11 @@ final class LakeTable(
     }
 
     val newVersion = snap.version + 1
+    // staging dirs carry a nonce so concurrent writers of the same epoch
+    // number (independent writerIds) never collide on the staging path
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     // -- the single write job (dedupe + observe + bucketed delta publish) --
-    val deltas = publish(deltaOut, s"$root/_staging-d-$epoch", s"d$newVersion", "d",
+    val deltas = publish(deltaOut, s"$root/_staging-d-$epoch-$nonce", s"d$newVersion-$nonce", "d",
       numBuckets, reshuffle = false)
     lap("delta-publish")
     val rowsIn = obsIn.get("rowsIn").asInstanceOf[Long]
@@ -324,15 +355,45 @@ final class LakeTable(
     def observedBytes: Long =
       Option(obsIn.get("bytesIn")).map(_.asInstanceOf[Long]).getOrElse(0L)
 
+    // optimistic-concurrency commit: claim base.version+1; on conflict,
+    // REBASE onto the winner's snapshot and retry. Rebasing with delta
+    // files is always safe under MOR+LWW — winners are decided by lsn at
+    // read time, not by commit order — so concurrent merges of different
+    // epochs commute. Compaction outputs are NOT rebased (they folded a
+    // stale file list); the losing attempt's compaction re-triggers on a
+    // later merge and its orphaned files go to [[vacuum]].
+    def commitRebased(mkSnap: Snapshot => Snapshot,
+        mkStats: Snapshot => MergeStats): MergeStats = {
+      var attempt = 0
+      while (true) {
+        val base = if (attempt == 0) snap else currentSnapshot()
+        if (epoch <= base.lastEpochFor(writerId)) // THIS writer's epoch won elsewhere
+          return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, base.rows, 1.0)
+        val st = mkStats(base)
+        try {
+          commitSnapshot(mkSnap(base).copy(version = base.version + 1,
+            lastEpoch = epoch, stats = Some(st),
+            epochs = base.epochs + (writerId -> epoch)))
+          return st
+        } catch {
+          case e: CommitConflictException =>
+            attempt += 1
+            if (attempt > 5) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     if (rowsDistinct == 0L) {
       // still advance the epoch so replays of an empty batch stay idempotent;
       // the resolved schema is committed exactly like the non-empty path so
       // additive columns introduced by an empty batch persist
-      val st = MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, snap.rows, 1.0,
-        bytesIn = observedBytes)
-      commitSnapshot(snap.copy(version = newVersion, lastEpoch = epoch,
-        schema = Some(storedNew), stats = Some(st), addedDeltas = Nil))
-      return st
+      return commitRebased(
+        base => base.copy(
+          schema = Some(unionSchemas(base.schema.getOrElse(storedNew), storedNew)),
+          addedDeltas = Nil),
+        base => MergeStats(epoch, skipped = false, rowsIn, 0, 0, 0, 0, base.rows, 1.0,
+          bytesIn = observedBytes))
     }
 
     // metrics without any extra job: `deletes` = tombstone events seen in
@@ -369,28 +430,34 @@ final class LakeTable(
       // resolvedBucketed: dropping them would un-delete keys on late
       // re-delivery of older duplicates
       val compacted = resolvedBucketed(cSnap, toCompact)
-      val newBase = publish(compacted, s"$root/_staging-c-$epoch", s"b$newVersion", "b",
+      val newBase = publish(compacted, s"$root/_staging-c-$epoch-$nonce", s"b$newVersion-$nonce", "b",
         math.max(toCompact.size, 1), reshuffle = false)
       files = files.filterNot(f => toCompact.contains(f.bucket)) ++ newBase
       lap(s"compact-${toCompact.size}")
     }
 
-    val newRows = files.map(_.rows).sum
-    val stats = MergeStats(epoch, skipped = false, rowsIn, rowsDistinct,
-      rowsIn - rowsDistinct, deletes, affected.size, newRows, skew,
-      seconds = (System.nanoTime() - tStart) / 1e9,
-      compactedBuckets = toCompact.size,
-      bytesIn = observedBytes)
-    // stats ride in the manifest so metrics commit atomically with data
-    commitSnapshot(Snapshot(
-      version = newVersion,
-      lastEpoch = epoch,
-      schema = Some(storedNew),
-      rows = newRows,
-      files = files,
-      stats = Some(stats),
-      addedDeltas = deltas)) // pre-compaction: incremental readers keep them
-    stats
+    // stats ride in the manifest so metrics commit atomically with data;
+    // on a rebase the file list is the WINNER's files + this epoch's deltas
+    // (compaction outputs dropped — see commitRebased)
+    commitRebased(
+      base => {
+        val f = if (base eq snap) files else base.files ++ deltas
+        Snapshot(
+          version = -1L, // overwritten by commitRebased
+          lastEpoch = epoch,
+          schema = Some(unionSchemas(base.schema.getOrElse(storedNew), storedNew)),
+          rows = f.map(_.rows).sum,
+          files = f,
+          addedDeltas = deltas) // pre-compaction: incremental readers keep them
+      },
+      base => {
+        val f = if (base eq snap) files else base.files ++ deltas
+        MergeStats(epoch, skipped = false, rowsIn, rowsDistinct,
+          rowsIn - rowsDistinct, deletes, affected.size, f.map(_.rows).sum, skew,
+          seconds = (System.nanoTime() - tStart) / 1e9,
+          compactedBuckets = if (base eq snap) toCompact.size else 0,
+          bytesIn = observedBytes)
+      })
   }
 
   /** Two-phase publish: write `df` partitioned by bucket into a staging dir,
@@ -469,7 +536,7 @@ final class LakeTable(
     val buckets = snap.files.filter(_.kind == "d").map(_.bucket).toSet
     val compacted = resolvedBucketed(snap, buckets)
     val newVersion = snap.version + 1
-    val newBase = publish(compacted, s"$root/_staging-ca-$newVersion", s"b$newVersion", "b",
+    val newBase = publish(compacted, s"$root/_staging-ca-$newVersion", s"b$newVersion-${java.util.UUID.randomUUID().toString.take(8)}", "b",
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
@@ -501,7 +568,7 @@ final class LakeTable(
     val kept = resolvedBucketed(snap, buckets)
       .filter(coalesce(col(OpCol), lit("U")) =!= "D" || col(LsnCol) >= horizonLsn)
     val newVersion = snap.version + 1
-    val newBase = publish(kept, s"$root/_staging-tg-$newVersion", s"b$newVersion", "b",
+    val newBase = publish(kept, s"$root/_staging-tg-$newVersion", s"b$newVersion-${java.util.UUID.randomUUID().toString.take(8)}", "b",
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
@@ -523,9 +590,18 @@ final class LakeTable(
 }
 
 object LakeTable {
+
+  /** Another writer claimed the snapshot version this commit targeted.
+    * [[LakeTable#merge]] rebases and retries automatically; maintenance
+    * operations ([[LakeTable#compactAll]], [[LakeTable#expireTombstones]])
+    * surface it — run them single-writer or retry at the call site.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   val LsnCol = "_lsn"
   val BucketCol = "_bucket"
   val OpCol = "_op"
+  val DefaultWriter = "default"
 
   final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String)
 
@@ -541,7 +617,18 @@ object LakeTable {
         * incremental readers ([[LakeTable#readChangesSince]]) never lose a
         * window. Physical files live until [[LakeTable#vacuum]].
         */
-      addedDeltas: Seq[FileEntry] = Nil)
+      addedDeltas: Seq[FileEntry] = Nil,
+      /** PER-WRITER epoch lineage: writerId → last committed epoch. The
+        * idempotent-replay guard is scoped to the writer, so concurrent
+        * INDEPENDENT writers (two streams merging into one table) never
+        * dedupe each other's epochs, while each stream's own at-least-once
+        * replays are still skipped exactly-once. Absent in pre-multi-writer
+        * manifests → derived as Map("default" -> lastEpoch) on read.
+        */
+      epochs: Map[String, Long] = Map.empty) {
+    def lastEpochFor(writerId: String): Long =
+      epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
+  }
 
   /** Per-epoch ingest metrics row (north-rule: rows applied, dedupe rate,
     * skew factor, written to a metrics table).
@@ -609,6 +696,10 @@ object LakeTable {
     sb.append("version=").append(s.version).append('\n')
     sb.append("lastEpoch=").append(s.lastEpoch).append('\n')
     sb.append("rows=").append(s.rows).append('\n')
+    s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
+      require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
+      sb.append("wepoch=").append(w).append('\t').append(e).append('\n')
+    }
     s.schema.foreach(sc => sb.append("schema=").append(sc.json).append('\n'))
     s.stats.foreach { m =>
       sb.append("stats=").append(Seq(m.epoch, m.skipped, m.rowsIn, m.rowsApplied,
@@ -628,6 +719,7 @@ object LakeTable {
     var rows = 0L
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
+    var epochs = Map.empty[String, Long]
     val files = Seq.newBuilder[FileEntry]
     val addedDeltas = Seq.newBuilder[FileEntry]
     lines.foreach { ln =>
@@ -643,6 +735,9 @@ object LakeTable {
         case "delta" =>
           val Array(b, path, r, kind) = v.split('\t')
           addedDeltas += FileEntry(b.toInt, path, r.toLong, kind)
+        case "wepoch" =>
+          val Array(w, e) = v.split('\t')
+          epochs += (w -> e.toLong)
         case "stats" =>
           val a = v.split(',')
           stats = Some(MergeStats(a(0).toLong, a(1).toBoolean, a(2).toLong,
@@ -654,8 +749,11 @@ object LakeTable {
         case _ => ()
       }
     }
+    // pre-multi-writer manifests carry only lastEpoch — attribute it to the
+    // default writer so existing tables keep their idempotence guard
+    if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result())
+      addedDeltas.result(), epochs)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {
@@ -674,6 +772,24 @@ object LakeTable {
     try { out.write(s.getBytes(StandardCharsets.UTF_8)); out.hsync() }
     catch { case _: UnsupportedOperationException => () }
     finally out.close()
+  }
+
+  /** Atomic EXCLUSIVE publish of `src` as `dst`: succeeds for exactly one
+    * caller per `dst`, false if `dst` already exists. Local fs: POSIX hard
+    * link (`link(2)` fails with EEXIST atomically — rename(2) would
+    * silently replace). Other fs: Hadoop `rename`, which does not replace
+    * an existing destination (returns false) — atomic on HDFS.
+    */
+  private[lake] def atomicClaim(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    val uri = fs.getUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !fs.exists(dst) && fs.rename(src, dst)
   }
 
   /** Atomic pointer swap. Local fs: java.nio ATOMIC_MOVE; other fs:

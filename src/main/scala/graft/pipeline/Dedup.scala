@@ -166,4 +166,65 @@ object Dedup {
     val nearDrop = minhashCandidates(docs, n, bands, rowsPerBand).select(col("b").as("doc_id"))
     docs.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
   }
+
+  /** Connected components over candidate pairs: the transitive closure that
+    * turns pairwise near-dup hits into duplicate CLUSTERS (a~b and b~c must
+    * collapse to ONE survivor even when (a,c) was never emitted — pair-based
+    * dropping alone can't see that).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (1) every vertex takes the min label over itself and its neighbors
+    * (one join + one aggregate), then (2) label = label(label) (one self
+    * join) — the doubling step that makes convergence O(log diameter)
+    * rounds instead of O(diameter). All steps are hash joins/aggregates on
+    * the edge list — no driver-side graph, no cartesian — and each round is
+    * `localCheckpoint`ed so the plan does not grow with iterations. Dedup
+    * components are near-dup clusters (tiny diameter), so this converges in
+    * 2–3 rounds; the loop stops as soon as no label changes.
+    *
+    * Output: (id, label) for every vertex that appears in `pairs`, where
+    * label = the component's minimum id (deterministic canonical winner).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 16): DataFrame = {
+    val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .persist()
+    var labels = e.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = e.join(labels.select(col("id").as("s"), col("label").as("sl")), "s")
+        .groupBy(col("d").as("id")).agg(min(col("sl")).as("nl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
+          col("label") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = jumped
+      iter += 1
+    }
+    e.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** Every document with its near-dup cluster id (= min doc_id of its
+    * MinHash-LSH connected component; singletons are their own cluster).
+    * This is the cluster-level end state of the dedup family — pick one
+    * representative per cluster_id to materialize the deduped corpus.
+    */
+  def dedupClusters(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val cc = connectedComponents(minhashCandidates(docs, n, bands, rowsPerBand))
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
 }

@@ -75,6 +75,30 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .as("bpeish_tokens"))
 
+  /** PII redaction: emails, IPv4 addresses, and long digit runs
+    * (phone/account numbers) replaced by typed placeholder tokens, with
+    * per-category counts for curation metrics. Patterns are RE2-compatible
+    * (no backrefs/lookaround) so any engine reproduces the exact spans.
+    * Categories apply in order and each counts on the PREVIOUS category's
+    * output, so overlapping spans (digits inside an IP) never double-count.
+    * Pure column expressions — codegen'd, one narrow pass over the corpus.
+    */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val piiIdNum = "[0-9]{9,}"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, piiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, piiIpv4, "<IP>")
+    val t3 = regexp_replace(t2, piiIdNum, "<IDNUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t0, lit(piiEmail), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t1, lit(piiIpv4), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t2, lit(piiIdNum), lit(0))).as("n_idnums"),
+      t3.as("redacted"))
+  }
+
   /** Document fingerprints: content hash of normalized text plus a rolling
     * shingle fingerprint (the lexicographic-min md5 over word 3-gram
     * shingles — a 1-hash minhash, stable under small reorderings of

@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Optimistic-concurrency commit protocol: the snapshot-file claim is the
+  * atomic commit point, the pointer is a roll-forward hint, and concurrent
+  * merges rebase + retry so no update is lost (LWW by lsn makes rebased
+  * delta commits commute).
+  */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(lsnBase: Long, ids: Range, tag: String) =
+    ids.map(i => ("U", lsnBase + i, i.toLong, s"$tag-$i")).toDF("op", "lsn", "id", "payload")
+
+  test("two writers racing the same version: one rebases, no update lost") {
+    val root = tmpDir("occ") + "/t"
+    // seed the table (epoch 0) so both racers start from the same base
+    LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+      .merge(batch(0, 0 until 50, "seed"), epoch = 0L)
+
+    // two INDEPENDENT table handles (separate jobs on a shared lake path),
+    // released simultaneously: both read version 0, both try to claim v1
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (1 to 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[LakeTable.MergeStats] {
+        def call(): LakeTable.MergeStats = {
+          val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+          val b = batch(1000L * w, (w * 100) until (w * 100 + 50), s"w$w")
+          gate.await()
+          // independent streams: epoch lineage is PER WRITER, so neither
+          // writer's guard can mistake the other's epoch for its own replay
+          t.merge(b, epoch = 0L, writerId = s"writer-$w")
+        }
+      })
+    }
+    gate.countDown()
+    val stats = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    // neither merge was dropped: both epochs' key ranges are in the table
+    assert(stats.forall(!_.skipped))
+    val table = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    val got = table.read()
+    assert(got.filter($"id" >= 100 && $"id" < 150).count() === 50L, "writer 1 rows lost")
+    assert(got.filter($"id" >= 200 && $"id" < 250).count() === 50L, "writer 2 rows lost")
+    assert(got.count() === 150L)
+    // versions are consecutive: the loser rebased to base+2, nothing clobbered
+    assert(table.currentSnapshot().version === 2L)
+    // each writer's epoch lineage is independent: replaying writer-1's epoch
+    // is skipped even though writer-2 committed after it
+    val replay = table.merge(batch(9999, 100 until 150, "dup"), epoch = 0L,
+      writerId = "writer-1")
+    assert(replay.skipped)
+    assert(table.read().count() === 150L)
+  }
+
+  test("commit survives a crash between snapshot claim and pointer update") {
+    val root = tmpDir("hint") + "/t"
+    val table = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    table.merge(batch(0, 0 until 10, "a"), epoch = 0L)
+    table.merge(batch(100, 10 until 20, "b"), epoch = 1L)
+    assert(table.currentSnapshot().version === 1L)
+    // simulate the crash: rewind the hint to an older version — the commit
+    // already happened when snap-1.txt was claimed, so readers must roll
+    // forward to the true head, not trust the stale pointer
+    val pw = new java.io.PrintWriter(s"$root/_current"); pw.print("0"); pw.close()
+    val reopened = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    assert(reopened.currentSnapshot().version === 1L)
+    assert(reopened.read().count() === 20L)
+    // and the next merge repairs the hint
+    reopened.merge(batch(200, 20 until 25, "c"), epoch = 2L)
+    assert(scala.io.Source.fromFile(s"$root/_current").mkString.trim === "2")
+  }
+
+  test("a replayed epoch that lost the race is skipped, not double-applied") {
+    val root = tmpDir("replay-race") + "/t"
+    val t1 = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    t1.merge(batch(0, 0 until 10, "a"), epoch = 0L)
+    // a second handle (stale base) replays the SAME epoch — idempotence must
+    // hold across handles, not just within one
+    val t2 = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    val st = t2.merge(batch(0, 0 until 10, "a"), epoch = 0L)
+    assert(st.skipped)
+    assert(t2.read().count() === 10L)
+    assert(t2.currentSnapshot().version === 0L)
+  }
+}

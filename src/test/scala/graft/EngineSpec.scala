@@ -110,6 +110,24 @@ class EngineSpec extends SparkSpec {
     assert(got.filter($"id" === 1).select("name").collect()(0).getString(0) === "ALICE2")
   }
 
+  test("lake upsert picks a deterministic winner for duplicate keys within one batch") {
+    // the reference leaves within-batch conflicts to channel arrival order;
+    // we arbitrate by payload hash so re-running the same input is stable
+    val dup = Seq(
+      (1L, "zeta", 10L, "z@example.com"),
+      (1L, "alpha", 11L, "a@example.com"),
+      (2L, "only", 20L, "o@example.com"))
+      .toDF("id", "name", "age", "email")
+    val winners = (1 to 3).map { i =>
+      val dir = tmpDir(s"lakedet$i")
+      // shuffle arrival order differently each run; winner must not change
+      SyncJob.write(spark, dup.repartition(i), Sink("lake", s"$dir/t", keyCols = Seq("id"), numBuckets = 4))
+      graft.lake.LakeTable.create(spark, s"$dir/t", Seq("id"), 4)
+        .read().filter($"id" === 1).select("name").collect()(0).getString(0)
+    }
+    assert(winners.distinct.size === 1, s"non-deterministic winners: $winners")
+  }
+
   test("gzip-compressed csv round-trip (txtfile_compress analog)") {
     val dir = tmpDir("gz")
     users.write.option("header", "true").option("compression", "gzip").csv(s"$dir/src")

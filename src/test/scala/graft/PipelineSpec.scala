@@ -189,4 +189,94 @@ class PipelineSpec extends SparkSpec {
     val expFrames = ((one.getLong(1) + 255) / 256 + 1) / 2 // ceil(n/256) sampled every 2nd
     assert(fs.filter($"doc_id" === 1L).count() === math.max(expFrames, 1L))
   }
+
+  test("connectedComponents: transitive closure, min labels, converges on chains") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, plus a triangle 20-21-22:
+    // pointer jumping must close the chain even though (1,4) is no edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // long path: convergence is O(log diameter), 16 rounds cover 2^16
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(path).as[(Long, Long)].collect()
+    assert(labels.length === 41 && labels.forall(_._2 === 0L))
+  }
+
+  test("dedupClusters groups planted near-dup chains transitively") {
+    // doc i ~ doc i+1000 by construction; every doc appears exactly once
+    val cl = Dedup.dedupClusters(planted)
+    assert(cl.count() === planted.count())
+    // exact cross-check vs a driver-side union-find over the same edges
+    val pairs = Dedup.minhashCandidates(planted).as[(Long, Long)].collect()
+    assert(pairs.length >= 20, "planted dups must produce candidate pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = planted.select("doc_id").as[Long].collect()
+      .map(id => id -> find(id)).toMap
+    val got = cl.as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("hash sampling: deterministic, monotone in fraction, seed-independent draws") {
+    import graft.pipeline.Curation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val s20 = Curation.hashSample(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    val s50 = Curation.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s50), "same seed: smaller fraction must nest inside larger")
+    val n = docs.count().toDouble
+    assert(math.abs(s20.size / n - 0.2) < 0.1 && math.abs(s50.size / n - 0.5) < 0.1)
+    // determinism across partitionings
+    val again = Curation.hashSample(docs.repartition(13), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === s20)
+    // a different seed is an (approximately) independent draw, not a subset
+    val other = Curation.hashSample(docs, "doc_id", 0.2, seed = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== s20)
+  }
+
+  test("packSequences: offsets are exact running token sums, bounded in-sequence") {
+    import graft.pipeline.Curation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val packed = Curation.packSequences(docs, budgetTokens = 512, nShards = 4)
+      .orderBy("shard", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, n_tokens, shard, seq_id, seq_offset
+    assert(packed.length === docs.count())
+    packed.groupBy(_._3).foreach { case (shard, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).foreach { case (_, nTok, _, seqId, seqOff) =>
+        assert(seqId === shard * 1000000L + off / 512, s"shard $shard")
+        assert(seqOff === off % 512)
+        assert(seqOff >= 0 && seqOff < 512)
+        off += nTok
+      }
+    }
+    // determinism at a different parallelism
+    val again = Curation.packSequences(docs.repartition(11), 512, 4)
+      .orderBy("shard", "doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq === packed.toSeq)
+  }
+
+  test("redactPii: spans, counts, no double counting of digits inside IPs") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "mail a.b+c@x-corp.io and 192.168.0.1 then acct 123456789012"),
+      (2L, "no pii here, just words and 123"),
+      (3L, "two mails: x@y.org z@w.net ip 8.8.8.8")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1, 1, 1, "mail <EMAIL> and <IP> then acct <IDNUM>")))
+    assert(got(1) === ((2L, 0, 0, 0, "no pii here, just words and 123")))
+    assert(got(2) === ((3L, 2, 1, 0, "two mails: <EMAIL> <EMAIL> ip <IP>")))
+  }
 }

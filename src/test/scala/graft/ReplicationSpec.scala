@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Gen
+import graft.lake.{LakeTable, Replicate}
+
+/** Lake→lake incremental replication (lake/Replicate.scala): the
+  * destination converges to the source through change windows only, with
+  * deletes propagated and replays skipped via per-writer epoch lineage.
+  */
+class ReplicationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(t: LakeTable) =
+    t.read().orderBy("conv_id", "turn_idx").collect().toSeq
+
+  test("incremental sync converges to source state across epochs, incl. deletes") {
+    val dir = tmpDir("repl")
+    val cfg = Gen.GenConfig(nEvents = 6000, nConvs = 40, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    assert(events.filter($"op" === "D").count() > 0, "workload must include deletes")
+
+    val src = LakeTable.create(spark, s"$dir/src", Seq("conv_id", "turn_idx"), 8)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 8)
+
+    // ingest in 3 epochs; replicate after the 1st and after the 3rd, so one
+    // sync window spans multiple source commits
+    for (e <- 0 until 3) {
+      val slice = events.filter(pmod($"lsn", lit(3)) === e)
+      src.merge(slice, epoch = e.toLong)
+      if (e == 0 || e == 2) {
+        val st = Replicate.sync(src, dst)
+        assert(!st.skipped)
+      }
+    }
+    assert(sortedRows(dst) === sortedRows(src))
+    // deletes propagated: destination has no key the source lacks
+    assert(dst.read().join(src.read(), Seq("conv_id", "turn_idx"), "left_anti").count() === 0L)
+
+    // re-running the sync with nothing new is a no-op
+    val again = Replicate.sync(src, dst)
+    assert(again.skipped)
+
+    // a second destination bootstraps the FULL history in one sync
+    val dst2 = LakeTable.create(spark, s"$dir/dst2", Seq("conv_id", "turn_idx"), 8)
+    val boot = Replicate.sync(src, dst2)
+    assert(!boot.skipped)
+    assert(sortedRows(dst2) === sortedRows(src))
+  }
+
+  test("replication coexists with the destination's own writers") {
+    val dir = tmpDir("repl-mix")
+    val cfg = Gen.GenConfig(nEvents = 2000, nConvs = 20, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    val src = LakeTable.create(spark, s"$dir/src", Seq("conv_id", "turn_idx"), 4)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 4)
+    src.merge(events, epoch = 0L)
+
+    // the destination ingests its own local stream under the default writer
+    val local = Seq(("U", 10L, "local-conv", 0, "user", "local row", null: String,
+      new java.sql.Timestamp(0L)))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    dst.merge(local, epoch = 0L)
+
+    // replication's epoch lineage (writerId) is independent of the local
+    // stream's — both apply, neither skips the other
+    val st = Replicate.sync(src, dst)
+    assert(!st.skipped)
+    assert(dst.read().filter($"conv_id" === "local-conv").count() === 1L)
+    assert(dst.read().count() === src.read().count() + 1)
+  }
+}
