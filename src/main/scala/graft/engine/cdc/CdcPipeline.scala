@@ -40,7 +40,18 @@ object CdcPipeline {
         * readers; a retention of a few epochs is the streaming-ingest
         * default (Iceberg's expire-snapshots analog).
         */
-      vacuumEvery: Int = 0)
+      vacuumEvery: Int = 0,
+      /** snapshot versions whose delta files periodic vacuum keeps for
+        * lagging incremental consumers (readChangesSince / Replicate)
+        */
+      vacuumRetainVersions: Int = 8,
+      /** epoch-lineage scope in the lake's commit log. Distinct ids let
+        * INDEPENDENT streams (own log + own checkpoint) merge into ONE
+        * table without deduping each other's epochs; replays within a
+        * stream stay exactly-once. Matches the writer's checkpoint — one
+        * checkpoint dir, one writerId.
+        */
+      writerId: String = LakeTable.DefaultWriter)
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -60,9 +71,9 @@ object CdcPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val t0 = System.nanoTime()
         if (dbg) System.err.println(f"[cdc] epoch $epoch enter wall=${System.currentTimeMillis()}")
-        table.merge(batch, epoch)
+        table.merge(batch, epoch, cfg.writerId)
         if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
-          table.vacuum()
+          table.vacuum(cfg.vacuumRetainVersions)
         if (dbg) System.err.println(
           f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()
@@ -77,6 +88,6 @@ object CdcPipeline {
   def replayAll(spark: SparkSession, table: LakeTable, cfg: CdcConfig): Long = {
     val q = start(spark, table, cfg.copy(availableNow = true))
     q.awaitTermination()
-    table.currentSnapshot().lastEpoch + 1
+    table.currentSnapshot().lastEpochFor(cfg.writerId) + 1
   }
 }

@@ -575,11 +575,26 @@ final class LakeTable(
       files = files, addedDeltas = Nil))
   }
 
-  /** Remove data files not referenced by the current snapshot (old-version
-    * files kept until now for snapshot isolation of concurrent readers).
+  /** Remove data files referenced by neither the current snapshot nor the
+    * retention window (old-version files kept until now for snapshot
+    * isolation of concurrent readers).
+    *
+    * `retainVersions` protects INCREMENTAL consumers: the `addedDeltas` of
+    * the last N snapshot manifests stay on disk even when compaction has
+    * already folded them out of `files`, so a [[readChangesSince]] /
+    * [[Replicate.sync]] lagging up to N commits behind still finds its
+    * window (Iceberg's expire-snapshots retention analog). With the default
+    * 0 only the current snapshot's files survive — callers must know no
+    * incremental consumer is behind.
     */
-  def vacuum(): Int = {
-    val live = currentSnapshot().files.map(_.path).toSet
+  def vacuum(retainVersions: Int = 0): Int = {
+    val cur = currentSnapshot()
+    val retained = (math.max(0L, cur.version - retainVersions + 1) to cur.version)
+      .flatMap { v =>
+        val p = new Path(s"$snapDir/snap-$v.txt")
+        if (fs.exists(p)) readSnapshot(fs, p, v).addedDeltas.map(_.path) else Nil
+      }
+    val live = cur.files.map(_.path).toSet ++ retained
     var n = 0
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>

@@ -78,6 +78,39 @@ class ConcurrencySpec extends SparkSpec {
     assert(scala.io.Source.fromFile(s"$root/_current").mkString.trim === "2")
   }
 
+  test("two independent CDC streams merge into one table without deduping each other") {
+    import graft.core.Gen
+    import graft.engine.cdc.CdcPipeline
+    val dir = tmpDir("twostreams")
+    val cfg = Gen.GenConfig(nEvents = 4000, nConvs = 20, partitions = 4)
+    Gen.writeChangeLog(spark, cfg, s"$dir/log1", nChunks = 2)
+    // stream 2 revises the SAME keys with strictly higher lsns
+    val ev1 = Gen.changeEvents(spark, cfg).toDF()
+    val ev2 = ev1
+      .withColumn("lsn", $"lsn" + 1000000L)
+      .withColumn("text", concat(lit("s2 "), $"text"))
+    ev2.repartition(2).write.parquet(s"$dir/log2")
+
+    val table = LakeTable.create(spark, s"$dir/lake", Seq("conv_id", "turn_idx"), 8)
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(s"$dir/log1", s"$dir/cp1", writerId = "stream-1"))
+    // stream 2 also starts at epoch 0 — without per-writer lineage its whole
+    // replay would be "skipped" as a duplicate of stream 1's epochs
+    CdcPipeline.replayAll(spark, table,
+      CdcPipeline.CdcConfig(s"$dir/log2", s"$dir/cp2", writerId = "stream-2"))
+
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val expected = LakeTable.lwwWinners(ev1.unionByName(ev2),
+        Seq("conv_id", "turn_idx"), Seq($"lsn".desc, $"ts".desc))
+      .filter($"op" =!= "D")
+      .select(cols.map(col): _*).orderBy("conv_id", "turn_idx").collect().toSeq
+    val got = table.read()
+      .select(cols.map(col): _*).orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(got === expected)
+    // every surviving row carries stream 2's revision
+    assert(table.read().filter(!$"text".startsWith("s2 ")).count() === 0L)
+  }
+
   test("a replayed epoch that lost the race is skipped, not double-applied") {
     val root = tmpDir("replay-race") + "/t"
     val t1 = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)

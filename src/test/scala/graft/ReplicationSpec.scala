@@ -49,6 +49,31 @@ class ReplicationSpec extends SparkSpec {
     assert(sortedRows(dst2) === sortedRows(src))
   }
 
+  test("vacuum retention keeps a lagging consumer's change window readable") {
+    val dir = tmpDir("repl-vac")
+    val cfg = Gen.GenConfig(nEvents = 4000, nConvs = 20, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    // aggressive compaction so merged deltas fold out of `files` immediately
+    val src = new LakeTable(spark, s"$dir/src", Seq("conv_id", "turn_idx"),
+      numBuckets = 4, deltaRatio = 0.0, maxDeltaFiles = 1)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 4)
+
+    for (e <- 0 until 3) src.merge(events.filter(pmod($"lsn", lit(3)) === e), e.toLong)
+    val cur = src.currentSnapshot()
+    assert(cur.files.forall(_.kind == "b"), "compaction must have folded all deltas")
+
+    // retention keeps the folded delta files: a consumer 3 commits behind
+    // can still read its window after vacuum
+    val removedWithRetention = src.vacuum(retainVersions = 3)
+    val st = Replicate.sync(src, dst) // reads changes since -1 (bootstrap)
+    assert(!st.skipped)
+    assert(sortedRows(dst) === sortedRows(src))
+
+    // without retention the same vacuum would have deleted those windows
+    val removedBare = src.vacuum()
+    assert(removedBare > 0, "retention must have been the only thing keeping deltas")
+  }
+
   test("replication coexists with the destination's own writers") {
     val dir = tmpDir("repl-mix")
     val cfg = Gen.GenConfig(nEvents = 2000, nConvs = 20, partitions = 4)
