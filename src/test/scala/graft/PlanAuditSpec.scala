@@ -113,4 +113,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(kernelLines.forall(_.contains("*(")),
       s"vec kernel outside codegen span:\n${kernelLines.mkString("\n")}")
   }
+
+  test("hash sampling is a pure narrow filter: no exchange, pruned scan") {
+    val plan = planOf(SparkEntry.queries("d_sample_hash")(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    val readSchema = plan.split("ReadSchema:").last
+    assert(!readSchema.contains("text"), s"sample scan reads unneeded columns:\n$readSchema")
+  }
+
+  test("sequence packing windows per shard — no single-partition global sort") {
+    val plan = planOf(SparkEntry.queries("ta_pack")(spark, sfDir))
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not serialize through one partition:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("as-of join is union+window — single shuffle family, no join operator") {
+    val plan = planOf(SparkEntry.queries("q_asof_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("SortMergeJoin"),
+      s"as-of must not plan a pairwise join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
 }
