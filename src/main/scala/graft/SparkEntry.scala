@@ -335,6 +335,40 @@ object SparkEntry {
                        / count(*), 4) AS dup_rate
       FROM events""")),
 
+    ("cdc_envelope", (s, dir) => {
+      // binlog-tail decode path: fabricate a deterministic Debezium envelope
+      // stream from the events log (op derived from event_id), decode it with
+      // sources/CdcEnvelope, and resolve the LWW state INCLUDING
+      // delete-shadowing — the oracle recomputes the same state directly
+      // from the raw table, so the equality proves the envelope round-trip
+      import graft.sources.CdcEnvelope
+      import org.apache.spark.sql.types._
+      val raw = t(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(7)) === 0, "D")
+          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
+        col("event_id").as("lsn"),
+        col("user_id"), col("event_type"), col("value"))
+      val payloadSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val env = CdcEnvelope.encodeDebezium(raw,
+        Seq("user_id", "event_type", "value"), Seq("user_id", "event_type"))
+      val dec = CdcEnvelope.debezium(env, "value", payloadSchema)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
+      dec.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events)
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'""")),
+
     // ===== deduplication family (training-data pipeline) ===============
     ("d_dedup_exact", (s, dir) => {
       Dedup.exact(t(s, dir, "documents"))

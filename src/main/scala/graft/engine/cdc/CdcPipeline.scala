@@ -51,7 +51,14 @@ object CdcPipeline {
         * stream stay exactly-once. Matches the writer's checkpoint — one
         * checkpoint dir, one writerId.
         */
-      writerId: String = LakeTable.DefaultWriter)
+      writerId: String = LakeTable.DefaultWriter,
+      /** wire format of the tailed log: `parquet` (canonical change events),
+        * or a JSONL envelope format — `debezium`, `canal`, `maxwell`
+        * (decoded per-microbatch by [[graft.sources.CdcEnvelope]]; the
+        * decode is a narrow map inside the scan stage, so backpressure and
+        * offset lineage behave exactly as in the parquet path).
+        */
+      format: String = "parquet")
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -60,10 +67,29 @@ object CdcPipeline {
     // side; the lake handles it on the sink side too for batch callers)
     val schema =
       if (cfg.toolColumn) Model.changeEventSchema else Model.changeEventSchemaV1
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.logDir)
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+    val src = cfg.format match {
+      case "parquet" =>
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .parquet(cfg.logDir)
+      case env @ ("debezium" | "canal" | "maxwell") =>
+        // envelope tail: each line is one JSON envelope; keep it an opaque
+        // string at the source and decode with an explicit schema so a
+        // malformed line nulls out instead of poisoning schema inference
+        val raw = spark.readStream
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .text(cfg.logDir)
+        env match {
+          case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema)
+          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema)
+          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported CDC log format '$other' (parquet|debezium|canal|maxwell)")
+    }
 
     val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
     val writer = src.writeStream

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gen, Model}
+import graft.lake.LakeTable
+import graft.sources.CdcEnvelope
+
+/** Round-trip and merge-equivalence tests for the public CDC envelope
+  * decoders (Debezium / Canal / Maxwell).
+  */
+class CdcEnvelopeSpec extends SparkSpec {
+
+  private val payloadCols = Seq("ts", "conv_id", "turn_idx", "role", "text", "tool")
+  private val payloadSchema = org.apache.spark.sql.types.StructType(
+    Model.changeEventSchema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+
+  private def events: DataFrame = {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    Gen.changeEvents(spark, cfg).toDF()
+  }
+
+  /** Canonical frame for comparison: stable order, null-safe. */
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.map(col): _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("debezium round-trip: upserts exact, deletes keep the key image") {
+    val src = events
+    val enc = CdcEnvelope.encodeDebezium(src, payloadCols, Model.keyCols)
+    val dec = CdcEnvelope.debezium(enc, "value", payloadSchema)
+    // Debezium deletes carry only the key image in `before`, so non-key
+    // payload (incl. ts) decodes to null for D rows
+    val expected = src.select(
+      col("op"), col("lsn"),
+      when(col("op") === "D", lit(null)).otherwise(col("ts")).as("ts"),
+      col("conv_id"), col("turn_idx"),
+      col("role"), col("text"), col("tool"))
+    assert(canon(dec) == canon(expected))
+  }
+
+  test("canal round-trip is exact (full row image for every type)") {
+    val src = events
+    val enc = CdcEnvelope.encodeCanal(src, payloadCols)
+    val dec = CdcEnvelope.canal(enc, "value", payloadSchema, batchStride = 1)
+    assert(canon(dec) == canon(src.select("op", "lsn", "ts", "conv_id",
+      "turn_idx", "role", "text", "tool")))
+  }
+
+  test("maxwell round-trip is exact and lsn comes from the binlog position") {
+    val src = events
+    val enc = CdcEnvelope.encodeMaxwell(src, payloadCols)
+    val dec = CdcEnvelope.maxwell(enc, "value", payloadSchema)
+    assert(canon(dec) == canon(src.select("op", "lsn", "ts", "conv_id",
+      "turn_idx", "role", "text", "tool")))
+  }
+
+  test("maxwell lsn falls back to xid when position is absent") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"data":{"conv_id":"c1","turn_idx":1,"role":"user","text":"hi","ts":"2024-01-01T00:00:00Z"},"type":"insert","ts":7,"xid":99}""")
+      .toDF("value")
+    val dec = CdcEnvelope.maxwell(raw, "value", payloadSchema)
+    assert(dec.select("lsn").head().getLong(0) == 99L)
+  }
+
+  test("canal multi-row message fans out with intra-message order") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"data":[{"conv_id":"a","turn_idx":0},{"conv_id":"b","turn_idx":1}],"type":"UPDATE","id":5,"es":1}""")
+      .toDF("value")
+    val dec = CdcEnvelope.canal(raw, "value", payloadSchema, batchStride = 16)
+    val rows = dec.select("op", "lsn", "conv_id").orderBy("lsn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(("U", 80L, "a"), ("U", 81L, "b")))
+  }
+
+  test("streaming debezium tail replays to the same state as the parquet tail") {
+    import graft.engine.cdc.CdcPipeline
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val work = tmpDir("env-stream")
+
+    // canonical parquet log (chunked) and its replay
+    Gen.writeChangeLog(spark, cfg, s"$work/plog", nChunks = 4)
+    val viaParquet = LakeTable.create(spark, s"$work/plake", Model.keyCols, 8)
+    CdcPipeline.replayAll(spark, viaParquet,
+      CdcPipeline.CdcConfig(s"$work/plog", s"$work/pcp", maxFilesPerTrigger = 8))
+
+    // the same events as a Debezium JSONL tail (several files => several
+    // micro-batches under maxFilesPerTrigger=2)
+    CdcEnvelope.encodeDebezium(Gen.changeEvents(spark, cfg).toDF(),
+        payloadCols, Model.keyCols)
+      .repartition(4)
+      .write.text(s"$work/jlog")
+    val viaJson = LakeTable.create(spark, s"$work/jlake", Model.keyCols, 8)
+    CdcPipeline.replayAll(spark, viaJson,
+      CdcPipeline.CdcConfig(s"$work/jlog", s"$work/jcp", maxFilesPerTrigger = 2,
+        format = "debezium"))
+
+    assert(canon(viaParquet.read()) == canon(viaJson.read()))
+  }
+
+  test("envelope-decoded merge reaches the same table state as direct merge") {
+    val src = events.cache()
+    val direct = LakeTable.create(spark, tmpDir("env-direct"), Model.keyCols, 8)
+    direct.merge(src, 0L)
+
+    val viaEnv = LakeTable.create(spark, tmpDir("env-dbz"), Model.keyCols, 8)
+    val dec = CdcEnvelope.debezium(
+      CdcEnvelope.encodeDebezium(src, payloadCols, Model.keyCols),
+      "value", payloadSchema)
+    viaEnv.merge(dec, 0L)
+
+    // live state contains only upsert winners, which round-trip exactly
+    assert(canon(direct.read()) == canon(viaEnv.read()))
+    src.unpersist()
+    ()
+  }
+}
