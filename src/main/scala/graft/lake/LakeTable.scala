@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** An Iceberg-shaped, snapshot-committed table over immutable Parquet files,
   * with MERGE-ON-READ upserts and per-bucket compaction.
@@ -293,14 +293,29 @@ final class LakeTable(
     val storedOld: StructType = snap.schema.getOrElse(
       StructType(batchPayload.fields :+ StructField(LsnCol, LongType, nullable = false)))
     val storedNew: StructType = unionSchemas(storedOld, batchPayload)
+    // key columns may never change type, not even widening: the bucket
+    // routing hashes the key's RUNTIME type (murmur3 of an int != murmur3 of
+    // the same value as a long), so a widened key would send new versions of
+    // existing keys to a different bucket and break per-bucket LWW pruning
+    keyCols.foreach { k =>
+      require(storedOld(k).dataType == storedNew(k).dataType,
+        s"key column '$k' changed type ${storedOld(k).dataType} -> " +
+          s"${storedNew(k).dataType}: key types are frozen at table creation " +
+          "(bucket routing hashes the runtime type)")
+    }
     val payloadCols: Seq[String] = storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
     val hasTs = payloadCols.contains("ts")
 
     // -- align batch to unified schema ------------------------------------
+    // missing stored columns are null-filled; a batch column narrower than
+    // the (possibly just-widened) stored type is cast up — lossless by
+    // construction, since unionSchemas only ever resolves to the wider type
     var evs = batch
     payloadCols.foreach { c =>
       if (!evs.columns.contains(c))
         evs = evs.withColumn(c, lit(null).cast(storedNew(c).dataType))
+      else if (evs.schema(c).dataType != storedNew(c).dataType)
+        evs = evs.withColumn(c, col(c).cast(storedNew(c).dataType))
     }
     val obsIn = Observation(s"lake-in-$epoch")
     evs = evs.observe(obsIn,
@@ -688,21 +703,50 @@ object LakeTable {
 
   // --------------------------------------------------------------- manifest IO
 
-  /** Additive union: stored fields keep their order/type; brand-new batch
-    * fields are appended as nullable. Type conflicts are rejected (only
-    * additive evolution is supported, matching the north rule).
+  /** Safe type promotions (Iceberg's widening set for the types our
+    * sources produce): within the integral chain byte→short→int→long and
+    * the fractional chain float→double. Widening is SYMMETRIC here — a
+    * batch may arrive narrower than the stored column (cast up on write) or
+    * wider (the stored column is promoted; already-written narrow parquet
+    * files upcast at read time via the requested schema, SPARK-40876).
+    */
+  private val integralChain = Seq(ByteType, ShortType, IntegerType, LongType)
+  private val fractionalChain = Seq(FloatType, DoubleType)
+
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    if (a == b) Some(a)
+    else {
+      val (ia, ib) = (integralChain.indexOf(a), integralChain.indexOf(b))
+      val (fa, fb) = (fractionalChain.indexOf(a), fractionalChain.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(integralChain(math.max(ia, ib)))
+      else if (fa >= 0 && fb >= 0) Some(fractionalChain(math.max(fa, fb)))
+      else None
+    }
+  }
+
+  /** Additive + widening union: stored fields keep their order; brand-new
+    * batch fields are appended as nullable; a same-name field with a
+    * different type is resolved through [[widen]] (int→long, float→double),
+    * and anything else — narrowing, cross-family, string↔numeric — is
+    * rejected (matching Iceberg's evolution rules and the north rule's
+    * additive contract).
     */
   def unionSchemas(stored: StructType, incoming: StructType): StructType = {
     val byName = stored.fieldNames.toSet
     val added = incoming.fields.filterNot(f => byName.contains(f.name))
       .map(f => f.copy(nullable = true))
-    incoming.fields.filter(f => byName.contains(f.name)).foreach { f =>
-      val old = stored(f.name)
-      require(old.dataType == f.dataType,
-        s"non-additive schema change on '${f.name}': ${old.dataType} -> ${f.dataType}")
+    val resolved = stored.fields.map { old =>
+      incoming.fields.find(_.name == old.name) match {
+        case Some(f) =>
+          val dt = widen(old.dataType, f.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"non-additive schema change on '${f.name}': ${old.dataType} -> ${f.dataType}"))
+          old.copy(dataType = dt)
+        case None => old
+      }
     }
     // keep _lsn last for readability
-    val (lsn, rest) = (stored.fields ++ added).partition(_.name == LsnCol)
+    val (lsn, rest) = (resolved ++ added).partition(_.name == LsnCol)
     StructType(rest ++ lsn)
   }
 

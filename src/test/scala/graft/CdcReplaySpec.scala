@@ -119,6 +119,48 @@ class CdcReplaySpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.merge(bad, 2L) }
   }
 
+  test("type widening: int payload column promotes to long, old files upcast on read") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)
+    val lakeDir = tmpDir("lake-widen")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val all = Gen.changeEvents(spark, cfg)
+    // epoch 0: score is INT, weight is FLOAT
+    table.merge(all.filter($"lsn" < 1000L).toDF()
+      .withColumn("score", (col("lsn") % 7).cast("int"))
+      .withColumn("weight", (col("lsn") % 5).cast("float")), 0L)
+    // epoch 1: the source widened both columns (values exceed int range)
+    table.merge(all.filter($"lsn" >= 1000L).toDF()
+      .withColumn("score", col("lsn") + 4000000000L)
+      .withColumn("weight", (col("lsn") % 5).cast("double")), 1L)
+    val out = table.read()
+    assert(out.schema("score").dataType == LongType)
+    assert(out.schema("weight").dataType == DoubleType)
+    // rows written as int (epoch-0 parquet files) upcast at read time
+    assert(out.where(col("score") < 1000L).count() > 0L)
+    assert(out.where(col("score") > 4000000000L).count() > 0L)
+    // a later NARROW batch casts up on write and merges cleanly
+    table.merge(all.limit(100).toDF()
+      .withColumn("score", lit(3).cast("short"))
+      .withColumn("weight", lit(1.5f)), 2L)
+    assert(table.read().schema("score").dataType == LongType)
+    // cross-family change is still rejected
+    val bad = all.limit(10).toDF().withColumn("score", lit(1.5))
+    intercept[IllegalArgumentException] { table.merge(bad, 3L) }
+  }
+
+  test("key column types are frozen: widening a key is rejected") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 500L, nConvs = 20L, partitions = 2)
+    val table = LakeTable.create(spark, tmpDir("lake-keyfreeze"), Model.keyCols, numBuckets = 4)
+    val all = Gen.changeEvents(spark, cfg)
+    table.merge(all.toDF(), 0L)
+    val widenedKey = all.toDF().withColumn("turn_idx", col("turn_idx").cast("long"))
+    val e = intercept[IllegalArgumentException] { table.merge(widenedKey, 1L) }
+    assert(e.getMessage.contains("turn_idx"))
+  }
+
   test("late re-delivery of an older duplicate cannot resurrect a deleted key") {
     import spark.implicits._
     import java.sql.Timestamp
