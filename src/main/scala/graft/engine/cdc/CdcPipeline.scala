@@ -1,6 +1,7 @@
 package graft.engine.cdc
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.core.Model
@@ -58,7 +59,14 @@ object CdcPipeline {
         * decode is a narrow map inside the scan stage, so backpressure and
         * offset lineage behave exactly as in the parquet path).
         */
-      format: String = "parquet")
+      format: String = "parquet",
+      /** dead-letter dir for envelope formats: malformed lines (null lsn
+        * after decode) are appended here as `epoch=<n>/` text files — the
+        * reference's dirty-record collection (go-datax error limiter keeps
+        * dirty records + messages) — instead of being silently dropped.
+        * None ⇒ drop-only policy.
+        */
+      dlqDir: Option[String] = None)
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -82,22 +90,44 @@ object CdcPipeline {
         val raw = spark.readStream
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
           .text(cfg.logDir)
+        // with a DLQ configured, the raw line rides along so the dirty
+        // record lands in the dead-letter dir VERBATIM (reference semantics:
+        // dirty records are collected, not reconstructed)
+        val keep = if (cfg.dlqDir.isDefined) Seq("value") else Nil
         env match {
-          case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema)
-          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema)
-          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema)
+          case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema, keep)
+          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema, passthrough = keep)
+          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema, keep)
         }
       case other => throw new IllegalArgumentException(
         s"unsupported CDC log format '$other' (parquet|debezium|canal|maxwell)")
     }
+    val isEnvelope = cfg.format != "parquet"
 
     val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
     val writer = src.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val t0 = System.nanoTime()
         if (dbg) System.err.println(f"[cdc] epoch $epoch enter wall=${System.currentTimeMillis()}")
+        // corrupt-line policy for envelope formats: a malformed JSON line
+        // decodes to null lsn (from_json PERMISSIVE); it is diverted to the
+        // dead-letter dir (if configured) and NEVER reaches the LWW merge —
+        // the reference's error-limiter dirty-record semantics for a tail,
+        // where a bad record is collected away rather than failing the job
+        val batch = cfg.dlqDir match {
+          case Some(dlq) if isEnvelope =>
+            val b = batch0.persist()
+            b.filter(col("lsn").isNull).select("value")
+              // overwrite => idempotent on epoch replay (no duplicate dirty rows)
+              .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
+            val clean = b.filter(col("lsn").isNotNull).drop("value")
+            clean
+          case _ if isEnvelope => batch0.filter(col("lsn").isNotNull)
+          case _ => batch0
+        }
         table.merge(batch, epoch, cfg.writerId)
+        if (cfg.dlqDir.isDefined && isEnvelope) batch0.unpersist()
         if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
           table.vacuum(cfg.vacuumRetainVersions)
         if (dbg) System.err.println(

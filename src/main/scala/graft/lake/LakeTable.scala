@@ -101,7 +101,8 @@ final class LakeTable(
     * [[LakeTable.CommitConflictException]] and must rebase onto the new
     * head and retry. The pointer hint update afterwards is best-effort.
     */
-  private def commitSnapshot(s: Snapshot): Unit = {
+  private def commitSnapshot(s0: Snapshot): Unit = {
+    val s = s0.copy(commitTs = System.currentTimeMillis())
     fs.mkdirs(new Path(snapDir))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
@@ -363,12 +364,20 @@ final class LakeTable(
     val deltas = publish(deltaOut, s"$root/_staging-d-$epoch-$nonce", s"d$newVersion-$nonce", "d",
       numBuckets, reshuffle = false)
     lap("delta-publish")
-    val rowsIn = obsIn.get("rowsIn").asInstanceOf[Long]
+    // `obsIn.get` blocks until the write job's listener fired; the map is
+    // EMPTY when the write ran zero tasks (a fully-empty batch — e.g. an
+    // envelope micro-batch whose every line went to the DLQ), and `sum`
+    // metrics are null on zero observed rows — default both to 0
+    val obsMap = obsIn.get
+    def obsLong(k: String): Long = obsMap.get(k) match {
+      case Some(n: java.lang.Number) => n.longValue
+      case _ => 0L
+    }
+    val rowsIn = obsLong("rowsIn")
     val rowsDistinct = deltas.map(_.rows).sum
     val affected: Set[Int] = deltas.map(_.bucket).toSet
 
-    def observedBytes: Long =
-      Option(obsIn.get("bytesIn")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    def observedBytes: Long = obsLong("bytesIn")
 
     // optimistic-concurrency commit: claim base.version+1; on conflict,
     // REBASE onto the winner's snapshot and retry. Rebasing with delta
@@ -416,7 +425,7 @@ final class LakeTable(
     // skew factor = max/mean rows per bucket from the parquet footer counts
     // — the shuffle-partition-level skew that the salting/bucketing design
     // has to absorb, measured where it physically materializes.
-    val deletes = obsIn.get("deletesIn").asInstanceOf[Long]
+    val deletes = obsLong("deletesIn")
     val perBucket = deltas.groupBy(_.bucket).map(_._2.map(_.rows).sum)
     val skew =
       if (perBucket.isEmpty) 1.0
@@ -542,6 +551,29 @@ final class LakeTable(
     rows.toDF()
   }
 
+  /** Snapshot history (Iceberg `table.history()` analog): one row per
+    * committed version with its wall-clock commit time, epoch lineage and
+    * file counts — manifest metadata only, no data files touched.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(snapDir)
+    val rows =
+      if (!fs.exists(dir)) Seq.empty[(Long, java.sql.Timestamp, Long, Long, Int, Int, Int)]
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("snap-[0-9]+\\.txt"))
+        .map { st =>
+          val v = st.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong
+          val s = readSnapshot(fs, st.getPath, v)
+          (v, new java.sql.Timestamp(s.commitTs), s.lastEpoch, s.rows,
+            s.files.count(_.kind == "b"), s.files.count(_.kind == "d"),
+            s.addedDeltas.size)
+        }
+        .sortBy(_._1)
+    rows.toDF("version", "commit_ts", "last_epoch", "rows",
+      "base_files", "delta_files", "added_deltas")
+  }
+
   /** Force-fold all deltas into base files (maintenance entry point).
     * Tombstone winners are retained (see [[expireTombstones]]).
     */
@@ -655,7 +687,11 @@ object LakeTable {
         * replays are still skipped exactly-once. Absent in pre-multi-writer
         * manifests → derived as Map("default" -> lastEpoch) on read.
         */
-      epochs: Map[String, Long] = Map.empty) {
+      epochs: Map[String, Long] = Map.empty,
+      /** wall-clock commit time (epoch millis), stamped by commitSnapshot;
+        * 0 in pre-history manifests
+        */
+      commitTs: Long = 0L) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -755,6 +791,7 @@ object LakeTable {
     sb.append("version=").append(s.version).append('\n')
     sb.append("lastEpoch=").append(s.lastEpoch).append('\n')
     sb.append("rows=").append(s.rows).append('\n')
+    if (s.commitTs > 0L) sb.append("ts=").append(s.commitTs).append('\n')
     s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
       require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
       sb.append("wepoch=").append(w).append('\t').append(e).append('\n')
@@ -776,6 +813,7 @@ object LakeTable {
     val lines = readString(fs, p).split('\n').filter(_.nonEmpty)
     var lastEpoch = -1L
     var rows = 0L
+    var commitTs = 0L
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
@@ -787,6 +825,7 @@ object LakeTable {
       k match {
         case "lastEpoch" => lastEpoch = v.toLong
         case "rows" => rows = v.toLong
+        case "ts" => commitTs = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
           val Array(b, path, r, kind) = v.split('\t')
@@ -812,7 +851,7 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs)
+      addedDeltas.result(), epochs, commitTs)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

@@ -47,16 +47,18 @@ object CdcEnvelope {
     * `op` mapping: `c` (create) / `r` (snapshot read) → I, `u` → U,
     * `d` → D. The row image is `after` for upserts, `before` for deletes.
     */
-  def debezium(df: DataFrame, envelopeCol: String, payloadSchema: StructType): DataFrame = {
+  def debezium(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), debeziumSchema(payloadSchema))
-    df.select(
+    df.select(Seq(
         when(e.getField("op") === "d", Model.OpDelete)
           .when(e.getField("op") === "u", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
         e.getField("source").getField("lsn").as("lsn"),
-        coalesce(e.getField("after"), e.getField("before")).as("_row"))
-      .select(col("op") +: col("lsn") +: payloadSchema.fieldNames.toSeq
-        .map(f => col(s"_row.$f").as(f)): _*)
+        coalesce(e.getField("after"), e.getField("before")).as("_row")) ++
+        passthrough.map(col): _*)
+      .select(col("op") +: col("lsn") +: (payloadSchema.fieldNames.toSeq
+        .map(f => col(s"_row.$f").as(f)) ++ passthrough.map(col)): _*)
   }
 
   /** Envelope struct type for a Canal flat-JSON message. `data` batches
@@ -77,16 +79,21 @@ object CdcEnvelope {
     * row images in `data` (Canal semantics), so keys decode uniformly.
     */
   def canal(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
-      batchStride: Int = 1024): DataFrame = {
+      batchStride: Int = 1024, passthrough: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), canalSchema(payloadSchema))
-    df.select(
+    df.select(Seq(
         when(e.getField("type") === "DELETE", Model.OpDelete)
           .when(e.getField("type") === "UPDATE", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
         e.getField("id").as("_id"),
-        posexplode(e.getField("data")).as(Seq("_i", "_row")))
-      .select(col("op") +: (col("_id") * batchStride + col("_i")).as("lsn") +:
-        payloadSchema.fieldNames.toSeq.map(f => col(s"_row.$f").as(f)): _*)
+        // outer: a message whose `data` failed to parse still yields a row
+        // (null lsn/payload) so a corrupt-line policy can count or divert it
+        posexplode_outer(e.getField("data")).as(Seq("_i", "_row"))) ++
+        passthrough.map(col): _*)
+      .select(col("op") +:
+        when(col("_i").isNotNull, col("_id") * batchStride + col("_i")).as("lsn") +:
+        (payloadSchema.fieldNames.toSeq.map(f => col(s"_row.$f").as(f)) ++
+          passthrough.map(col)): _*)
   }
 
   /** Envelope struct type for a Maxwell change event. */
@@ -103,17 +110,19 @@ object CdcEnvelope {
     * `xid`. Maxwell's `data` holds the full row image for every type,
     * deletes included.
     */
-  def maxwell(df: DataFrame, envelopeCol: String, payloadSchema: StructType): DataFrame = {
+  def maxwell(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), maxwellSchema(payloadSchema))
     val posOffset = regexp_extract(e.getField("position"), ":([0-9]+)$", 1)
-    df.select(
+    df.select(Seq(
         when(e.getField("type") === "delete", Model.OpDelete)
           .when(e.getField("type") === "update", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
         coalesce(nullif(posOffset, lit("")).cast(LongType), e.getField("xid")).as("lsn"),
-        e.getField("data").as("_row"))
-      .select(col("op") +: col("lsn") +: payloadSchema.fieldNames.toSeq
-        .map(f => col(s"_row.$f").as(f)): _*)
+        e.getField("data").as("_row")) ++
+        passthrough.map(col): _*)
+      .select(col("op") +: col("lsn") +: (payloadSchema.fieldNames.toSeq
+        .map(f => col(s"_row.$f").as(f)) ++ passthrough.map(col)): _*)
   }
 
   // ------------------------------------------------------------- encoders

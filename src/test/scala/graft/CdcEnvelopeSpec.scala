@@ -88,17 +88,29 @@ class CdcEnvelopeSpec extends SparkSpec {
       CdcPipeline.CdcConfig(s"$work/plog", s"$work/pcp", maxFilesPerTrigger = 8))
 
     // the same events as a Debezium JSONL tail (several files => several
-    // micro-batches under maxFilesPerTrigger=2)
+    // micro-batches under maxFilesPerTrigger=2), plus a file of corrupt
+    // lines that the drop-malformed policy must absorb without affecting
+    // the final state
     CdcEnvelope.encodeDebezium(Gen.changeEvents(spark, cfg).toDF(),
         payloadCols, Model.keyCols)
       .repartition(4)
       .write.text(s"$work/jlog")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/jlog/part-corrupt.txt"),
+      "not json at all\n{\"op\":\"u\",\"garbage\":true}\n{}\n".getBytes)
     val viaJson = LakeTable.create(spark, s"$work/jlake", Model.keyCols, 8)
     CdcPipeline.replayAll(spark, viaJson,
       CdcPipeline.CdcConfig(s"$work/jlog", s"$work/jcp", maxFilesPerTrigger = 2,
-        format = "debezium"))
+        format = "debezium", dlqDir = Some(s"$work/dlq")))
 
     assert(canon(viaParquet.read()) == canon(viaJson.read()))
+    // the 3 corrupt lines were collected VERBATIM in the dead-letter dir
+    val dirty = spark.read.text(s"$work/dlq/epoch=*").collect().map(_.getString(0)).sorted
+    assert(dirty.toSeq == Seq("not json at all", "{\"op\":\"u\",\"garbage\":true}", "{}").sorted)
+    // snapshot history records every commit with a wall-clock timestamp
+    val h = viaJson.history()
+    assert(h.count() == viaJson.currentSnapshot().version + 1)
+    assert(h.where(org.apache.spark.sql.functions.col("commit_ts").isNull).count() == 0)
   }
 
   test("envelope-decoded merge reaches the same table state as direct merge") {
