@@ -279,6 +279,31 @@ object SparkEntry {
              r.p_event_id, round(r.p_value, 4) AS p_value_r
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
+    ("q_asof_tolerance", (s, dir) => {
+      // bounded-lookback as-of (pandas merge_asof tolerance): a purchase
+      // older than 10 minutes no longer annotates the click. The oracle is
+      // DuckDB's native ASOF LEFT JOIN with the match post-bounded by the
+      // same interval — an independent algorithm, identical row set.
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("p_event_id", "p_value"),
+          tolerance = Some(expr("INTERVAL 10 MINUTES")))
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id"), round(col("p_value"), 4).as("p_value_r"))
+    }, Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+                 FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id,
+             CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN r.p_event_id END AS p_event_id,
+             CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN round(r.p_value, 4) END AS p_value_r
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
     // ===== CDC / upsert core semantics over the events log =============
     ("cdc_lww_state", (s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   *
   * @param valueCols right columns to carry; must not collide with left
   *                  column names (alias them on the way in).
+  * @param tolerance optional maximum lookback (pandas `merge_asof`
+  *                  tolerance): a match further in the past than
+  *                  `leftTs - rightTs <= tolerance` is nulled out. Pass an
+  *                  interval literal for timestamp axes
+  *                  (`expr("INTERVAL 5 MINUTES")`) or a numeric for numeric
+  *                  axes. Applied AFTER the running fill — same single-
+  *                  exchange plan, one extra scalar predicate.
   */
 object AsOf {
 
@@ -43,14 +50,18 @@ object AsOf {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     require(valueCols.intersect(lCols).isEmpty,
       s"valueCols ${valueCols.intersect(lCols).mkString(",")} collide with left columns")
 
+    // the right ts rides inside the value struct (first field, constant per
+    // group, so the max tie-break winner is unchanged) — the tolerance
+    // check needs the MATCHED row's ts after the running fill
     val rDedup = right
       .groupBy((keys.map(col) :+ col(rightTs).as("_asof_ts")): _*)
-      .agg(max(struct(valueCols.map(col): _*)).as("_asof_rv"))
+      .agg(max(struct(col(rightTs).as("_asof_rts") +: valueCols.map(col): _*)).as("_asof_rv"))
     val rvType = rDedup.schema("_asof_rv").dataType
 
     val lSide = left.select(
@@ -72,10 +83,16 @@ object AsOf {
       .orderBy(col("_asof_ts").asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lSide.unionByName(rSide)
+    val filled = lSide.unionByName(rSide)
       .withColumn("_asof_rv", last(col("_asof_rv"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
-      .select(lCols.map(c => col(s"_asof_lv.`$c`").as(c)) ++
-        valueCols.map(c => col(s"_asof_rv.`$c`").as(c)): _*)
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn("_asof_rv",
+        when(col("_asof_rv").isNotNull &&
+          (col("_asof_ts") - col("_asof_rv._asof_rts")) <= tol, col("_asof_rv")))
+      case None => filled
+    }
+    bounded.select(lCols.map(c => col(s"_asof_lv.`$c`").as(c)) ++
+      valueCols.map(c => col(s"_asof_rv.`$c`").as(c)): _*)
   }
 }

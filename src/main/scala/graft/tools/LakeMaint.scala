@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** Lake-table maintenance CLI — the ops surface of the snapshot table
+  * (Iceberg's maintenance procedures analog: rewrite_data_files,
+  * expire_snapshots, table history/metrics inspection).
+  *
+  * Usage: LakeMaint <tableRoot> <cmd> [args]
+  *   history                    — print the snapshot history
+  *   metrics                    — print the per-epoch ingest metrics table
+  *   state                      — print current version/rows/files summary
+  *   compact                    — fold ALL delta files into base files
+  *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
+  *   vacuum [retainVersions]    — delete unreferenced data files
+  *
+  * Key columns are read from the stored schema's manifest, so the CLI works
+  * on any graft lake table regardless of its key layout — pass them
+  * explicitly as a 3rd+4th arg pair `--keys a,b` only if the table was
+  * created empty and never committed a schema.
+  */
+object LakeMaint {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LakeMaint <tableRoot> <cmd> [args]")
+    val root = args(0)
+    val cmd = args(1)
+    val keys = args.sliding(2).collectFirst {
+      case Array("--keys", ks) => ks.split(',').toSeq
+    }.getOrElse(graft.core.Model.keyCols)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-lake-maint")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val table = LakeTable.create(spark, root, keys)
+    cmd match {
+      case "history" => table.history().show(100, truncate = false)
+      case "metrics" => table.metrics().show(100, truncate = false)
+      case "state" =>
+        val s = table.currentSnapshot()
+        println(s"version=${s.version} rows=${s.rows} " +
+          s"baseFiles=${s.files.count(_.kind == "b")} " +
+          s"deltaFiles=${s.files.count(_.kind == "d")} " +
+          s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}")
+      case "compact" =>
+        table.compactAll()
+        println(s"compacted -> version ${table.currentSnapshot().version}")
+      case "expire" =>
+        require(args.length >= 3, "expire <horizonLsn>")
+        table.expireTombstones(args(2).toLong)
+        println(s"expired tombstones < ${args(2)} -> version ${table.currentSnapshot().version}")
+      case "vacuum" =>
+        val retain = if (args.length >= 3) args(2).toInt else 0
+        val n = table.vacuum(retain)
+        println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case other => throw new IllegalArgumentException(s"unknown command '$other'")
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,17 @@ class AsOfSpec extends SparkSpec {
     assert(again === "z")
   }
 
+  test("as-of join tolerance: matches older than the lookback bound null out") {
+    // id=3 matched "b" at ts 20 from ts 99 — a 79 s lookback; with a 60 s
+    // tolerance that match nulls out while the fresh ones (id=2: 0 s,
+    // id=4: 1 s) survive
+    val got = AsOf.join(left, right, Seq("k"), "t", "t", Seq("v"),
+        tolerance = Some(expr("INTERVAL 60 SECONDS")))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> None, 2L -> Some("a"), 3L -> None, 4L -> Some("c"), 5L -> None))
+  }
+
   test("as-of join plans as union+window: no nested-loop or cartesian join") {
     val plan = AsOf.join(left, right, Seq("k"), "t", "t", Seq("v"))
       .queryExecution.executedPlan.toString
