@@ -169,6 +169,36 @@ final class LakeTable(
       .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
   }
 
+  /** STREAMING CDC-out: tail the table's delta files as a Structured
+    * Streaming source — the push counterpart of the pull-style
+    * [[readChangesSince]] (Iceberg/Delta streaming-read analog). Delta
+    * files are immutable and land in `data/` with a `d` prefix at publish
+    * time, so a file-stream source with a glob filter tails exactly the
+    * change log: each emitted row is one epoch-level LWW-deduped change
+    * (payload + `_lsn` + `_op`, tombstones included). Base (`b`) files are
+    * excluded, so compaction rewrites never re-emit rows.
+    *
+    * Delivery is AT-LEAST-ONCE relative to commits (a crashed publish can
+    * orphan delta files that a retry re-publishes under a new nonce) —
+    * exactly the contract every consumer of this engine already handles,
+    * because `_lsn` LWW-merging absorbs duplicates; feed the stream into
+    * [[merge]] via foreachBatch for exactly-once downstream state. The
+    * read schema is fixed at stream start (restart the stream after
+    * additive evolution); keep [[vacuum]] retention ahead of consumer lag,
+    * as with [[readChangesSince]].
+    */
+  def readStreamChanges(maxFilesPerTrigger: Int = 32): DataFrame = {
+    val s = currentSnapshot()
+    val stored = s.schema.getOrElse(throw new IllegalStateException(
+      "readStreamChanges needs a committed schema — merge at least one batch first"))
+    val schema = StructType(stored.fields :+ StructField(OpCol, StringType, nullable = true))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "d*.parquet")
+      .parquet(dataDir)
+  }
+
   /** Point lookup: resolve ONE key touching only ITS bucket's files — the
     * payoff of hash-bucketing the layout (O(table/buckets) bytes read, not
     * O(table)). The bucket is computed driver-side with the same `hash`

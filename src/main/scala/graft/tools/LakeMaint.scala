@@ -15,6 +15,9 @@ import graft.lake.LakeTable
   *   compact                    — fold ALL delta files into base files
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
+  *   tail <dstRoot>             — stream the change log into another lake
+  *                                 table (AvailableNow; resumable via the
+  *                                 destination's `_tailcp` checkpoint)
   *
   * Key columns are read from the stored schema's manifest, so the CLI works
   * on any graft lake table regardless of its key layout — pass them
@@ -60,6 +63,23 @@ object LakeMaint {
         val retain = if (args.length >= 3) args(2).toInt else 0
         val n = table.vacuum(retain)
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case "tail" =>
+        require(args.length >= 3, "tail <dstRoot>")
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        val dst = LakeTable.create(spark, args(2), keys)
+        val q = table.readStreamChanges()
+          .withColumnRenamed("_op", "op")
+          .withColumn("op", coalesce(col("op"), lit("U")))
+          .withColumnRenamed("_lsn", "lsn")
+          .writeStream
+          .option("checkpointLocation", s"${args(2)}/_tailcp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            dst.merge(b, epoch, writerId = "cdc-tail"); ()
+          }
+          .start()
+        q.awaitTermination()
+        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows}")
       case other => throw new IllegalArgumentException(s"unknown command '$other'")
     }
     spark.stop()

@@ -74,6 +74,36 @@ class ReplicationSpec extends SparkSpec {
     assert(removedBare > 0, "retention must have been the only thing keeping deltas")
   }
 
+  test("streaming CDC-out: tailing delta files replicates the table live") {
+    val dir = tmpDir("repl-stream")
+    val cfg = Gen.GenConfig(nEvents = 6000, nConvs = 40, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    val src = LakeTable.create(spark, s"$dir/src", Seq("conv_id", "turn_idx"), 8)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 8)
+    for (e <- 0 until 3)
+      src.merge(events.filter(pmod($"lsn", lit(3)) === e), epoch = e.toLong)
+
+    // tail the source's change log as a stream; every micro-batch is a
+    // set of LWW-safe change rows that merges exactly-once downstream
+    val q = src.readStreamChanges(maxFilesPerTrigger = 8)
+      .withColumnRenamed("_op", "op")
+      .withColumn("op", coalesce(col("op"), lit("U")))
+      .withColumnRenamed("_lsn", "lsn")
+      .writeStream
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        dst.merge(b, epoch, writerId = "cdc-tail"); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(sortedRows(dst) === sortedRows(src))
+    // tombstones propagated as rows, then resolved away downstream
+    assert(dst.read().join(src.read(), Seq("conv_id", "turn_idx"), "left_anti").count() === 0L)
+    events.unpersist()
+    ()
+  }
+
   test("replication coexists with the destination's own writers") {
     val dir = tmpDir("repl-mix")
     val cfg = Gen.GenConfig(nEvents = 2000, nConvs = 20, partitions = 4)
