@@ -735,6 +735,24 @@ object SparkEntry {
       SELECT toks.doc_id, md5(n) AS content_fp, sh.shingle_fp
       FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id""")),
 
+    ("ta_tfidf", (s, dir) => {
+      TextAnalysis.tfidf(t(s, dir, "documents"), k = 3)
+    }, Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln((n.n + 1) / (df.df + 1)), 4) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC) AS rk
+        FROM s) r
+      WHERE rk <= 3""")),
+
     ("ta_pack", (s, dir) => {
       // concat-and-chunk sequence packing: 8 parallel shards, 512-token
       // sequences; layout is a pure function of (doc_id, token counts)

@@ -99,6 +99,32 @@ object TextAnalysis {
       t3.as("redacted"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF.
+    *
+    * Scale shape: one explode+aggregate for term frequencies (combiner
+    * shrinks the shuffle to distinct (doc, term) pairs), one aggregate for
+    * document frequencies (distinct terms — small, broadcast back), and a
+    * per-document window for the top-k cut. No pairwise anything; cost is
+    * O(tokens) end to end. Scores are rounded to 4 decimals BEFORE ranking
+    * so the cut is reproducible across engines (same policy as the
+    * similarity family).
+    */
+  def tfidf(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
+    val nDocs = docs.count() // one tiny scalar job, driver-held constant
+    val term = docs.select(col("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = term.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = term.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+  }
+
   /** Document fingerprints: content hash of normalized text plus a rolling
     * shingle fingerprint (the lexicographic-min md5 over word 3-gram
     * shingles — a 1-hash minhash, stable under small reorderings of

@@ -128,6 +128,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("tfidf broadcasts the document-frequency side; no pairwise join") {
+    val plan = planOf(SparkEntry.queries("ta_tfidf")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("as-of join is union+window — single shuffle family, no join operator") {
     val plan = planOf(SparkEntry.queries("q_asof_join")(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
