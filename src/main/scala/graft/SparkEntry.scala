@@ -555,6 +555,50 @@ object SparkEntry {
       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
             < CASE lang_pred WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 ELSE 10000 END""")),
 
+    ("d_embed_clusters", (s, dir) => {
+      // embedding-space clustering for corpus curation: every vector's
+      // k-means cell (the IVF trainer IS the k-means — md5-selected init,
+      // exact-double dots, float-rounded means), oracle-checked by
+      // unrolling the same two iterations in SQL
+      import graft.pipeline.Ivf
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.train(emb, k = 8, iters = 2)
+      Ivf.assignCell(emb, model)
+        .select(col("vec_id"), col("_cell").cast("long").as("cluster_id"))
+    }, Some("""
+      WITH c0 AS (
+        SELECT (row_number() OVER (ORDER BY md5v)) - 1 AS cell, cv FROM (
+          SELECT md5(vec_id::VARCHAR) AS md5v, embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY md5v LIMIT 8)),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      a1 AS (SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, c0.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.cell ASC) AS rn
+          FROM e CROSS JOIN c0) WHERE rn = 1),
+      m1 AS (SELECT cell, list(elem ORDER BY d) AS cv FROM (
+          SELECT cell, d, avg(val)::FLOAT::DOUBLE AS elem FROM (
+            SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a1)
+          GROUP BY cell, d) GROUP BY cell),
+      c1 AS (SELECT c0.cell, coalesce(m1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN m1 ON c0.cell = m1.cell),
+      a2 AS (SELECT vec_id, cell, v FROM (
+          SELECT e.vec_id, c1.cell, e.v,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c1.cv) DESC, c1.cell ASC) AS rn
+          FROM e CROSS JOIN c1) WHERE rn = 1),
+      m2 AS (SELECT cell, list(elem ORDER BY d) AS cv FROM (
+          SELECT cell, d, avg(val)::FLOAT::DOUBLE AS elem FROM (
+            SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a2)
+          GROUP BY cell, d) GROUP BY cell),
+      c2 AS (SELECT c1.cell, coalesce(m2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell)
+      SELECT vec_id, cell AS cluster_id FROM (
+        SELECT e.vec_id, c2.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c2.cv) DESC, c2.cell ASC) AS rn
+        FROM e CROSS JOIN c2) WHERE rn = 1""")),
+
     // ===== similarity search ============================================
     ("sim_topk", (s, dir) => {
       Similarity.topK(t(s, dir, "embeddings"), queryId = 1L, k = 10)

@@ -9,7 +9,10 @@ import graft.lake.LakeTable
 /** CLI driver for the CDC replay pipeline — the Spark-native analog of
   * `datax -job config.json` (go-datax `cmd/datax/main.go:52-55`).
   *
-  * Usage: CdcReplayMain <workDir> [nEvents] [cores] [numBuckets]
+  * Usage: CdcReplayMain <workDir> [nEvents] [cores] [numBuckets] [format]
+  * `format` = parquet (default) | debezium | canal | maxwell — the envelope
+  * formats generate the log as JSONL binlog envelopes and exercise the
+  * decode tail (dead-lettering malformed lines under <workDir>/dlq).
   * Generates a deterministic change log under <workDir>/log (unless it
   * exists), replays it through the streaming MERGE into <workDir>/lake, and
   * prints per-epoch metrics plus a final-state sample. Re-running with the
@@ -21,6 +24,7 @@ object CdcReplayMain {
     val nEvents = if (args.length > 1) args(1).toLong else 100000L
     val cores = if (args.length > 2) args(2).toInt else 8
     val buckets = if (args.length > 3) args(3).toInt else 16
+    val format = if (args.length > 4) args(4) else "parquet"
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -38,17 +42,34 @@ object CdcReplayMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = Gen.GenConfig(nEvents = nEvents, nConvs = math.max(10L, nEvents / 100), partitions = cores)
-    val logDir = s"$workDir/log"
+    val logDir = s"$workDir/log-$format"
     if (!new java.io.File(logDir).exists()) {
-      println(s"[gen] writing ${cfg.nEvents} change events -> $logDir")
-      Gen.writeChangeLog(spark, cfg, logDir, nChunks = 20)
+      println(s"[gen] writing ${cfg.nEvents} change events ($format) -> $logDir")
+      if (format == "parquet") Gen.writeChangeLog(spark, cfg, logDir, nChunks = 20)
+      else {
+        import graft.sources.CdcEnvelope
+        val ev = Gen.changeEvents(spark, cfg).toDF()
+        val payloadCols = Seq("ts", "conv_id", "turn_idx", "role", "text", "tool")
+        val enc = format match {
+          case "debezium" => CdcEnvelope.encodeDebezium(ev, payloadCols, Model.keyCols)
+          case "canal" => CdcEnvelope.encodeCanal(ev, payloadCols)
+          case "maxwell" => CdcEnvelope.encodeMaxwell(ev, payloadCols)
+          case other => throw new IllegalArgumentException(s"unknown format '$other'")
+        }
+        enc.repartition(20).write.text(logDir)
+      }
     } else println(s"[gen] reusing existing log at $logDir")
 
-    val table = LakeTable.create(spark, s"$workDir/lake", Model.keyCols, buckets)
+    // per-format lake + checkpoint: replaying another wire format is a NEW
+    // pipeline, not a resume of the parquet one's epochs
+    val lakeDir = if (format == "parquet") s"$workDir/lake" else s"$workDir/lake-$format"
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, buckets)
     val t0 = System.nanoTime()
     val epochs = CdcPipeline.replayAll(spark, table,
       // 8 segment files per chunk -> 4 chunks per trigger
-      CdcPipeline.CdcConfig(logDir, s"$workDir/checkpoint", maxFilesPerTrigger = 32))
+      CdcPipeline.CdcConfig(logDir, s"$workDir/checkpoint-$format", maxFilesPerTrigger = 32,
+        format = format,
+        dlqDir = if (format == "parquet") None else Some(s"$workDir/dlq")))
     val secs = (System.nanoTime() - t0) / 1e9
 
     val snap = table.currentSnapshot()
