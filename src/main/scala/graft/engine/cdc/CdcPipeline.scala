@@ -94,10 +94,14 @@ object CdcPipeline {
         // record lands in the dead-letter dir VERBATIM (reference semantics:
         // dirty records are collected, not reconstructed)
         val keep = if (cfg.dlqDir.isDefined) Seq("value") else Nil
+        // canal/maxwell get the table's key columns so key-changing updates
+        // fan out into tombstone+upsert (debezium emits the pair natively)
         env match {
           case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema, keep)
-          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema, passthrough = keep)
-          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema, keep)
+          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema,
+            passthrough = keep, keyCols = table.keyCols)
+          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema, keep,
+            keyCols = table.keyCols)
         }
       case other => throw new IllegalArgumentException(
         s"unsupported CDC log format '$other' (parquet|debezium|canal|maxwell)")

@@ -77,23 +77,63 @@ object CdcEnvelope {
     * message `id` scaled by a batch stride plus the row's index inside the
     * message, preserving intra-statement order. DELETE carries the deleted
     * row images in `data` (Canal semantics), so keys decode uniformly.
+    *
+    * KEY-CHANGING UPDATEs: Canal's `old` array (parallel to `data`, holding
+    * only the columns an UPDATE changed) may contain key columns — i.e. the
+    * statement MOVED the row to a new key. With `keyCols` set, such an
+    * update fans out into TWO change events: a tombstone (`D`) on the OLD
+    * key plus the upsert on the new one, so the moved row cannot linger
+    * under its previous key in the LWW state. (Debezium needs no such
+    * handling — it natively emits a delete + create pair for PK updates.)
     */
   def canal(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
-      batchStride: Int = 1024, passthrough: Seq[String] = Nil): DataFrame = {
+      batchStride: Int = 1024, passthrough: Seq[String] = Nil,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), canalSchema(payloadSchema))
-    df.select(Seq(
+    val exploded = df.select(Seq(
         when(e.getField("type") === "DELETE", Model.OpDelete)
           .when(e.getField("type") === "UPDATE", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
         e.getField("id").as("_id"),
+        e.getField("old").as("_olds"),
         // outer: a message whose `data` failed to parse still yields a row
         // (null lsn/payload) so a corrupt-line policy can count or divert it
         posexplode_outer(e.getField("data")).as(Seq("_i", "_row"))) ++
         passthrough.map(col): _*)
-      .select(col("op") +:
-        when(col("_i").isNotNull, col("_id") * batchStride + col("_i")).as("lsn") +:
-        (payloadSchema.fieldNames.toSeq.map(f => col(s"_row.$f").as(f)) ++
-          passthrough.map(col)): _*)
+      .withColumn("_old", element_at(col("_olds"), col("_i") + 1))
+    val lsn = when(col("_i").isNotNull, col("_id") * batchStride + col("_i"))
+    val base = Seq(col("op"), lsn.as("lsn"), col("_row"), col("_old"))
+    val flat = withKeyChangeTombstones(
+      exploded.select(base ++ passthrough.map(col): _*), payloadSchema, keyCols)
+    flat.select(col("op") +: col("lsn") +:
+      (payloadSchema.fieldNames.toSeq.map(f => col(s"_row.$f").as(f)) ++
+        passthrough.map(col)): _*)
+  }
+
+  /** Fan a key-changing UPDATE into (tombstone on old key, upsert) — input
+    * needs (op, lsn, _row, _old) columns; output drops `_old`. No-op when
+    * `keyCols` is empty or `_old` carries no differing key column.
+    */
+  private def withKeyChangeTombstones(df: DataFrame, payloadSchema: StructType,
+      keyCols: Seq[String]): DataFrame = {
+    if (keyCols.isEmpty) return df.drop("_old")
+    val keyChanged = keyCols.map { k =>
+      col(s"_old.$k").isNotNull && !(col(s"_old.$k") <=> col(s"_row.$k"))
+    }.reduce(_ || _)
+    // tombstone payload: OLD key values, everything else null
+    val tombRow = struct(payloadSchema.fields.toSeq.map { f =>
+      if (keyCols.contains(f.name)) coalesce(col(s"_old.${f.name}"), col(s"_row.${f.name}")).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val main = struct(col("op"), col("lsn"), col("_row"))
+    val tomb = struct(lit(Model.OpDelete).as("op"), col("lsn"), tombRow.as("_row"))
+    val others = df.columns.filterNot(Seq("op", "lsn", "_row", "_old").contains).map(col).toSeq
+    df.withColumn("_evs",
+        when(col("op") === Model.OpUpdate && keyChanged, array(tomb, main))
+          .otherwise(array(main)))
+      .select(explode(col("_evs")).as("_ev") +: others: _*)
+      .select(Seq(col("_ev.op").as("op"), col("_ev.lsn").as("lsn"),
+        col("_ev._row").as("_row")) ++ others: _*)
   }
 
   /** Envelope struct type for a Maxwell change event. */
@@ -108,21 +148,26 @@ object CdcEnvelope {
   /** Decode Maxwell envelopes. `lsn` prefers the binlog offset parsed from
     * `position` (`"file:offset"`), falling back to the transaction id
     * `xid`. Maxwell's `data` holds the full row image for every type,
-    * deletes included.
+    * deletes included. With `keyCols` set, an update whose `old` image
+    * carries a differing key column fans out into a tombstone on the old
+    * key + the upsert (see [[canal]]).
     */
   def maxwell(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil, keyCols: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), maxwellSchema(payloadSchema))
     val posOffset = regexp_extract(e.getField("position"), ":([0-9]+)$", 1)
-    df.select(Seq(
-        when(e.getField("type") === "delete", Model.OpDelete)
-          .when(e.getField("type") === "update", Model.OpUpdate)
-          .otherwise(Model.OpInsert).as("op"),
-        coalesce(nullif(posOffset, lit("")).cast(LongType), e.getField("xid")).as("lsn"),
-        e.getField("data").as("_row")) ++
-        passthrough.map(col): _*)
-      .select(col("op") +: col("lsn") +: (payloadSchema.fieldNames.toSeq
-        .map(f => col(s"_row.$f").as(f)) ++ passthrough.map(col)): _*)
+    val flat = withKeyChangeTombstones(
+      df.select(Seq(
+          when(e.getField("type") === "delete", Model.OpDelete)
+            .when(e.getField("type") === "update", Model.OpUpdate)
+            .otherwise(Model.OpInsert).as("op"),
+          coalesce(nullif(posOffset, lit("")).cast(LongType), e.getField("xid")).as("lsn"),
+          e.getField("data").as("_row"),
+          e.getField("old").as("_old")) ++
+          passthrough.map(col): _*),
+      payloadSchema, keyCols)
+    flat.select(col("op") +: col("lsn") +: (payloadSchema.fieldNames.toSeq
+      .map(f => col(s"_row.$f").as(f)) ++ passthrough.map(col)): _*)
   }
 
   // ------------------------------------------------------------- encoders

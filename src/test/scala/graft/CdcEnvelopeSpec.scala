@@ -76,6 +76,53 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(rows == Seq(("U", 80L, "a"), ("U", 81L, "b")))
   }
 
+  test("canal key-changing update fans into a tombstone on the old key + the upsert") {
+    import spark.implicits._
+    val raw = Seq(
+      // row moved from (a,1) to (b,2): old image carries the previous key
+      """{"data":[{"conv_id":"b","turn_idx":2,"role":"user","text":"moved"}],"old":[{"conv_id":"a","turn_idx":1}],"type":"UPDATE","id":9}""",
+      // ordinary update: old image touches only a non-key column
+      """{"data":[{"conv_id":"c","turn_idx":3,"text":"edited"}],"old":[{"text":"before"}],"type":"UPDATE","id":10}""")
+      .toDF("value")
+    val dec = CdcEnvelope.canal(raw, "value", payloadSchema,
+      batchStride = 1, keyCols = Model.keyCols)
+    val rows = dec.select("op", "lsn", "conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(rows == Set(
+      ("D", 9L, "a", 1, null), // tombstone on the OLD key, payload null
+      ("U", 9L, "b", 2, "moved"),
+      ("U", 10L, "c", 3, "edited")))
+  }
+
+  test("maxwell key-changing update fans the same way") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"data":{"conv_id":"x","turn_idx":5,"text":"new"},"old":{"turn_idx":4},"type":"update","ts":1,"xid":77}""")
+      .toDF("value")
+    val dec = CdcEnvelope.maxwell(raw, "value", payloadSchema, keyCols = Model.keyCols)
+    val rows = dec.select("op", "lsn", "conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(rows == Set(("D", 77L, "x", 4), ("U", 77L, "x", 5)))
+  }
+
+  test("key-change fan-out through merge: the moved row leaves its old key") {
+    import spark.implicits._
+    val table = LakeTable.create(spark, tmpDir("env-move"), Model.keyCols, 4)
+    // epoch 0: the row exists at (m,1)
+    table.merge(Seq(("I", 1L, "m", 1, "user", "v1"))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text"), 0L)
+    // epoch 1: canal update moves it to (m,2)
+    val mv = CdcEnvelope.canal(
+      Seq("""{"data":[{"conv_id":"m","turn_idx":2,"role":"user","text":"v2"}],"old":[{"turn_idx":1}],"type":"UPDATE","id":5}""")
+        .toDF("value"),
+      "value", payloadSchema, batchStride = 1, keyCols = Model.keyCols)
+    table.merge(mv, 1L)
+    val state = table.read().select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(state == Set(("m", 2, "v2")))
+  }
+
   test("streaming debezium tail replays to the same state as the parquet tail") {
     import graft.engine.cdc.CdcPipeline
     val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
