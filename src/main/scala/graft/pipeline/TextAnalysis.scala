@@ -103,11 +103,14 @@ object TextAnalysis {
     *
     * Scale shape: one explode+aggregate for term frequencies (combiner
     * shrinks the shuffle to distinct (doc, term) pairs), one aggregate for
-    * document frequencies (distinct terms — small, broadcast back), and a
-    * per-document window for the top-k cut. No pairwise anything; cost is
-    * O(tokens) end to end. Scores are rounded to 4 decimals BEFORE ranking
-    * so the cut is reproducible across engines (same policy as the
-    * similarity family).
+    * document frequencies joined back BY TERM, and a per-document window
+    * for the top-k cut. No pairwise anything; cost is O(tokens) end to end.
+    * The vocabulary join is deliberately NOT hinted: at test scale AQE
+    * broadcasts it (asserted in PlanAuditSpec), while a web-scale
+    * vocabulary (billions of distinct terms — urls, typos) exceeds any
+    * broadcast budget and correctly falls back to a shuffle join keyed by
+    * term. Scores are rounded to 4 decimals BEFORE ranking so the cut is
+    * reproducible across engines (same policy as the similarity family).
     */
   def tfidf(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
     val nDocs = docs.count() // one tiny scalar job, driver-held constant
@@ -115,7 +118,7 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("term"))
     val tf = term.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = term.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf.join(df, "term")
       .withColumn("tfidf",
         round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")

@@ -78,6 +78,11 @@ object CdcEnvelope {
     * message, preserving intra-statement order. DELETE carries the deleted
     * row images in `data` (Canal semantics), so keys decode uniformly.
     *
+    * `batchStride` must exceed the largest `data` array any message
+    * carries (Canal's canal.instance.memory.buffer defaults keep statements
+    * far below the 1024 default) — a larger message would alias into the
+    * next message's lsn space.
+    *
     * KEY-CHANGING UPDATEs: Canal's `old` array (parallel to `data`, holding
     * only the columns an UPDATE changed) may contain key columns — i.e. the
     * statement MOVED the row to a new key. With `keyCols` set, such an
