@@ -50,9 +50,12 @@ object SparkEntry {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      // broadcast the filtered dims; revenue rounded before ordering so the
-      // top-10 cut is reproducible across engines
-      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+      // broadcast only the FILTERED DIM (customer); the orders⋈customer
+      // side is orders-sized, so its join with lineitem is left unhinted —
+      // AQE broadcasts it at small scale and falls back to a shuffle join
+      // when orders outgrow the broadcast budget. Revenue rounds before
+      // ordering so the top-10 cut is reproducible across engines.
+      l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
           l("l_orderkey") === o("o_orderkey"))
         .groupBy(o("o_orderkey").as("o_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
