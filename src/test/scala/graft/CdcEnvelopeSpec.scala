@@ -76,6 +76,31 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(rows == Seq(("U", 80L, "a"), ("U", 81L, "b")))
   }
 
+  test("hostile payload strings survive the JSON round-trip in every format") {
+    import spark.implicits._
+    val nasty = Seq(
+      """quote " inside""", "new\nline", "tab\there", "unicode ☃ é 中文",
+      """back\slash and \" escaped""", """{"fake": "json"}""", "", "   ",
+      "controlchar")
+    val src = nasty.zipWithIndex.map { case (txt, i) =>
+      ("U", i.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L),
+        s"c$i", i, "user", txt, null: String)
+    }.toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool")
+    for ((enc, dec) <- Seq[(DataFrame => DataFrame, DataFrame => DataFrame)](
+        (d => CdcEnvelope.encodeCanal(d, payloadCols),
+          d => CdcEnvelope.canal(d, "value", payloadSchema, batchStride = 1)),
+        (d => CdcEnvelope.encodeMaxwell(d, payloadCols),
+          d => CdcEnvelope.maxwell(d, "value", payloadSchema)),
+        (d => CdcEnvelope.encodeDebezium(d, payloadCols, Model.keyCols),
+          d => CdcEnvelope.debezium(d, "value", payloadSchema)))) {
+      val out = dec(enc(src)).select("lsn", "text").as[(Long, String)]
+        .collect().toMap
+      nasty.zipWithIndex.foreach { case (txt, i) =>
+        assert(out(i.toLong) == txt, s"text mangled for case $i")
+      }
+    }
+  }
+
   test("canal key-changing update fans into a tombstone on the old key + the upsert") {
     import spark.implicits._
     val raw = Seq(
