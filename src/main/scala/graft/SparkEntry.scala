@@ -435,6 +435,28 @@ object SparkEntry {
       FROM band x JOIN band y ON x.band = y.band AND x.band_sig = y.band_sig
                              AND x.doc_id < y.doc_id""")),
 
+    ("d_dedup_incremental", (s, dir) => {
+      // continuous-ingest dedup: which NEW docs (20% split) collide with the
+      // stored corpus — band join against the persisted signature table
+      // only; the corpus is never re-shingled, no corpus×corpus pairs
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.incrementalCandidates(fresh, Dedup.bandSignatures(corpus))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+             FROM sh CROSS JOIN UNNEST(range(0, 8)) AS jj(j)
+             GROUP BY doc_id, j),
+      band AS (SELECT doc_id, (j // 2)::INT AS band, string_agg(mh, ',' ORDER BY mh) AS band_sig
+               FROM mh GROUP BY doc_id, (j // 2)::INT)
+      SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+      FROM band x JOIN band y ON x.band = y.band AND x.band_sig = y.band_sig
+      WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0""")),
+
     ("d_simhash", (s, dir) => {
       Dedup.simhash(t(s, dir, "documents"))
     }, Some("""

@@ -74,13 +74,36 @@ object Dedup {
     * The band bucket join touches only colliding docs — near-linear at scale.
     */
   def minhashCandidates(docs: DataFrame, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = minhashSignatures(docs, n, k)
-      .groupBy(col("doc_id"), (col("j") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",", array_sort(collect_list(col("mh")))).as("band_sig"))
+    val sig = bandSignatures(docs, n, bands, rowsPerBand)
     sig.as("x").join(sig.as("y"), Seq("band", "band_sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Band signatures of a corpus — the STORED side of incremental dedup
+    * (persist this alongside the corpus; it is O(docs × bands) small).
+    */
+  def bandSignatures(docs: DataFrame, n: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame =
+    minhashSignatures(docs, n, bands * rowsPerBand)
+      .groupBy(col("doc_id"), (col("j") / rowsPerBand).cast("int").as("band"))
+      .agg(concat_ws(",", array_sort(collect_list(col("mh")))).as("band_sig"))
+
+  /** INCREMENTAL near-dup candidates: which NEW documents collide with the
+    * EXISTING corpus — the continuous-ingest shape of LSH dedup. Cost is
+    * O(new × bands) signature computation plus a band-bucket join against
+    * the stored signature table; the corpus is never re-shingled and no
+    * corpus×corpus pair is ever formed. Returns (new_id, corpus_id)
+    * distinct pairs; anti-join the new batch on `new_id` to admit only
+    * novel documents.
+    */
+  def incrementalCandidates(newDocs: DataFrame, corpusSignatures: DataFrame,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val newSig = bandSignatures(newDocs, n, bands, rowsPerBand)
+    newSig.as("x").join(corpusSignatures.as("y"), Seq("band", "band_sig"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
   }
 

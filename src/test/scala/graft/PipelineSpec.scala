@@ -35,6 +35,23 @@ class PipelineSpec extends SparkSpec {
       s"recall ${found.size}/${truth.size} below 0.9")
   }
 
+  test("incremental candidates equal the full run's cross-boundary pairs") {
+    // corpus = originals, new batch = the planted near-dups; the incremental
+    // band join against the stored signatures must surface exactly the
+    // full-corpus candidate pairs that cross the boundary
+    val corpus = planted.filter($"doc_id" < 1000)
+    val fresh = planted.filter($"doc_id" >= 1000)
+    val inc = Dedup.incrementalCandidates(fresh, Dedup.bandSignatures(corpus))
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashCandidates(planted).as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a < 1000 && b >= 1000 => (b, a)
+      case (a, b) if a >= 1000 && b < 1000 => (a, b)
+    }
+    assert(inc == crossFromFull)
+    assert(inc.nonEmpty, "planted dups must collide with their originals")
+  }
+
   test("simhash of near-duplicates has small hamming distance") {
     val pairs = Dedup.simhashPairs(planted, maxDist = 6)
       .select("a", "b").as[(Long, Long)].collect().toSet
