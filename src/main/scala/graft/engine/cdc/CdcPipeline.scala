@@ -30,6 +30,9 @@ import graft.lake.LakeTable
   */
 object CdcPipeline {
 
+  /** passthrough column carrying the verbatim envelope line to the DLQ */
+  private val RawCol = "_raw_envelope"
+
   final case class CdcConfig(
       logDir: String,
       checkpointDir: String,
@@ -92,15 +95,18 @@ object CdcPipeline {
           .text(cfg.logDir)
         // with a DLQ configured, the raw line rides along so the dirty
         // record lands in the dead-letter dir VERBATIM (reference semantics:
-        // dirty records are collected, not reconstructed)
-        val keep = if (cfg.dlqDir.isDefined) Seq("value") else Nil
+        // dirty records are collected, not reconstructed). The passthrough
+        // column is renamed up front — a payload schema may legitimately
+        // contain a column named `value` (the text source's default name)
+        val keep = if (cfg.dlqDir.isDefined) Seq(RawCol) else Nil
+        val src0 = if (cfg.dlqDir.isDefined) raw.withColumn(RawCol, col("value")) else raw
         // canal/maxwell get the table's key columns so key-changing updates
         // fan out into tombstone+upsert (debezium emits the pair natively)
         env match {
-          case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema, keep)
-          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema,
+          case "debezium" => graft.sources.CdcEnvelope.debezium(src0, "value", payloadSchema, keep)
+          case "canal" => graft.sources.CdcEnvelope.canal(src0, "value", payloadSchema,
             passthrough = keep, keyCols = table.keyCols)
-          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema, keep,
+          case _ => graft.sources.CdcEnvelope.maxwell(src0, "value", payloadSchema, keep,
             keyCols = table.keyCols)
         }
       case other => throw new IllegalArgumentException(
@@ -122,10 +128,10 @@ object CdcPipeline {
         val batch = cfg.dlqDir match {
           case Some(dlq) if isEnvelope =>
             val b = batch0.persist()
-            b.filter(col("lsn").isNull).select("value")
+            b.filter(col("lsn").isNull).select(RawCol)
               // overwrite => idempotent on epoch replay (no duplicate dirty rows)
               .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
-            val clean = b.filter(col("lsn").isNotNull).drop("value")
+            val clean = b.filter(col("lsn").isNotNull).drop(RawCol)
             clean
           case _ if isEnvelope => batch0.filter(col("lsn").isNotNull)
           case _ => batch0
