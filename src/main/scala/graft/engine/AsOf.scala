@@ -55,6 +55,9 @@ object AsOf {
     val lCols = left.columns.toSeq
     require(valueCols.intersect(lCols).isEmpty,
       s"valueCols ${valueCols.intersect(lCols).mkString(",")} collide with left columns")
+    val reserved = Seq("_asof_rts", "_asof_ts", "_asof_rv", "_asof_lv", "_asof_side")
+    require(valueCols.intersect(reserved).isEmpty,
+      s"valueCols ${valueCols.intersect(reserved).mkString(",")} use reserved internal names")
 
     // the right ts rides inside the value struct (first field, constant per
     // group, so the max tie-break winner is unchanged) — the tolerance

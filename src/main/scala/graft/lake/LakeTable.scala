@@ -87,8 +87,16 @@ final class LakeTable(
     val p = new Path(pointer)
     var v = if (fs.exists(p)) readString(fs, p).trim.toLong else -1L
     while (fs.exists(new Path(s"$snapDir/snap-${v + 1}.txt"))) v += 1
-    if (v < 0) Snapshot(version = -1L, lastEpoch = -1L, schema = None, rows = 0L, files = Nil)
-    else readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
+    if (v < 0) return Snapshot(version = -1L, lastEpoch = -1L, schema = None, rows = 0L, files = Nil)
+    val s = readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
+    // layout guard: a handle opened with different keys/buckets would
+    // relabel every row's bucket and corrupt compaction and point reads
+    if (s.keysMeta.nonEmpty)
+      require(s.keysMeta == keyCols && s.bucketsMeta == numBuckets,
+        s"table layout mismatch: manifest has keys=${s.keysMeta.mkString(",")} " +
+          s"buckets=${s.bucketsMeta}, this handle was opened with " +
+          s"keys=${keyCols.mkString(",")} buckets=$numBuckets — use LakeTable.open")
+    s
   }
 
   /** Atomically claim `snap-<version>.txt` for this snapshot — optimistic
@@ -102,7 +110,8 @@ final class LakeTable(
     * head and retry. The pointer hint update afterwards is best-effort.
     */
   private def commitSnapshot(s0: Snapshot): Unit = {
-    val s = s0.copy(commitTs = System.currentTimeMillis())
+    val s = s0.copy(commitTs = System.currentTimeMillis(),
+      keysMeta = keyCols, bucketsMeta = numBuckets)
     fs.mkdirs(new Path(snapDir))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
@@ -192,11 +201,16 @@ final class LakeTable(
     val stored = s.schema.getOrElse(throw new IllegalStateException(
       "readStreamChanges needs a committed schema — merge at least one batch first"))
     val schema = StructType(stored.fields :+ StructField(OpCol, StringType, nullable = true))
+    // canonical merge-ready shape (`op`/`lsn`, op null ⇒ U) so a consumer
+    // can feed the stream straight into another table's merge
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "d*.parquet")
       .parquet(dataDir)
+      .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+      .withColumnRenamed(OpCol, "op")
+      .withColumnRenamed(LsnCol, "lsn")
   }
 
   /** Point lookup: resolve ONE key touching only ITS bucket's files — the
@@ -721,7 +735,15 @@ object LakeTable {
       /** wall-clock commit time (epoch millis), stamped by commitSnapshot;
         * 0 in pre-history manifests
         */
-      commitTs: Long = 0L) {
+      commitTs: Long = 0L,
+      /** table layout recorded in every manifest: key columns + bucket
+        * count. The bucket of a row is pmod(hash(keys), buckets), so these
+        * are TABLE constants — a handle opened with a different layout
+        * would relabel rows and corrupt compaction/point reads; every
+        * snapshot read validates them. Empty/0 in pre-layout manifests.
+        */
+      keysMeta: Seq[String] = Nil,
+      bucketsMeta: Int = 0) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -747,6 +769,25 @@ object LakeTable {
   def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
       deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12): LakeTable =
     new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles)
+
+  /** Open an EXISTING table with the layout recorded in its manifest —
+    * the safe way to get a handle without knowing keys/buckets (ops CLIs,
+    * downstream consumers). Fails on an empty table or a pre-layout
+    * manifest (fall back to [[create]] with the known layout there).
+    */
+  def open(spark: SparkSession, root: String,
+      deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12): LakeTable = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDir = s"$root/_snapshots"
+    val pointer = new Path(s"$root/_current")
+    var v = if (fs.exists(pointer)) readString(fs, pointer).trim.toLong else -1L
+    while (fs.exists(new Path(s"$snapDir/snap-${v + 1}.txt"))) v += 1
+    require(v >= 0, s"no committed snapshot under $root")
+    val s = readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
+    require(s.keysMeta.nonEmpty,
+      s"manifest at $root predates layout metadata — open with LakeTable.create and the known layout")
+    new LakeTable(spark, root, s.keysMeta, s.bucketsMeta, deltaRatio, maxDeltaFiles)
+  }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.
     *
@@ -822,6 +863,8 @@ object LakeTable {
     sb.append("lastEpoch=").append(s.lastEpoch).append('\n')
     sb.append("rows=").append(s.rows).append('\n')
     if (s.commitTs > 0L) sb.append("ts=").append(s.commitTs).append('\n')
+    if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
+    if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
     s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
       require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
       sb.append("wepoch=").append(w).append('\t').append(e).append('\n')
@@ -844,6 +887,8 @@ object LakeTable {
     var lastEpoch = -1L
     var rows = 0L
     var commitTs = 0L
+    var keysMeta: Seq[String] = Nil
+    var bucketsMeta = 0
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
@@ -856,6 +901,8 @@ object LakeTable {
         case "lastEpoch" => lastEpoch = v.toLong
         case "rows" => rows = v.toLong
         case "ts" => commitTs = v.toLong
+        case "keys" => keysMeta = v.split(',').toSeq
+        case "buckets" => bucketsMeta = v.toInt
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
           val Array(b, path, r, kind) = v.split('\t')
@@ -881,7 +928,7 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs)
+      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

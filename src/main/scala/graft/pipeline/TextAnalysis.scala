@@ -117,7 +117,10 @@ object TextAnalysis {
     val term = docs.select(col("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
     val tf = term.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = term.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // tf already holds one row per (doc, term), so document frequency is a
+    // plain count over it — re-aggregating `term` would tokenize and
+    // explode the whole corpus a second time
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf",
         round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 4))

@@ -50,11 +50,17 @@ object CdcEnvelope {
   def debezium(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
       passthrough: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), debeziumSchema(payloadSchema))
+    // row-image ops only: c/r/u/d. Truncate ('t') and logical-message ('m')
+    // envelopes carry a valid source.lsn but NO row image — decode them
+    // with null lsn so the corrupt-line policy diverts them rather than
+    // inserting a null-key row
+    val isRowEvent = e.getField("op").isin("c", "r", "u", "d") &&
+      coalesce(e.getField("after"), e.getField("before")).isNotNull
     df.select(Seq(
         when(e.getField("op") === "d", Model.OpDelete)
           .when(e.getField("op") === "u", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
-        e.getField("source").getField("lsn").as("lsn"),
+        when(isRowEvent, e.getField("source").getField("lsn")).as("lsn"),
         coalesce(e.getField("after"), e.getField("before")).as("_row")) ++
         passthrough.map(col): _*)
       .select(col("op") +: col("lsn") +: (payloadSchema.fieldNames.toSeq
@@ -150,23 +156,36 @@ object CdcEnvelope {
     StructField("xid", LongType, nullable = true),
     StructField("position", StringType, nullable = true)))
 
-  /** Decode Maxwell envelopes. `lsn` prefers the binlog offset parsed from
-    * `position` (`"file:offset"`), falling back to the transaction id
-    * `xid`. Maxwell's `data` holds the full row image for every type,
-    * deletes included. With `keyCols` set, an update whose `old` image
-    * carries a differing key column fans out into a tombstone on the old
-    * key + the upsert (see [[canal]]).
+  /** Decode Maxwell envelopes. `lsn` prefers the binlog position parsed
+    * from `position` (`"file.NNNNNN:offset"`) — composed as
+    * `fileSeq << 40 | offset`, so ordering SURVIVES binlog file rotation
+    * (an offset alone would rank `file.000002:4500` below
+    * `file.000001:805000` and let stale values win LWW); falls back to the
+    * transaction id `xid`. Maxwell's `data` holds the full row image for
+    * every type, deletes included; non-row envelopes (DDL, bootstrap
+    * markers, heartbeats — null `data`) decode with null lsn so the
+    * corrupt-line policy diverts them instead of inserting null-key rows.
+    * With `keyCols` set, an update whose `old` image carries a differing
+    * key column fans out into a tombstone on the old key + the upsert
+    * (see [[canal]]).
     */
   def maxwell(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
       passthrough: Seq[String] = Nil, keyCols: Seq[String] = Nil): DataFrame = {
     val e = from_json(col(envelopeCol), maxwellSchema(payloadSchema))
     val posOffset = regexp_extract(e.getField("position"), ":([0-9]+)$", 1)
+    val posFileSeq = regexp_extract(e.getField("position"), "\\.([0-9]+):[0-9]+$", 1)
+    val posLsn = nullif(posOffset, lit("")).cast(LongType) +
+      (coalesce(nullif(posFileSeq, lit("")).cast(LongType), lit(0L)) * lit(1L << 40))
+    // a row-image event is insert/update/delete/bootstrap-insert WITH data;
+    // anything else (ddl, bootstrap-start/complete, heartbeat) is non-row
+    val isRowEvent = e.getField("type").isin("insert", "update", "delete", "bootstrap-insert") &&
+      e.getField("data").isNotNull
     val flat = withKeyChangeTombstones(
       df.select(Seq(
           when(e.getField("type") === "delete", Model.OpDelete)
             .when(e.getField("type") === "update", Model.OpUpdate)
             .otherwise(Model.OpInsert).as("op"),
-          coalesce(nullif(posOffset, lit("")).cast(LongType), e.getField("xid")).as("lsn"),
+          when(isRowEvent, coalesce(posLsn, e.getField("xid"))).as("lsn"),
           e.getField("data").as("_row"),
           e.getField("old").as("_old")) ++
           passthrough.map(col): _*),
@@ -216,5 +235,7 @@ object CdcEnvelope {
         .when(col("op") === Model.OpUpdate, "update").otherwise("insert").as("type"),
       col("lsn").as("ts"),
       col("lsn").as("xid"),
-      concat(lit("binlog.000001:"), col("lsn")).as("position"))).as("value"))
+      // inverse of the decoder's fileSeq<<40|offset composition
+      concat(lit("binlog."), lpad(shiftrightunsigned(col("lsn"), 40).cast("string"), 6, "0"),
+        lit(":"), col("lsn").bitwiseAND(lit((1L << 40) - 1))).as("position"))).as("value"))
 }

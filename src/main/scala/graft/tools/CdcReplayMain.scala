@@ -12,9 +12,10 @@ import graft.lake.LakeTable
   * Usage: CdcReplayMain <workDir> [nEvents] [cores] [numBuckets] [format]
   * `format` = parquet (default) | debezium | canal | maxwell — the envelope
   * formats generate the log as JSONL binlog envelopes and exercise the
-  * decode tail (dead-lettering malformed lines under <workDir>/dlq).
-  * Generates a deterministic change log under <workDir>/log (unless it
-  * exists), replays it through the streaming MERGE into <workDir>/lake, and
+  * decode tail (dead-lettering malformed lines under <workDir>/dlq-<format>).
+  * Generates a deterministic change log under <workDir>/log-<format>
+  * (unless it exists), replays it through the streaming MERGE into the
+  * per-format lake (<workDir>/lake for parquet), and
   * prints per-epoch metrics plus a final-state sample. Re-running with the
   * same workDir resumes from the checkpoint and skips committed epochs.
   */
@@ -69,7 +70,7 @@ object CdcReplayMain {
       // 8 segment files per chunk -> 4 chunks per trigger
       CdcPipeline.CdcConfig(logDir, s"$workDir/checkpoint-$format", maxFilesPerTrigger = 32,
         format = format,
-        dlqDir = if (format == "parquet") None else Some(s"$workDir/dlq")))
+        dlqDir = if (format == "parquet") None else Some(s"$workDir/dlq-$format")))
     val secs = (System.nanoTime() - t0) / 1e9
 
     val snap = table.currentSnapshot()

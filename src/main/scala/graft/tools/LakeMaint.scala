@@ -19,19 +19,16 @@ import graft.lake.LakeTable
   *                                 table (AvailableNow; resumable via the
   *                                 destination's `_tailcp` checkpoint)
   *
-  * Key columns are read from the stored schema's manifest, so the CLI works
-  * on any graft lake table regardless of its key layout — pass them
-  * explicitly as a 3rd+4th arg pair `--keys a,b` only if the table was
-  * created empty and never committed a schema.
+  * The table's key columns and bucket count are read from the MANIFEST
+  * (every commit records the layout), so the CLI works on any graft lake
+  * table regardless of how it was created; a handle with a mismatched
+  * layout is rejected by the table itself.
   */
 object LakeMaint {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: LakeMaint <tableRoot> <cmd> [args]")
     val root = args(0)
     val cmd = args(1)
-    val keys = args.sliding(2).collectFirst {
-      case Array("--keys", ks) => ks.split(',').toSeq
-    }.getOrElse(graft.core.Model.keyCols)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -42,7 +39,7 @@ object LakeMaint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val table = LakeTable.create(spark, root, keys)
+    val table = LakeTable.open(spark, root)
     cmd match {
       case "history" => table.history().show(100, truncate = false)
       case "metrics" => table.metrics().show(100, truncate = false)
@@ -65,12 +62,8 @@ object LakeMaint {
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
-        import org.apache.spark.sql.functions.{coalesce, col, lit}
-        val dst = LakeTable.create(spark, args(2), keys)
+        val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
         val q = table.readStreamChanges()
-          .withColumnRenamed("_op", "op")
-          .withColumn("op", coalesce(col("op"), lit("U")))
-          .withColumnRenamed("_lsn", "lsn")
           .writeStream
           .option("checkpointLocation", s"${args(2)}/_tailcp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

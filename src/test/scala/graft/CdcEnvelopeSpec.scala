@@ -76,6 +76,35 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(rows == Seq(("U", 80L, "a"), ("U", 81L, "b")))
   }
 
+  test("maxwell lsn orders correctly across binlog file rotations") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"data":{"conv_id":"k","turn_idx":1,"text":"old"},"type":"update","ts":1,"xid":1,"position":"master.000001:805000"}""",
+      """{"data":{"conv_id":"k","turn_idx":1,"text":"new"},"type":"update","ts":2,"xid":2,"position":"master.000002:4500"}""")
+      .toDF("value")
+    val dec = CdcEnvelope.maxwell(raw, "value", payloadSchema)
+    val byText = dec.select("text", "lsn").as[(String, Long)].collect().toMap
+    // the post-rotation event must rank ABOVE the pre-rotation one
+    assert(byText("new") > byText("old"),
+      s"rotation broke ordering: new=${byText("new")} old=${byText("old")}")
+  }
+
+  test("non-row envelopes decode with null lsn and get diverted, not inserted") {
+    import spark.implicits._
+    val dbz = Seq(
+      """{"op":"t","before":null,"after":null,"source":{"lsn":123}}""",
+      """{"op":"m","source":{"lsn":124}}""")
+      .toDF("value")
+    assert(CdcEnvelope.debezium(dbz, "value", payloadSchema)
+      .filter(col("lsn").isNotNull).count() == 0L)
+    val mxw = Seq(
+      """{"type":"bootstrap-start","data":null,"position":"f.000001:10"}""",
+      """{"type":"table-create","sql":"CREATE TABLE t","position":"f.000001:20"}""")
+      .toDF("value")
+    assert(CdcEnvelope.maxwell(mxw, "value", payloadSchema)
+      .filter(col("lsn").isNotNull).count() == 0L)
+  }
+
   test("hostile payload strings survive the JSON round-trip in every format") {
     import spark.implicits._
     val nasty = Seq(

@@ -86,9 +86,6 @@ class ReplicationSpec extends SparkSpec {
     // tail the source's change log as a stream; every micro-batch is a
     // set of LWW-safe change rows that merges exactly-once downstream
     val q = src.readStreamChanges(maxFilesPerTrigger = 8)
-      .withColumnRenamed("_op", "op")
-      .withColumn("op", coalesce(col("op"), lit("U")))
-      .withColumnRenamed("_lsn", "lsn")
       .writeStream
       .option("checkpointLocation", s"$dir/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
