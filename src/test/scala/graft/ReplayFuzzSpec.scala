@@ -24,15 +24,16 @@ class ReplayFuzzSpec extends SparkSpec {
       .bitwiseOR(col("lsn").bitwiseAND(lit(63L)).bitwiseXOR(lit(42L)))
 
   private def check(seed: Long, nEvents: Long, epochOf: Column => Column, nEpochs: Int,
-      replayEpoch: Option[Int] = None): Unit = {
+      replayEpoch: Option[Int] = None,
+      via: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
     val cfg = Gen.GenConfig(seed = seed, nEvents = nEvents, nConvs = 40L,
       maxTurns = 16, partitions = 4)
     val dir = tmpDir(s"fuzz$seed")
     val table = LakeTable.create(spark, dir, Model.keyCols, numBuckets = 4)
 
     (0 until nEpochs).foreach { e =>
-      val batch = Gen.changeEvents(spark, cfg).toDF()
-        .filter(epochOf(arrivalIdx) === e)
+      val batch = via(Gen.changeEvents(spark, cfg).toDF()
+        .filter(epochOf(arrivalIdx) === e))
       table.merge(batch, e.toLong)
       replayEpoch.filter(_ == e).foreach { _ =>
         table.merge(batch, e.toLong) // duplicate epoch delivery — must skip
@@ -57,6 +58,18 @@ class ReplayFuzzSpec extends SparkSpec {
   test("hash-scrambled split (out-of-order across epochs) reaches the oracle state") {
     check(seed = 13L, nEvents = 3000L,
       epochOf = i => pmod(xxhash64(i + 99L), lit(4)).cast("int"), nEpochs = 4)
+  }
+
+  test("debezium encode→decode inside the replay still reaches the oracle state") {
+    import graft.sources.CdcEnvelope
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      Model.changeEventSchema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+    val payloadCols = payloadSchema.fieldNames.toSeq
+    check(seed = 17L, nEvents = 3000L,
+      epochOf = i => pmod(i, lit(3)).cast("int"), nEpochs = 3,
+      via = df => CdcEnvelope.debezium(
+        CdcEnvelope.encodeDebezium(df, payloadCols, Model.keyCols),
+        "value", payloadSchema))
   }
 
   test("time travel: every committed version remains readable until vacuum") {
