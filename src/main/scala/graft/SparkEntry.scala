@@ -307,6 +307,67 @@ object SparkEntry {
              CASE WHEN l.ts - r.ts <= INTERVAL 10 MINUTE THEN round(r.p_value, 4) END AS p_value_r
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
+    ("cdc_envelope_canal", (s, dir) => {
+      // the same fabricate→decode→LWW contract as cdc_envelope, through the
+      // CANAL codec (array data, id-based lsn with stride 1)
+      import graft.sources.CdcEnvelope
+      import org.apache.spark.sql.types._
+      val raw = t(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(7)) === 0, "D")
+          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
+        col("event_id").as("lsn"),
+        col("user_id"), col("event_type"), col("value"))
+      val payloadSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val env = CdcEnvelope.encodeCanal(raw, Seq("user_id", "event_type", "value"))
+      val dec = CdcEnvelope.canal(env, "value", payloadSchema, batchStride = 1)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
+      dec.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events)
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'""")),
+
+    ("cdc_envelope_maxwell", (s, dir) => {
+      // ... and through the MAXWELL codec (position-derived lsn incl. the
+      // fileSeq<<40 composition — event_ids at sf0.1 exceed nothing, but the
+      // encoder exercises the inverse round trip)
+      import graft.sources.CdcEnvelope
+      import org.apache.spark.sql.types._
+      val raw = t(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(7)) === 0, "D")
+          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
+        col("event_id").as("lsn"),
+        col("user_id"), col("event_type"), col("value"))
+      val payloadSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val env = CdcEnvelope.encodeMaxwell(raw, Seq("user_id", "event_type", "value"))
+      val dec = CdcEnvelope.maxwell(env, "value", payloadSchema)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
+      dec.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events)
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'""")),
+
     // ===== CDC / upsert core semantics over the events log =============
     ("cdc_lww_state", (s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
