@@ -222,15 +222,23 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = e.join(labels.select(col("id").as("s"), col("label").as("sl")), "s")
         .groupBy(col("d").as("id")).agg(min(col("sl")).as("nl"))
+      // previous label rides along so convergence is OBSERVED on the same
+      // checkpoint action — no separate join+count job per round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("_prev"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val obs = org.apache.spark.sql.Observation()
       val jumped = stepped
         .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
           col("label") === col("jid"), "left")
-        .select(col("id"), coalesce(col("jl"), col("label")).as("label"))
+        .select(col("id"), col("_prev"), coalesce(col("jl"), col("label")).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))
+        .drop("_prev")
         .localCheckpoint()
-      changed = jumped.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      changed = obs.get.get("changed") match {
+        case Some(n: java.lang.Number) => n.longValue
+        case _ => 0L
+      }
       labels = jumped
       iter += 1
     }
