@@ -368,7 +368,8 @@ final class LakeTable(
       sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"),
       // logical ingest bytes (reference GetByteSize semantics) — rides the
       // same observation; zero extra jobs
-      sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"))
+      sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"),
+      max(col("lsn")).as("maxLsnIn"))
 
     // -- LWW dedupe within the batch ---------------------------------------
     // Single-exchange plan: partition by bucket (a pure function of the key,
@@ -422,6 +423,10 @@ final class LakeTable(
     val affected: Set[Int] = deltas.map(_.bucket).toSet
 
     def observedBytes: Long = obsLong("bytesIn")
+    val observedMaxLsn: Long = obsMap.get("maxLsnIn") match {
+      case Some(n: java.lang.Number) => n.longValue
+      case _ => -1L
+    }
 
     // optimistic-concurrency commit: claim base.version+1; on conflict,
     // REBASE onto the winner's snapshot and retry. Rebasing with delta
@@ -441,7 +446,8 @@ final class LakeTable(
         try {
           commitSnapshot(mkSnap(base).copy(version = base.version + 1,
             lastEpoch = epoch, stats = Some(st),
-            epochs = base.epochs + (writerId -> epoch)))
+            epochs = base.epochs + (writerId -> epoch),
+            maxLsn = math.max(base.maxLsn, observedMaxLsn)))
           return st
         } catch {
           case e: CommitConflictException =>
@@ -595,6 +601,32 @@ final class LakeTable(
     rows.toDF()
   }
 
+  /** Predicate DELETE (GDPR-style erasure, retention TTLs): tombstone every
+    * current row matching `cond`, as one ordinary idempotent merge epoch.
+    * The tombstones' lsn is `maxLsn + 1` — the manifest's running maximum,
+    * so they outrank every stored change WITHOUT scanning the table — which
+    * also makes the deletion stable against late re-delivery of older
+    * duplicates (they lose LWW against the tombstone, exactly like
+    * source-originated deletes). Cost: one bucket-pruned read of the
+    * matching keys + an O(matches) merge; physical bytes are reclaimed by
+    * compaction + [[expireTombstones]] + [[vacuum]], as with any delete.
+    */
+  def deleteWhere(cond: Column, epoch: Long,
+      writerId: String = DefaultWriter): MergeStats = {
+    val snap = currentSnapshot()
+    val tombLsn =
+      if (snap.maxLsn >= 0) snap.maxLsn + 1
+      else { // pre-tracking manifest: one 2-column scan
+        val r = readInternal().agg(max(col(LsnCol))).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1
+      }
+    val victims = read().filter(cond).select(keyCols.map(col): _*)
+    merge(victims
+        .withColumn("op", lit("D"))
+        .withColumn("lsn", lit(tombLsn)),
+      epoch, writerId)
+  }
+
   /** Snapshot history (Iceberg `table.history()` analog): one row per
     * committed version with its wall-clock commit time, epoch lineage and
     * file counts — manifest metadata only, no data files touched.
@@ -743,7 +775,13 @@ object LakeTable {
         * snapshot read validates them. Empty/0 in pre-layout manifests.
         */
       keysMeta: Seq[String] = Nil,
-      bucketsMeta: Int = 0) {
+      bucketsMeta: Int = 0,
+      /** highest `_lsn` ever committed (running max, observed on the merge
+        * write job) — lets predicate deletes mint a tombstone lsn that
+        * outranks every stored change without scanning the table. -1 in
+        * pre-tracking manifests.
+        */
+      maxLsn: Long = -1L) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -865,6 +903,7 @@ object LakeTable {
     if (s.commitTs > 0L) sb.append("ts=").append(s.commitTs).append('\n')
     if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
+    if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
     s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
       require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
       sb.append("wepoch=").append(w).append('\t').append(e).append('\n')
@@ -889,6 +928,7 @@ object LakeTable {
     var commitTs = 0L
     var keysMeta: Seq[String] = Nil
     var bucketsMeta = 0
+    var maxLsn = -1L
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
@@ -903,6 +943,7 @@ object LakeTable {
         case "ts" => commitTs = v.toLong
         case "keys" => keysMeta = v.split(',').toSeq
         case "buckets" => bucketsMeta = v.toInt
+        case "maxLsn" => maxLsn = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
           val Array(b, path, r, kind) = v.split('\t')
@@ -928,7 +969,7 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta)
+      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, maxLsn)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

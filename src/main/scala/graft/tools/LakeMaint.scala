@@ -15,6 +15,8 @@ import graft.lake.LakeTable
   *   compact                    — fold ALL delta files into base files
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
+  *   delete <sqlPredicate>      — tombstone all rows matching the SQL
+  *                                 predicate (GDPR erasure / retention)
   *   tail <dstRoot>             — stream the change log into another lake
   *                                 table (AvailableNow; resumable via the
   *                                 destination's `_tailcp` checkpoint)
@@ -60,6 +62,11 @@ object LakeMaint {
         val retain = if (args.length >= 3) args(2).toInt else 0
         val n = table.vacuum(retain)
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case "delete" =>
+        require(args.length >= 3, "delete <sqlPredicate>")
+        val st = table.deleteWhere(org.apache.spark.sql.functions.expr(args(2)),
+          epoch = table.currentSnapshot().lastEpochFor("maint") + 1, writerId = "maint")
+        println(s"deleted ${st.deletes} rows -> version ${table.currentSnapshot().version}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)

@@ -150,6 +150,32 @@ class CdcReplaySpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.merge(bad, 3L) }
   }
 
+  test("deleteWhere tombstones matching rows; late duplicates cannot resurrect them") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 30L, partitions = 4)
+    val table = LakeTable.create(spark, tmpDir("lake-delw"), Model.keyCols, 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    table.merge(events, 0L)
+    val victim = table.read().select("conv_id").head().getString(0)
+
+    val st = table.deleteWhere(col("conv_id") === victim, epoch = 1L)
+    assert(st.deletes > 0L)
+    assert(table.read().filter(col("conv_id") === victim).count() === 0L)
+    val others = table.read().count()
+    assert(others > 0L)
+
+    // at-least-once: the ORIGINAL events redelivered in a later epoch must
+    // lose LWW against the manifest-minted tombstone lsn
+    table.merge(events.filter(col("conv_id") === victim), 2L)
+    assert(table.read().filter(col("conv_id") === victim).count() === 0L)
+    assert(table.read().count() === others)
+
+    // replaying the delete epoch itself is skipped idempotently
+    assert(table.deleteWhere(col("conv_id") === victim, epoch = 1L).skipped)
+    events.unpersist()
+    ()
+  }
+
   test("key column types are frozen: widening a key is rejected") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 500L, nConvs = 20L, partitions = 2)
