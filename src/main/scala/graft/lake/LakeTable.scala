@@ -627,6 +627,31 @@ final class LakeTable(
       epoch, writerId)
   }
 
+  /** Predicate UPDATE (in-place redaction, backfills): rewrite the payload
+    * of every current row matching `cond` with the given SET expressions,
+    * as one ordinary idempotent merge epoch at lsn `maxLsn + 1` (same
+    * arbitration as [[deleteWhere]] — late re-delivered originals lose LWW
+    * against the rewrite). Columns not in `sets` keep their current values.
+    */
+  def updateWhere(cond: Column, sets: Map[String, Column], epoch: Long,
+      writerId: String = DefaultWriter): MergeStats = {
+    val snap = currentSnapshot()
+    require(sets.keys.forall(k => !keyCols.contains(k)),
+      s"updateWhere cannot change key columns (${sets.keys.filter(keyCols.contains).mkString(",")})")
+    val newLsn =
+      if (snap.maxLsn >= 0) snap.maxLsn + 1
+      else {
+        val r = readInternal().agg(max(col(LsnCol))).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1
+      }
+    val current = read().filter(cond)
+    val rewritten = sets.foldLeft(current) { case (df, (c, e)) => df.withColumn(c, e) }
+    merge(rewritten
+        .withColumn("op", lit("U"))
+        .withColumn("lsn", lit(newLsn)),
+      epoch, writerId)
+  }
+
   /** Snapshot history (Iceberg `table.history()` analog): one row per
     * committed version with its wall-clock commit time, epoch lineage and
     * file counts — manifest metadata only, no data files touched.

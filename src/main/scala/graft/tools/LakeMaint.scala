@@ -17,6 +17,8 @@ import graft.lake.LakeTable
   *   vacuum [retainVersions]    — delete unreferenced data files
   *   delete <sqlPredicate>      — tombstone all rows matching the SQL
   *                                 predicate (GDPR erasure / retention)
+  *   set <pred> <col> <expr>    — rewrite one column for matching rows
+  *                                 (in-place redaction / backfill)
   *   tail <dstRoot>             — stream the change log into another lake
   *                                 table (AvailableNow; resumable via the
   *                                 destination's `_tailcp` checkpoint)
@@ -67,6 +69,12 @@ object LakeMaint {
         val st = table.deleteWhere(org.apache.spark.sql.functions.expr(args(2)),
           epoch = table.currentSnapshot().lastEpochFor("maint") + 1, writerId = "maint")
         println(s"deleted ${st.deletes} rows -> version ${table.currentSnapshot().version}")
+      case "set" =>
+        require(args.length >= 5, "set <sqlPredicate> <col> <sqlExpr>")
+        import org.apache.spark.sql.functions.expr
+        val st = table.updateWhere(expr(args(2)), Map(args(3) -> expr(args(4))),
+          epoch = table.currentSnapshot().lastEpochFor("maint") + 1, writerId = "maint")
+        println(s"rewrote ${st.rowsApplied} rows -> version ${table.currentSnapshot().version}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)

@@ -176,6 +176,35 @@ class CdcReplaySpec extends SparkSpec {
     ()
   }
 
+  test("updateWhere rewrites matching payloads and wins over late duplicates") {
+    import spark.implicits._
+    val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 20L, partitions = 4)
+    val table = LakeTable.create(spark, tmpDir("lake-updw"), Model.keyCols, 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    table.merge(events, 0L)
+    val victim = table.read().select("conv_id").head().getString(0)
+    val nVictim = table.read().filter(col("conv_id") === victim).count()
+
+    table.updateWhere(col("conv_id") === victim,
+      Map("text" -> lit("<REDACTED>")), epoch = 1L)
+    val redacted = table.read().filter(col("conv_id") === victim)
+    assert(redacted.count() === nVictim)
+    assert(redacted.filter(col("text") =!= "<REDACTED>").count() === 0L)
+    // other rows untouched
+    assert(table.read().filter(col("conv_id") =!= victim && col("text") === "<REDACTED>")
+      .count() === 0L)
+    // late re-delivery of the original events loses against the rewrite
+    table.merge(events.filter(col("conv_id") === victim), 2L)
+    assert(table.read().filter(col("conv_id") === victim && col("text") =!= "<REDACTED>")
+      .count() === 0L)
+    // key changes are rejected
+    intercept[IllegalArgumentException] {
+      table.updateWhere(lit(true), Map("turn_idx" -> lit(0)), epoch = 3L)
+    }
+    events.unpersist()
+    ()
+  }
+
   test("key column types are frozen: widening a key is rejected") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 500L, nConvs = 20L, partitions = 2)
