@@ -29,6 +29,44 @@ object SparkEntry {
   // ————————————————————————————————————————————— query definitions
   // (name, spark plan, duckdb oracle). Column names are aligned pairwise.
 
+  /** Shared harness for the three envelope-codec queries: fabricate a
+    * deterministic change stream from the events table (op derived from
+    * event_id), push it through one encode→decode codec pair, and resolve
+    * the LWW state including delete-shadowing. Each codec's query is
+    * checked against the same independent DuckDB recomputation.
+    */
+  private val envelopePayloadSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+  private val envelopeOracle = """
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events)
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'"""
+
+  private def envelopeState(s: SparkSession, dir: String)(
+      enc: (DataFrame, Seq[String]) => DataFrame,
+      dec: DataFrame => DataFrame): DataFrame = {
+    val raw = t(s, dir, "events").select(
+      when(pmod(col("event_id"), lit(7)) === 0, "D")
+        .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
+      col("event_id").as("lsn"),
+      col("user_id"), col("event_type"), col("value"))
+    val decoded = dec(enc(raw, Seq("user_id", "event_type", "value")))
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
+    decoded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("event_type"), col("lsn"),
+        round(col("value"), 4).as("value_r"))
+  }
+
   private val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ===== classic relational sanity (bench anchors) ====================
@@ -308,65 +346,22 @@ object SparkEntry {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
     ("cdc_envelope_canal", (s, dir) => {
-      // the same fabricate→decode→LWW contract as cdc_envelope, through the
-      // CANAL codec (array data, id-based lsn with stride 1)
+      // the same contract through the CANAL codec (array data, id-based
+      // lsn with stride 1)
       import graft.sources.CdcEnvelope
-      import org.apache.spark.sql.types._
-      val raw = t(s, dir, "events").select(
-        when(pmod(col("event_id"), lit(7)) === 0, "D")
-          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
-        col("event_id").as("lsn"),
-        col("user_id"), col("event_type"), col("value"))
-      val payloadSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val env = CdcEnvelope.encodeCanal(raw, Seq("user_id", "event_type", "value"))
-      val dec = CdcEnvelope.canal(env, "value", payloadSchema, batchStride = 1)
-      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
-      dec.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "D")
-        .select(col("user_id"), col("event_type"), col("lsn"),
-          round(col("value"), 4).as("value_r"))
-    }, Some("""
-      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
-                        CASE WHEN event_id % 7 = 0 THEN 'D'
-                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
-                 FROM events)
-      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
-      FROM e
-      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
-              AND op <> 'D'""")),
+      envelopeState(s, dir)(
+        (df, cols) => CdcEnvelope.encodeCanal(df, cols),
+        env => CdcEnvelope.canal(env, "value", envelopePayloadSchema, batchStride = 1))
+    }, Some(envelopeOracle)),
 
     ("cdc_envelope_maxwell", (s, dir) => {
-      // ... and through the MAXWELL codec (position-derived lsn incl. the
-      // fileSeq<<40 composition — event_ids at sf0.1 exceed nothing, but the
-      // encoder exercises the inverse round trip)
+      // ... and through the MAXWELL codec (position-derived lsn with the
+      // fileSeq<<40 composition; the encoder exercises the inverse)
       import graft.sources.CdcEnvelope
-      import org.apache.spark.sql.types._
-      val raw = t(s, dir, "events").select(
-        when(pmod(col("event_id"), lit(7)) === 0, "D")
-          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
-        col("event_id").as("lsn"),
-        col("user_id"), col("event_type"), col("value"))
-      val payloadSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val env = CdcEnvelope.encodeMaxwell(raw, Seq("user_id", "event_type", "value"))
-      val dec = CdcEnvelope.maxwell(env, "value", payloadSchema)
-      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
-      dec.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "D")
-        .select(col("user_id"), col("event_type"), col("lsn"),
-          round(col("value"), 4).as("value_r"))
-    }, Some("""
-      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
-                        CASE WHEN event_id % 7 = 0 THEN 'D'
-                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
-                 FROM events)
-      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
-      FROM e
-      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
-              AND op <> 'D'""")),
+      envelopeState(s, dir)(
+        (df, cols) => CdcEnvelope.encodeMaxwell(df, cols),
+        env => CdcEnvelope.maxwell(env, "value", envelopePayloadSchema))
+    }, Some(envelopeOracle)),
 
     // ===== CDC / upsert core semantics over the events log =============
     ("cdc_lww_state", (s, dir) => {
@@ -425,38 +420,13 @@ object SparkEntry {
       FROM events""")),
 
     ("cdc_envelope", (s, dir) => {
-      // binlog-tail decode path: fabricate a deterministic Debezium envelope
-      // stream from the events log (op derived from event_id), decode it with
-      // sources/CdcEnvelope, and resolve the LWW state INCLUDING
-      // delete-shadowing — the oracle recomputes the same state directly
-      // from the raw table, so the equality proves the envelope round-trip
+      // binlog-tail decode through the DEBEZIUM codec (delete = key-only
+      // before-image); equality with the oracle proves the round-trip
       import graft.sources.CdcEnvelope
-      import org.apache.spark.sql.types._
-      val raw = t(s, dir, "events").select(
-        when(pmod(col("event_id"), lit(7)) === 0, "D")
-          .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
-        col("event_id").as("lsn"),
-        col("user_id"), col("event_type"), col("value"))
-      val payloadSchema = StructType(Seq(
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val env = CdcEnvelope.encodeDebezium(raw,
-        Seq("user_id", "event_type", "value"), Seq("user_id", "event_type"))
-      val dec = CdcEnvelope.debezium(env, "value", payloadSchema)
-      val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
-      dec.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "D")
-        .select(col("user_id"), col("event_type"), col("lsn"),
-          round(col("value"), 4).as("value_r"))
-    }, Some("""
-      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
-                        CASE WHEN event_id % 7 = 0 THEN 'D'
-                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
-                 FROM events)
-      SELECT user_id, event_type, lsn, round(value, 4) AS value_r
-      FROM e
-      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
-              AND op <> 'D'""")),
+      envelopeState(s, dir)(
+        (df, cols) => CdcEnvelope.encodeDebezium(df, cols, Seq("user_id", "event_type")),
+        env => CdcEnvelope.debezium(env, "value", envelopePayloadSchema))
+    }, Some(envelopeOracle)),
 
     // ===== deduplication family (training-data pipeline) ===============
     ("d_dedup_exact", (s, dir) => {

@@ -73,6 +73,16 @@ final class LakeTable(
   /** bucket of a row = pmod(hash(key...), numBuckets) */
   private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
+  /** Read-path LWW ordering: `_lsn` desc with a stable full-row hash as the
+    * final tie-break, so a GENUINE lsn collision (e.g. a synthetic
+    * maintenance lsn colliding with a dense source id space) resolves to
+    * the SAME winner on every read, compaction, and incremental scan —
+    * never sort-arrival order. Mirrors the merge-side payload-hash
+    * tie-break.
+    */
+  private def readOrd(df: DataFrame): Seq[Column] =
+    Seq(col(LsnCol).desc, xxhash64(df.columns.toSeq.map(col): _*).desc)
+
   // ---------------------------------------------------------------- snapshots
 
   /** Latest committed snapshot. The commit point is the existence of
@@ -174,7 +184,7 @@ final class LakeTable(
     // current (additive-evolved) schema null-fills older delta files
     val df = dfFor(cur, files)
     if (files.isEmpty) df.withColumn(OpCol, coalesce(col(OpCol), lit("U")))
-    else lwwWinners(df, keyCols, Seq(col(LsnCol).desc))
+    else lwwWinners(df, keyCols, readOrd(df))
       .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
   }
 
@@ -254,7 +264,8 @@ final class LakeTable(
     val live = coalesce(col(OpCol), lit("U")) =!= "D"
     if (dirty.isEmpty) return dfFor(s, files).filter(live)
     val (dirtyFiles, cleanFiles) = files.partition(f => dirty.contains(f.bucket))
-    val winners = lwwWinners(dfFor(s, dirtyFiles), keyCols, Seq(col(LsnCol).desc))
+    val dirtyDf = dfFor(s, dirtyFiles)
+    val winners = lwwWinners(dirtyDf, keyCols, readOrd(dirtyDf))
     val all =
       if (cleanFiles.isEmpty) winners
       else winners.unionByName(dfFor(s, cleanFiles))
@@ -276,7 +287,7 @@ final class LakeTable(
     val files = s.files.filter(f => buckets.contains(f.bucket))
     val df = dfFor(s, files).withColumn(BucketCol, bucketExpr)
     if (!files.exists(_.kind == "d")) df
-    else lwwWinnersBucketed(df, Seq(col(LsnCol).desc))
+    else lwwWinnersBucketed(df, readOrd(df))
   }
 
   /** One winner per key with ONE exchange: hash-partition on `_bucket`
@@ -601,30 +612,64 @@ final class LakeTable(
     rows.toDF()
   }
 
+  /** The lsn a predicate-maintenance op stamps: one above everything ever
+    * stored. Trusts the manifest's running max when tracked; a PRE-TRACKING
+    * manifest (or one whose tracking began after upgrade with lower lsns)
+    * cannot be trusted below the physical data, so the true max is read
+    * from the stored `_lsn` column once (2-column scan, filter-pushed).
+    * Assumes the SOURCE's lsn space will not later re-enter at or below
+    * this value — true for monotonic binlog/WAL positions.
+    */
+  private def nextSyntheticLsn(snap: Snapshot): Long = {
+    val tracked = snap.maxLsn
+    if (tracked >= 0 && snap.version >= 0 &&
+        readSnapshot(fs, new Path(s"$snapDir/snap-0.txt"), 0L).maxLsn >= 0) {
+      // tracking has existed since version 0 — the running max is complete
+      tracked + 1
+    } else {
+      val r = readInternal().agg(max(col(LsnCol))).head()
+      val stored = if (r.isNullAt(0)) -1L else r.getLong(0)
+      math.max(tracked, stored) + 1
+    }
+  }
+
+  /** Throws if a CONCURRENT writer committed lsns above the synthetic lsn
+    * while the op ran — the op's view of "every stored change" was stale,
+    * so matching rows may have escaped; the caller re-runs with a fresh
+    * epoch to converge (the already-committed tombstones/rewrites remain
+    * valid for the rows they saw).
+    */
+  private def guardMaintenanceRace(opLsn: Long, op: String): Unit = {
+    val after = currentSnapshot().maxLsn
+    if (after > opLsn)
+      throw new IllegalStateException(
+        s"$op raced a concurrent writer (maxLsn $after > synthetic lsn $opLsn): " +
+          "matching rows committed during the op may have escaped — re-run with a new epoch")
+  }
+
   /** Predicate DELETE (GDPR-style erasure, retention TTLs): tombstone every
     * current row matching `cond`, as one ordinary idempotent merge epoch.
-    * The tombstones' lsn is `maxLsn + 1` — the manifest's running maximum,
-    * so they outrank every stored change WITHOUT scanning the table — which
+    * The tombstones' lsn is one above the table's maximum (see
+    * [[nextSyntheticLsn]]), so they outrank every stored change — which
     * also makes the deletion stable against late re-delivery of older
     * duplicates (they lose LWW against the tombstone, exactly like
     * source-originated deletes). Cost: one bucket-pruned read of the
     * matching keys + an O(matches) merge; physical bytes are reclaimed by
     * compaction + [[expireTombstones]] + [[vacuum]], as with any delete.
+    * Concurrent writers racing the op are DETECTED and reported (see
+    * [[guardMaintenanceRace]]); quiesce or re-run to converge.
     */
   def deleteWhere(cond: Column, epoch: Long,
       writerId: String = DefaultWriter): MergeStats = {
     val snap = currentSnapshot()
-    val tombLsn =
-      if (snap.maxLsn >= 0) snap.maxLsn + 1
-      else { // pre-tracking manifest: one 2-column scan
-        val r = readInternal().agg(max(col(LsnCol))).head()
-        if (r.isNullAt(0)) 1L else r.getLong(0) + 1
-      }
+    val tombLsn = nextSyntheticLsn(snap)
     val victims = read().filter(cond).select(keyCols.map(col): _*)
-    merge(victims
+    val st = merge(victims
         .withColumn("op", lit("D"))
         .withColumn("lsn", lit(tombLsn)),
       epoch, writerId)
+    if (!st.skipped) guardMaintenanceRace(tombLsn, "deleteWhere")
+    st
   }
 
   /** Predicate UPDATE (in-place redaction, backfills): rewrite the payload
@@ -638,18 +683,22 @@ final class LakeTable(
     val snap = currentSnapshot()
     require(sets.keys.forall(k => !keyCols.contains(k)),
       s"updateWhere cannot change key columns (${sets.keys.filter(keyCols.contains).mkString(",")})")
-    val newLsn =
-      if (snap.maxLsn >= 0) snap.maxLsn + 1
-      else {
-        val r = readInternal().agg(max(col(LsnCol))).head()
-        if (r.isNullAt(0)) 1L else r.getLong(0) + 1
-      }
+    val newLsn = nextSyntheticLsn(snap)
     val current = read().filter(cond)
-    val rewritten = sets.foldLeft(current) { case (df, (c, e)) => df.withColumn(c, e) }
-    merge(rewritten
+    require(sets.keys.forall(current.columns.contains),
+      s"unknown SET columns: ${sets.keys.filterNot(current.columns.contains).mkString(",")}")
+    // all SET expressions evaluate against the OLD row simultaneously (SQL
+    // UPDATE semantics) — a sequential fold would let one assignment see
+    // another's result, with Map-iteration-order-dependent outcomes
+    val rewritten = current.select(current.columns.toSeq.map { c =>
+      sets.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    val st = merge(rewritten
         .withColumn("op", lit("U"))
         .withColumn("lsn", lit(newLsn)),
       epoch, writerId)
+    if (!st.skipped) guardMaintenanceRace(newLsn, "updateWhere")
+    st
   }
 
   /** Snapshot history (Iceberg `table.history()` analog): one row per
