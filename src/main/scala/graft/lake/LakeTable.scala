@@ -47,6 +47,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * epoch. Rows are hash-bucketed on the key, so compaction and point reads
   * prune to affected buckets only.
   *
+  * SIZING `numBuckets`: a bucket is the unit of compaction-task and
+  * point-read granularity — the LWW window runs one sorted partition per
+  * bucket, so target ~0.5–2 GB of resolved rows per bucket at the table's
+  * expected steady state (10^10 transcript turns ⇒ thousands of buckets,
+  * not 32; the sandbox defaults are sized for test data). Bucket count is
+  * frozen at creation and recorded in every manifest; re-bucketing is a
+  * full rewrite by design, exactly as in Iceberg's bucket partition
+  * transform.
+  *
   * Upsert semantics follow the reference's writer-side PK upsert
   * (last-writer-wins per key, `common/database/rdbms/writer/common.go:556-616`);
   * the stored `_lsn` arbitrates across batches, so late-arriving lower-lsn
