@@ -183,11 +183,19 @@ final class LakeTable(
     * [[vacuum]] — incremental consumers must read their window before
     * vacuuming, exactly like Iceberg snapshot expiry.
     */
-  def readChangesSince(sinceVersion: Long): DataFrame = {
+  def readChangesSince(sinceVersion: Long): DataFrame =
+    readChangesBetween(sinceVersion, currentSnapshot().version)
+
+  /** Bounded change window: the LWW-resolved change set committed in
+    * `(fromVersion, toVersion]` — the time-travel diff between two
+    * snapshots. Same cost shape as [[readChangesSince]]: O(changes in the
+    * window), never O(table).
+    */
+  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     val cur = currentSnapshot()
-    require(sinceVersion <= cur.version,
-      s"sinceVersion $sinceVersion is beyond current ${cur.version}")
-    val files = ((sinceVersion + 1) to cur.version).flatMap { v =>
+    require(fromVersion <= toVersion && toVersion <= cur.version,
+      s"invalid window ($fromVersion, $toVersion] against current ${cur.version}")
+    val files = ((fromVersion + 1) to toVersion).flatMap { v =>
       readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v).addedDeltas
     }
     // current (additive-evolved) schema null-fills older delta files
@@ -195,6 +203,29 @@ final class LakeTable(
     if (files.isEmpty) df.withColumn(OpCol, coalesce(col(OpCol), lit("U")))
     else lwwWinners(df, keyCols, readOrd(df))
       .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+  }
+
+  /** ROLLBACK (Iceberg `rollback_to_snapshot` analog): commit a NEW
+    * snapshot whose file list and schema are those of `version` — history
+    * is preserved (the bad snapshots stay readable until [[vacuum]]), the
+    * head simply moves back. Epoch lineage is kept from the CURRENT head
+    * so replays of already-applied epochs remain idempotent; re-applying
+    * the rolled-back changes needs fresh epochs, exactly like Iceberg.
+    */
+  def rollbackTo(version: Long): Unit = {
+    val cur = currentSnapshot()
+    require(version <= cur.version, s"cannot roll forward to $version")
+    if (version == cur.version) return
+    val target = readSnapshot(fs, new Path(s"$snapDir/snap-$version.txt"), version)
+    commitSnapshot(cur.copy(
+      version = cur.version + 1,
+      schema = target.schema,
+      rows = target.rows,
+      files = target.files,
+      stats = None,
+      addedDeltas = Nil,
+      maxLsn = cur.maxLsn)) // lsn history is not rewound: future synthetic
+                            // lsns must still outrank everything ever seen
   }
 
   /** STREAMING CDC-out: tail the table's delta files as a Structured

@@ -19,6 +19,8 @@ import graft.lake.LakeTable
   *                                 predicate (GDPR erasure / retention)
   *   set <pred> <col> <expr>    — rewrite one column for matching rows
   *                                 (in-place redaction / backfill)
+  *   rollback <version>         — move the head back to a snapshot (new
+  *                                 commit; history stays readable)
   *   tail <dstRoot>             — stream the change log into another lake
   *                                 table (AvailableNow; resumable via the
   *                                 destination's `_tailcp` checkpoint)
@@ -75,6 +77,10 @@ object LakeMaint {
         val st = table.updateWhere(expr(args(2)), Map(args(3) -> expr(args(4))),
           epoch = table.currentSnapshot().lastEpochFor("maint") + 1, writerId = "maint")
         println(s"rewrote ${st.rowsApplied} rows -> version ${table.currentSnapshot().version}")
+      case "rollback" =>
+        require(args.length >= 3, "rollback <version>")
+        table.rollbackTo(args(2).toLong)
+        println(s"rolled back to snapshot ${args(2)} -> version ${table.currentSnapshot().version}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
