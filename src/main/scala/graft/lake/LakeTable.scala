@@ -183,22 +183,37 @@ final class LakeTable(
     * [[vacuum]] — incremental consumers must read their window before
     * vacuuming, exactly like Iceberg snapshot expiry.
     */
-  def readChangesSince(sinceVersion: Long): DataFrame =
-    readChangesBetween(sinceVersion, currentSnapshot().version)
+  def readChangesSince(sinceVersion: Long): DataFrame = {
+    val cur = currentSnapshot()
+    readChangesBetween(sinceVersion, cur.version, cur)
+  }
 
   /** Bounded change window: the LWW-resolved change set committed in
     * `(fromVersion, toVersion]` — the time-travel diff between two
     * snapshots. Same cost shape as [[readChangesSince]]: O(changes in the
-    * window), never O(table).
+    * window), never O(table). Versions REVERTED by a [[rollbackTo]] inside
+    * the window contribute no changes (their deltas are skipped), so
+    * incremental consumers stay consistent with the head instead of
+    * applying changes the table no longer contains.
     */
-  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val cur = currentSnapshot()
+  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame =
+    readChangesBetween(fromVersion, toVersion, currentSnapshot())
+
+  private def readChangesBetween(fromVersion: Long, toVersion: Long,
+      cur: Snapshot): DataFrame = {
     require(fromVersion <= toVersion && toVersion <= cur.version,
       s"invalid window ($fromVersion, $toVersion] against current ${cur.version}")
-    val files = ((fromVersion + 1) to toVersion).flatMap { v =>
-      readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v).addedDeltas
+    val snaps = ((fromVersion + 1) to toVersion).map { v =>
+      if (v == cur.version) cur
+      else readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
     }
-    // current (additive-evolved) schema null-fills older delta files
+    // versions undone by a rollback commit inside the window contribute no
+    // deltas (a rollback BEFORE the window reverted only versions before it)
+    val reverted: Seq[(Long, Long)] =
+      snaps.collect { case sn if sn.revertedFrom >= 0 => (sn.revertedFrom, sn.version) }
+    def isReverted(v: Long) = reverted.exists { case (lo, hi) => v > lo && v < hi }
+    val files = snaps.filterNot(sn => isReverted(sn.version)).flatMap(_.addedDeltas)
+    // current (additive-evolved, never-narrowed) schema null-fills older files
     val df = dfFor(cur, files)
     if (files.isEmpty) df.withColumn(OpCol, coalesce(col(OpCol), lit("U")))
     else lwwWinners(df, keyCols, readOrd(df))
@@ -206,24 +221,47 @@ final class LakeTable(
   }
 
   /** ROLLBACK (Iceberg `rollback_to_snapshot` analog): commit a NEW
-    * snapshot whose file list and schema are those of `version` — history
-    * is preserved (the bad snapshots stay readable until [[vacuum]]), the
-    * head simply moves back. Epoch lineage is kept from the CURRENT head
-    * so replays of already-applied epochs remain idempotent; re-applying
-    * the rolled-back changes needs fresh epochs, exactly like Iceberg.
+    * snapshot whose file list is that of `version` — history is preserved
+    * (the bad snapshots stay readable until [[vacuum]]), the head simply
+    * moves back. Epoch lineage is kept from the CURRENT head so replays of
+    * already-applied epochs remain idempotent; re-applying the rolled-back
+    * changes needs fresh epochs, exactly like Iceberg.
+    *
+    * Safety:
+    *  - refuses to roll back past [[vacuum]]: every target data file must
+    *    still exist (a head referencing deleted files would be permanently
+    *    broken with no error until the next read);
+    *  - the SCHEMA is never narrowed (kept as the union of target and
+    *    current) so incremental readers can still decode every delta file
+    *    ever written;
+    *  - the rollback commit records `revertedFrom`, and change-window
+    *    reads skip the reverted versions' deltas — incremental consumers
+    *    never apply changes the head no longer contains;
+    *  - a concurrent commit between reading the head and claiming the
+    *    rollback version surfaces as [[LakeTable.CommitConflictException]]
+    *    (NOT auto-retried: retrying would silently discard that commit —
+    *    inspect the new head and decide).
     */
   def rollbackTo(version: Long): Unit = {
     val cur = currentSnapshot()
     require(version <= cur.version, s"cannot roll forward to $version")
     if (version == cur.version) return
     val target = readSnapshot(fs, new Path(s"$snapDir/snap-$version.txt"), version)
+    val missing = target.files.filterNot(f => fs.exists(new Path(s"$dataDir/${f.path}")))
+    require(missing.isEmpty,
+      s"cannot roll back to $version: ${missing.size} of its data files were " +
+        s"vacuumed (first: ${missing.headOption.map(_.path).getOrElse("")})")
     commitSnapshot(cur.copy(
       version = cur.version + 1,
-      schema = target.schema,
+      schema = (cur.schema, target.schema) match {
+        case (Some(c), Some(t)) => Some(unionSchemas(c, t))
+        case (c, t) => c.orElse(t)
+      },
       rows = target.rows,
       files = target.files,
       stats = None,
       addedDeltas = Nil,
+      revertedFrom = version,
       maxLsn = cur.maxLsn)) // lsn history is not rewound: future synthetic
                             // lsns must still outrank everything ever seen
   }
@@ -890,6 +928,13 @@ object LakeTable {
         */
       keysMeta: Seq[String] = Nil,
       bucketsMeta: Int = 0,
+      /** set on a rollback commit: this snapshot reverted the head to
+        * `revertedFrom`, i.e. versions in (revertedFrom, thisVersion) are
+        * no longer part of the table's history as seen by incremental
+        * readers ([[LakeTable#readChangesBetween]] skips their deltas).
+        * -1 = not a rollback commit.
+        */
+      revertedFrom: Long = -1L,
       /** highest `_lsn` ever committed (running max, observed on the merge
         * write job) — lets predicate deletes mint a tombstone lsn that
         * outranks every stored change without scanning the table. -1 in
@@ -1018,6 +1063,7 @@ object LakeTable {
     if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
     if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
+    if (s.revertedFrom >= 0) sb.append("revertedFrom=").append(s.revertedFrom).append('\n')
     s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
       require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
       sb.append("wepoch=").append(w).append('\t').append(e).append('\n')
@@ -1043,6 +1089,7 @@ object LakeTable {
     var keysMeta: Seq[String] = Nil
     var bucketsMeta = 0
     var maxLsn = -1L
+    var revertedFrom = -1L
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
@@ -1058,6 +1105,7 @@ object LakeTable {
         case "keys" => keysMeta = v.split(',').toSeq
         case "buckets" => bucketsMeta = v.toInt
         case "maxLsn" => maxLsn = v.toLong
+        case "revertedFrom" => revertedFrom = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
           val Array(b, path, r, kind) = v.split('\t')
@@ -1083,7 +1131,7 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, maxLsn)
+      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, revertedFrom, maxLsn)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

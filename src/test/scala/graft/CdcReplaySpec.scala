@@ -195,6 +195,10 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.readVersion(goodVersion + 1).filter($"text" === "CORRUPTED").count() > 0L)
     // the rolled-back epoch replays idempotently (lineage kept)
     assert(table.merge(events.limit(10), 1L).skipped)
+    // incremental readers see NO changes from the reverted versions: a
+    // window spanning bad-merge + rollback yields the empty change set
+    assert(table.readChangesBetween(goodVersion, table.currentSnapshot().version)
+      .count() === 0L)
     // re-applying under a fresh epoch works and the bounded diff window
     // between the pre- and post-fix snapshots shows exactly those changes
     val before = table.currentSnapshot().version
@@ -202,6 +206,11 @@ class CdcReplaySpec extends SparkSpec {
     val win = table.readChangesBetween(before, table.currentSnapshot().version)
     assert(win.count() > 0L)
     assert(win.filter(col("_lsn") < 1000L).count() === 0L)
+    assert(win.filter($"text" === "CORRUPTED").count() === 0L)
+    // rolling back past a vacuum is refused (the target's files are gone)
+    table.vacuum()
+    val e = intercept[IllegalArgumentException] { table.rollbackTo(goodVersion + 1) }
+    assert(e.getMessage.contains("vacuumed"))
     events.unpersist()
     ()
   }
