@@ -136,10 +136,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("as-of join is union+window — single shuffle family, no join operator") {
-    val plan = planOf(SparkEntry.queries("q_asof_join")(spark, sfDir))
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
-      && !plan.contains("SortMergeJoin"),
-      s"as-of must not plan a pairwise join:\n$plan")
-    assert(plan.contains("Window"), plan)
+    for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
+        && !plan.contains("SortMergeJoin"),
+        s"$q must not plan a pairwise join:\n$plan")
+      assert(plan.contains("Window"), plan)
+    }
   }
 }
