@@ -44,6 +44,8 @@ object SyncJob {
 
   final case class Source(
       format: String, // csv | json | jsonl | json-auto | parquet | text
+      //              // | debezium | canal | maxwell (JSONL binlog-dump
+      //              // envelopes; `columns` supplies the payload schema)
       path: String,
       options: Map[String, String] = Map.empty,
       /** constant columns appended by name (txtfilereader {type, value}) */
@@ -109,6 +111,27 @@ object SyncJob {
         return read(spark, src.copy(format = sniffJsonFormat(spark, src.path)))
       case "parquet" => spark.read.options(src.options).parquet(src.path)
       case "text" => spark.read.options(src.options).text(src.path)
+      case env @ ("debezium" | "canal" | "maxwell") =>
+        // batch read of a binlog-dump file (the offline twin of the
+        // CdcPipeline streaming tail): named `columns` specs define the
+        // payload schema; output is canonical (op, lsn, payload...)
+        require(src.columns.nonEmpty && src.columns.forall(_.name.nonEmpty),
+          s"'$env' sources need named `columns` specs for the payload schema")
+        val payloadSchema = org.apache.spark.sql.types.StructType(src.columns.map { c =>
+          org.apache.spark.sql.types.StructField(c.name, c.colType match {
+            case "long" => org.apache.spark.sql.types.LongType
+            case "double" => org.apache.spark.sql.types.DoubleType
+            case "boolean" | "bool" => org.apache.spark.sql.types.BooleanType
+            case "date" | "timestamp" => org.apache.spark.sql.types.TimestampType
+            case _ => org.apache.spark.sql.types.StringType
+          })
+        })
+        val raw = spark.read.options(src.options).text(src.path)
+        return env match { // typed projection already applied via the schema
+          case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema)
+          case "canal" => graft.sources.CdcEnvelope.canal(raw, "value", payloadSchema)
+          case _ => graft.sources.CdcEnvelope.maxwell(raw, "value", payloadSchema)
+        }
       case f => throw new IllegalArgumentException(s"source format '$f'")
     }
     val projected =

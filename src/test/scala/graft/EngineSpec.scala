@@ -338,4 +338,29 @@ class EngineSpec extends SparkSpec {
       Seq(Transformers.DxFilter(Right("s"), "not like", "foo.*")))
     assert(nl.count() === 0)
   }
+
+  test("SyncJob reads binlog-dump envelope files with columns-spec schema") {
+    import graft.sources.CdcEnvelope
+    val dir = tmpDir("sj-env")
+    val src = Seq(
+      ("U", 5L, "a", 1, Some(2.5)), ("I", 6L, "b", 2, Some(1.0)),
+      ("D", 7L, "a", 1, Option.empty[Double]))
+      .toDF("op", "lsn", "k", "n", "v")
+    CdcEnvelope.encodeCanal(src, Seq("k", "n", "v")).write.text(s"$dir/log")
+
+    val got = SyncJob.read(spark, SyncJob.Source("canal", s"$dir/log",
+      columns = Seq(
+        SyncJob.ColumnSpec(name = "k", colType = "string"),
+        SyncJob.ColumnSpec(name = "n", colType = "long"),
+        SyncJob.ColumnSpec(name = "v", colType = "double"))))
+    assert(got.columns.toSeq == Seq("op", "lsn", "k", "n", "v"))
+    // canal stride-1024 lsn preserves order; payload typed per the specs
+    val rows = got.orderBy("lsn").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("U", "I", "D"))
+    assert(rows(0).getString(2) == "a" && rows(0).getLong(3) == 1L && rows(0).getDouble(4) == 2.5)
+    // missing payload schema is rejected with a clear error
+    intercept[IllegalArgumentException] {
+      SyncJob.read(spark, SyncJob.Source("debezium", s"$dir/log"))
+    }
+  }
 }
