@@ -88,8 +88,16 @@ object Bench {
     // best-effort cleanup of the bench work dir
     scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
     // the JSON line is the LAST clean stdout of the run (after spark.stop,
-    // after cleanup) so the driver's parse never races trailing log lines
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$cdcEvents,"cdc_seconds":$cdcSecs%.3f,"cdc_events_per_sec":$eventsPerSec%.0f,"cores":$cpus,"workdir":"$tmpBase"}""")
+    // after cleanup) so the driver's parse never races trailing log lines;
+    // build.sbt sets `run / outputStrategy := StdoutOutput` so the forked
+    // JVM's stdout is NOT wrapped in sbt's `[info] ` prefix. Optionally also
+    // written to a file (SPARK_GRAFT_BENCH_OUT) for log-free consumption.
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_events":$cdcEvents,"cdc_seconds":$cdcSecs%.3f,"cdc_events_per_sec":$eventsPerSec%.0f,"cores":$cpus,"workdir":"$tmpBase"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(json)
   }
 }

@@ -269,14 +269,24 @@ object SparkEntry {
       FROM customer GROUP BY 1""")),
 
     ("s_dict_split", (s, dir) => {
+      // sampled-boundary dictionary ranges (mysql_reader.go:279-383); the
+      // oracle reproduces the sample → step → boundary → count(b <= k) rule
       Splits.dictionarySplit(t(s, dir, "customer"), "c_mktsegment", 3)
         .groupBy("c_mktsegment", "split").agg(count(lit(1)).as("cnt"))
     }, Some("""
-      WITH dict AS (SELECT seg, (ntile(3) OVER (ORDER BY seg)) - 1 AS split
-                    FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer))
-      SELECT c_mktsegment, split::INT AS split, count(*) AS cnt
-      FROM customer JOIN dict ON c_mktsegment = seg
-      GROUP BY c_mktsegment, split""")),
+      WITH d AS (SELECT DISTINCT c_mktsegment AS seg FROM customer
+                 ORDER BY seg LIMIT 30),
+      r AS (SELECT seg, row_number() OVER (ORDER BY seg) - 1 AS rn,
+                   count(*) OVER () AS m
+            FROM d),
+      b AS (SELECT seg FROM r
+            WHERE rn > 0 AND rn % greatest(m // 3, 1) = 0
+              AND rn // greatest(m // 3, 1) <= 2),
+      a AS (SELECT c_mktsegment,
+                   (SELECT count(*) FROM b WHERE b.seg <= c.c_mktsegment)::INT AS split
+            FROM customer c)
+      SELECT c_mktsegment, split, count(*) AS cnt
+      FROM a GROUP BY c_mktsegment, split""")),
 
     // ===== flow control: error limiter semantics (§2.5) ================
     ("f_error_rates", (s, dir) => {
@@ -867,7 +877,7 @@ object SparkEntry {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
             FROM tk)
       SELECT doc_id, n_tokens, shard,
-             (shard * 1000000 + off // 512)::BIGINT AS seq_id,
+             ((shard << 40) + off // 512)::BIGINT AS seq_id,
              (off % 512)::BIGINT AS seq_offset
       FROM o""")),
 

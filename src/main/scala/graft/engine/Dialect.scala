@@ -76,13 +76,28 @@ sealed abstract class Dialect(
       s"dialect $name does not support writeMode '$mode' " +
         s"(supported: ${supportedWriteModes.toSeq.sorted.mkString(", ")})")
 
+  /** Per-connection session statements executed after each connection opens
+    * and before any read/write on it — the reference's mysqlwriter/reader
+    * `session` conf (`mysql_writer.go` session list, e.g.
+    * `SET SESSION sql_mode='ANSI'`). Spark's JDBC source has the exact
+    * analog: `sessionInitStatement` (one string; statements joined with
+    * `;`), applied per executor connection.
+    */
+  private def sessionOption(session: Seq[String]): Map[String, String] =
+    if (session.isEmpty) Map.empty
+    else Map("sessionInitStatement" -> session.mkString("; "))
+
   /** Spark JDBC reader options with the dialect's defaults applied. */
-  def readerOptions(url: String, table: String): Map[String, String] = Map(
-    "url" -> url, "dbtable" -> table, "fetchsize" -> defaultFetchSize.toString)
+  def readerOptions(url: String, table: String,
+      session: Seq[String] = Nil): Map[String, String] = Map(
+    "url" -> url, "dbtable" -> table,
+    "fetchsize" -> defaultFetchSize.toString) ++ sessionOption(session)
 
   /** Spark JDBC writer options with the dialect's defaults applied. */
-  def writerOptions(url: String, table: String): Map[String, String] = Map(
-    "url" -> url, "dbtable" -> table, "batchsize" -> defaultBatchSize.toString)
+  def writerOptions(url: String, table: String,
+      session: Seq[String] = Nil): Map[String, String] = Map(
+    "url" -> url, "dbtable" -> table,
+    "batchsize" -> defaultBatchSize.toString) ++ sessionOption(session)
 }
 
 object Dialect {

@@ -70,17 +70,32 @@ object Splits {
         .cast("int"))
   }
 
-  /** Text-dictionary split: boundaries picked from the sorted distinct key
-    * domain, ranges `k >= lo AND k < hi` with open ends
-    * (go-datax `mysql_reader.go:279-383`, which samples
-    * `DISTINCT pk ORDER BY pk LIMIT n*10`). Deterministic version: ntile
-    * over the full sorted distinct domain, then rows join their value's tile.
+  /** Text-dictionary split: boundaries picked from a bounded sample of the
+    * sorted distinct key domain, ranges `k >= lo AND k < hi` with open ends —
+    * exactly the reference's strategy (go-datax `mysql_reader.go:279-383`
+    * samples `DISTINCT pk ORDER BY pk LIMIT n*10` and cuts it into n
+    * ranges), and deterministic: boundary i is sample[i·step] with
+    * step = max(⌊m/n⌋, 1) over the m ≤ 10n sampled values.
+    *
+    * Scale shape: the sample is a distributed distinct followed by
+    * `orderBy.limit(10n)` — Spark plans that as TakeOrderedAndProject
+    * (per-partition top-K heaps, driver receives ≤ 10n values), NOT a
+    * single-partition sort of the whole distinct domain; a full-domain
+    * ntile would serialize a high-cardinality text splitPk through one
+    * task. Assignment is then a pure codegen'd boundary-comparison
+    * projection — no join, no shuffle on the data side at all.
     */
   def dictionarySplit(df: DataFrame, column: String, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(column))
-    val dict = df.select(col(column)).distinct()
-      .withColumn("split", (ntile(n).over(w) - 1).cast("int"))
-    df.join(dict, Seq(column)) // broadcast by AQE: dict is tiny
+    require(n > 0, s"n=$n must be positive")
+    val sample = df.select(col(column)).distinct()
+      .orderBy(col(column)).limit(n * 10)
+      .collect().map(_.get(0))
+    val step = math.max(sample.length / n, 1)
+    val boundaries = (1 until n).map(_ * step).filter(_ < sample.length).map(sample(_))
+    val split = boundaries.foldLeft(lit(0): Column) { (acc, b) =>
+      acc + when(col(column) >= lit(b), 1).otherwise(0)
+    }
+    df.withColumn("split", split.cast("int"))
   }
 
   /** Salted key for skew: spreads one hot key over `saltCount` sub-keys.

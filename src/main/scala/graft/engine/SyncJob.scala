@@ -43,7 +43,7 @@ object SyncJob {
       name: String = "")
 
   final case class Source(
-      format: String, // csv | json | jsonl | json-auto | parquet | text
+      format: String, // csv | json | jsonl | json-auto | parquet | orc | text
       //              // | debezium | canal | maxwell (JSONL binlog-dump
       //              // envelopes; `columns` supplies the payload schema)
       path: String,
@@ -56,7 +56,14 @@ object SyncJob {
         */
       columns: Seq[ColumnSpec] = Nil,
       /** string treated as SQL NULL (reference nullFormat, default `\N`) */
-      nullFormat: String = "\\N")
+      nullFormat: String = "\\N",
+      /** mongoreader-style subdocument stringification (SURVEY §1.2,
+        * `plugins/reader/mongoreader/mongo_reader.go` flattens nested
+        * documents into one string column): when true, every struct/array/
+        * map column is serialized to its JSON text. Default false — Spark
+        * reads nested data natively, which is usually what you want.
+        */
+      stringifyNested: Boolean = false)
 
   final case class Sink(
       format: String, // csv | json | parquet | text | lake
@@ -110,6 +117,9 @@ object SyncJob {
       case "json-auto" => // sniff `[` vs `{`: jsonfile_reader.go:378-400
         return read(spark, src.copy(format = sniffJsonFormat(spark, src.path)))
       case "parquet" => spark.read.options(src.options).parquet(src.path)
+      // hdfsreader fileType ORC (`hdfs_reader.go:221-229` names TEXT/ORC/
+      // PARQUET; only TEXT is implemented there — Spark gives ORC for free)
+      case "orc" => spark.read.options(src.options).orc(src.path)
       case "text" => spark.read.options(src.options).text(src.path)
       case env @ ("debezium" | "canal" | "maxwell") =>
         // batch read of a binlog-dump file (the offline twin of the
@@ -134,9 +144,20 @@ object SyncJob {
         }
       case f => throw new IllegalArgumentException(s"source format '$f'")
     }
+    val flattened =
+      if (!src.stringifyNested) base
+      else {
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        base.select(base.schema.fields.map { f =>
+          f.dataType match {
+            case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+      }
     val projected =
-      if (src.columns.isEmpty) base
-      else typedProjection(base, src.columns, src.nullFormat)
+      if (src.columns.isEmpty) flattened
+      else typedProjection(flattened, src.columns, src.nullFormat)
     // constant columns (txtfilereader {type:"string", value:...})
     src.constants.foldLeft(projected) { case (df, (name, value)) => df.withColumn(name, lit(value)) }
   }
@@ -252,7 +273,12 @@ object SyncJob {
     val input = read(spark, src)
     val transformed = Transformers.chain(input, transforms)
 
-    val bad = badPredicate.getOrElse(lit(false))
+    // envelope sources: a malformed line decodes to null lsn — it is a
+    // dirty record (counted against the error limit, filtered before the
+    // sink), the batch-path analog of CdcPipeline's corrupt-line policy
+    val isEnvelope = Set("debezium", "canal", "maxwell").contains(src.format)
+    val userBad = badPredicate.getOrElse(lit(false))
+    val bad = if (isEnvelope) userBad || col("lsn").isNull else userBad
     val obs = Observation(s"sync-${System.nanoTime()}")
     val rowBytes = graft.core.ByteSize.logicalBytes(transformed)
     val observed = transformed
@@ -328,18 +354,30 @@ object SyncJob {
       require(sink.keyCols.nonEmpty, "lake sink needs keyCols")
       val table = LakeTable.create(spark, sink.path, sink.keyCols, sink.numBuckets)
       // batch upsert: whole input is one epoch after the last committed one.
-      // The epoch IS the lsn — later batches beat earlier ones per key
-      // (last-writer-wins across jobs, like the reference's re-run replace
-      // semantics). Duplicate keys WITHIN one batch have no defined order in
-      // the reference (channel arrival order), so any winner is VALID — the
-      // merge's LWW ordering ends with a payload-hash tie-break, so the
-      // winner is nonetheless DETERMINISTIC: re-running the same job input
-      // reproduces the same surviving rows (EngineSpec "deterministic
-      // winner" guards this).
+      //
+      // Two input shapes:
+      //  - a PLAIN source (csv/json/parquet/...): every row is an upsert;
+      //    the epoch IS the lsn — later batches beat earlier ones per key
+      //    (last-writer-wins across jobs, like the reference's re-run
+      //    replace semantics). Duplicate keys WITHIN one batch have no
+      //    defined order in the reference (channel arrival order), so any
+      //    winner is VALID — the merge's payload-hash tie-break makes the
+      //    winner DETERMINISTIC (EngineSpec "deterministic winner").
+      //  - a CHANGE-EVENT source (debezium/canal/maxwell binlog dump, or a
+      //    lake change stream): rows already carry canonical (op, lsn).
+      //    Those are PRESERVED — overwriting them would turn DELETE events
+      //    into live upserts (canal/maxwell carry the full deleted row
+      //    image) and collapse the dump's LWW order into one epoch. Rows
+      //    whose lsn is null (malformed envelope lines decode to null)
+      //    never reach the merge, mirroring CdcPipeline's corrupt-line
+      //    policy — count them with `badPredicate = col("lsn").isNull`
+      //    through run()'s error limiter (run() wires this automatically
+      //    for envelope sources).
       val epoch = table.currentSnapshot().lastEpochFor(LakeTable.DefaultWriter) + 1
-      val withMeta = df
-        .withColumn("op", lit("U"))
-        .withColumn("lsn", lit(epoch))
+      val hasCdcMeta = df.columns.contains("op") && df.columns.contains("lsn")
+      val withMeta =
+        if (hasCdcMeta) df.filter(col("lsn").isNotNull)
+        else df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
       table.merge(withMeta, epoch)
       ()
     case fmt =>
@@ -357,11 +395,17 @@ object SyncJob {
           throw new IllegalArgumentException("upsert requires format=lake")
       }
       // dual flush thresholds -> one row-based file cap: rows bound AND the
-      // byte bound divided by the observed mean logical row size
+      // byte bound divided by the mean logical row size, estimated from a
+      // bounded SAMPLE (limit stops after the first few splits) — a full
+      // avg() aggregate here would scan the whole input a second time
+      // before the real write, doubling the read at 100 TB. A flush
+      // threshold only needs an estimate; the reference sizes batches from
+      // the rows it has buffered, also an incremental estimate.
       val fileCap: Option[Long] = {
         val byRows = if (sink.flushRows > 0) Some(sink.flushRows) else None
         val byBytes = if (sink.flushBytes > 0) {
-          val mean = df.agg(avg(graft.core.ByteSize.logicalBytes(df))).collect()(0)
+          val sample = df.limit(10000)
+          val mean = sample.agg(avg(graft.core.ByteSize.logicalBytes(sample))).collect()(0)
           val avgB = (if (mean.isNullAt(0)) 1.0 else mean.getDouble(0)).max(1.0)
           Some(math.max(1L, (sink.flushBytes / avgB).toLong))
         } else None
@@ -374,6 +418,7 @@ object SyncJob {
         case "csv" => w.option("header", "true").csv(sink.path)
         case "json" | "jsonl" => w.json(sink.path)
         case "parquet" => w.parquet(sink.path)
+        case "orc" => w.orc(sink.path) // hdfswriter fileType ORC (hdfs_writer.go:569-572)
         case "text" => w.text(sink.path)
         case f => throw new IllegalArgumentException(s"sink format '$f'")
       }

@@ -69,7 +69,14 @@ object CdcPipeline {
         * dirty records + messages) — instead of being silently dropped.
         * None ⇒ drop-only policy.
         */
-      dlqDir: Option[String] = None)
+      dlqDir: Option[String] = None,
+      /** TIME-based flush threshold for a continuous (availableNow=false)
+        * tail: micro-batches fire on this interval (e.g. "300 seconds" —
+        * the starrocks/doris writers' third flush dimension,
+        * `starrocks_writer.go:27-31` flushInterval default 300 s, alongside
+        * rows/bytes). None ⇒ Spark's as-fast-as-possible default trigger.
+        */
+      triggerInterval: Option[String] = None)
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -144,8 +151,11 @@ object CdcPipeline {
           f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()
       }
-    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
-      .start()
+    ((cfg.availableNow, cfg.triggerInterval) match {
+      case (true, _) => writer.trigger(Trigger.AvailableNow())
+      case (false, Some(interval)) => writer.trigger(Trigger.ProcessingTime(interval))
+      case (false, None) => writer
+    }).start()
   }
 
   /** Run the full replay to completion (AvailableNow) and return the number

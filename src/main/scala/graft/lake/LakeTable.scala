@@ -61,6 +61,19 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * the stored `_lsn` arbitrates across batches, so late-arriving lower-lsn
   * changes never clobber newer state and the final state is independent of
   * batch boundaries.
+  *
+  * MANIFEST SCALE DESIGN NOTE: each snapshot manifest stores the FULL file
+  * list, and `metrics()`/`history()` read manifests serially on the driver.
+  * Both are bounded in practice — compaction keeps the live file count at
+  * O(numBuckets · maxDeltaFiles), `vacuum` truncates retained history, and a
+  * manifest line is ~100 bytes, so even 10⁴ buckets × 12 deltas is a ~10 MB
+  * manifest — but at very large bucket counts × long retained histories this
+  * becomes the Iceberg manifest-list problem. The upgrade path (not needed at
+  * the scales this engine targets before vacuum/compaction are outpaced) is
+  * Iceberg's own: tier manifests per bucket range with a manifest-list file
+  * per snapshot so a commit rewrites O(changed buckets) of metadata, and move
+  * `metrics()`/`history()` to a parallel read of that list. The commit
+  * protocol (claim + pointer hint) is unchanged by that tiering.
   */
 final class LakeTable(
     val spark: SparkSession,
@@ -283,6 +296,20 @@ final class LakeTable(
     * read schema is fixed at stream start (restart the stream after
     * additive evolution); keep [[vacuum]] retention ahead of consumer lag,
     * as with [[readChangesSince]].
+    *
+    * CONTRACT CAVEATS — the file tail is NOT manifest-filtered, unlike the
+    * batch change-window API ([[readChangesBetween]]):
+    *  - deltas of versions undone by [[rollbackTo]] ARE emitted (the batch
+    *    API skips them via `revertedFrom`), so a consumer applying them
+    *    LWW-merge-style can retain state the source head no longer has;
+    *  - delta files orphaned by a crashed or race-losing publish (never
+    *    committed by any manifest) ARE emitted, and [[vacuum]] may delete
+    *    one mid-stream.
+    * Low-latency push consumers that can tolerate this (duplicates and
+    * rollback phantoms both lose future LWW rounds once the source moves
+    * on) may use this stream; consumers that must track the committed head
+    * exactly should poll [[Replicate.sync]] / [[readChangesBetween]]
+    * watermarks instead — that is what `LakeMaint tail` does.
     */
   def readStreamChanges(maxFilesPerTrigger: Int = 32): DataFrame = {
     val s = currentSnapshot()
@@ -711,19 +738,48 @@ final class LakeTable(
     }
   }
 
-  /** Throws if a CONCURRENT writer committed lsns above the synthetic lsn
-    * while the op ran — the op's view of "every stored change" was stale,
-    * so matching rows may have escaped; the caller re-runs with a fresh
-    * epoch to converge (the already-committed tombstones/rewrites remain
-    * valid for the rows they saw).
+  /** True when a CONCURRENT writer's commit raised the table's maxLsn to
+    * AT OR ABOVE the synthetic maintenance lsn while the op ran — the op's
+    * view of "every stored change" was stale, so matching rows may have
+    * escaped, or (the equal case) tie-break against the synthetic lsn by
+    * arbitrary payload hash instead of losing to it.
+    *
+    * Detection walks the snapshots committed since `preVersion` (the head
+    * the op read its lsn from) and flags any commit that raised maxLsn to
+    * >= `opLsn` — EXCLUDING the op's own commit, identified as the version
+    * where `epochs(writerId)` first became `epoch`. A head-only
+    * `maxLsn > opLsn` check would miss a concurrent writer landing rows at
+    * exactly `opLsn` (reachable with a dense monotonic source lsn space),
+    * whose rows then win or lose against the rewrite by xxhash64 tie-break
+    * instead of being reported.
     */
-  private def guardMaintenanceRace(opLsn: Long, op: String): Unit = {
-    val after = currentSnapshot().maxLsn
-    if (after > opLsn)
-      throw new IllegalStateException(
-        s"$op raced a concurrent writer (maxLsn $after > synthetic lsn $opLsn): " +
-          "matching rows committed during the op may have escaped — re-run with a new epoch")
+  private[graft] def maintenanceRaced(preVersion: Long, opLsn: Long,
+      epoch: Long, writerId: String): Boolean = {
+    val cur = currentSnapshot()
+    val pre = if (preVersion == cur.version) cur
+      else if (preVersion < 0) Snapshot(version = -1L, lastEpoch = -1L,
+        schema = None, rows = 0L, files = Nil)
+      else readSnapshot(fs, new Path(s"$snapDir/snap-$preVersion.txt"), preVersion)
+    var prevEpoch: Option[Long] = pre.epochs.get(writerId)
+    var prevMax = pre.maxLsn
+    ((preVersion + 1) to cur.version).exists { v =>
+      val s = if (v == cur.version) cur
+        else readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
+      val isOurs = s.epochs.get(writerId).contains(epoch) && !prevEpoch.contains(epoch)
+      val raised = s.maxLsn >= opLsn && s.maxLsn > prevMax
+      prevEpoch = s.epochs.get(writerId)
+      prevMax = s.maxLsn
+      raised && !isOurs
+    }
   }
+
+  private def guardMaintenanceRace(preVersion: Long, opLsn: Long, epoch: Long,
+      writerId: String, op: String): Unit =
+    if (maintenanceRaced(preVersion, opLsn, epoch, writerId))
+      throw new IllegalStateException(
+        s"$op raced a concurrent writer (a commit since version $preVersion " +
+          s"reached maxLsn >= synthetic lsn $opLsn): matching rows committed " +
+          "during the op may have escaped — re-run with a new epoch")
 
   /** Predicate DELETE (GDPR-style erasure, retention TTLs): tombstone every
     * current row matching `cond`, as one ordinary idempotent merge epoch.
@@ -746,7 +802,7 @@ final class LakeTable(
         .withColumn("op", lit("D"))
         .withColumn("lsn", lit(tombLsn)),
       epoch, writerId)
-    if (!st.skipped) guardMaintenanceRace(tombLsn, "deleteWhere")
+    if (!st.skipped) guardMaintenanceRace(snap.version, tombLsn, epoch, writerId, "deleteWhere")
     st
   }
 
@@ -775,7 +831,7 @@ final class LakeTable(
         .withColumn("op", lit("U"))
         .withColumn("lsn", lit(newLsn)),
       epoch, writerId)
-    if (!st.skipped) guardMaintenanceRace(newLsn, "updateWhere")
+    if (!st.skipped) guardMaintenanceRace(snap.version, newLsn, epoch, writerId, "updateWhere")
     st
   }
 
@@ -1155,9 +1211,19 @@ object LakeTable {
   /** Atomic EXCLUSIVE publish of `src` as `dst`: succeeds for exactly one
     * caller per `dst`, false if `dst` already exists. Local fs: POSIX hard
     * link (`link(2)` fails with EEXIST atomically — rename(2) would
-    * silently replace). Other fs: Hadoop `rename`, which does not replace
-    * an existing destination (returns false) — atomic on HDFS.
+    * silently replace). HDFS-family fs: Hadoop `rename`, which does not
+    * replace an existing destination (returns false) — atomic on HDFS.
+    *
+    * SUPPORTED-FILESYSTEM CONTRACT: exclusivity relies on a non-replacing
+    * atomic rename, which object stores do NOT provide (s3a/gcs/abfs
+    * rename can replace the destination, so two racing committers could
+    * both "win" a snapshot version and silently lose a commit). Unknown
+    * schemes fail fast here rather than corrupt commits at scale; an
+    * object-store deployment needs an external commit coordinator (a DynamoDB/
+    * Zookeeper-style lock or a catalog service, the Iceberg-on-S3 answer).
     */
+  private val NonReplacingRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
+
   private[lake] def atomicClaim(fs: FileSystem, src: Path, dst: Path): Boolean = {
     val uri = fs.getUri
     if (uri.getScheme == null || uri.getScheme == "file") {
@@ -1167,7 +1233,14 @@ object LakeTable {
           java.nio.file.Paths.get(src.toUri.getPath))
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else !fs.exists(dst) && fs.rename(src, dst)
+    } else {
+      require(NonReplacingRenameSchemes.contains(uri.getScheme),
+        s"atomicClaim needs a non-replacing atomic rename; filesystem scheme " +
+          s"'${uri.getScheme}' does not guarantee one (supported: file, " +
+          s"${NonReplacingRenameSchemes.mkString(", ")}). Object-store " +
+          "deployments need an external commit lock/catalog.")
+      !fs.exists(dst) && fs.rename(src, dst)
+    }
   }
 
   /** Atomic pointer swap. Local fs: java.nio ATOMIC_MOVE; other fs:

@@ -60,10 +60,20 @@ object Curation {
     * while determinism (shard, doc_id) is preserved at any parallelism. A
     * single global ORDER BY would serialize the corpus through one task —
     * that is exactly what the sharding avoids.
+    *
+    * `seq_id` is bit-composed as `shard << 40 | seq` (like the Maxwell lsn
+    * composition, sources/CdcEnvelope.scala): 2⁴⁰ sequences per shard
+    * (≈5·10¹⁴ tokens at budget 512) before ids could collide across shards,
+    * vs the earlier decimal `shard·10⁶ + seq` whose shard spaces aliased
+    * past 10⁶ sequences — silently wrong packing at exactly the scale this
+    * operator advertises (CurationSpec "no cross-shard aliasing" guards it).
     */
   def packSequences(docs: DataFrame, budgetTokens: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(budgetTokens > 0 && nShards > 0)
+    require(budgetTokens > 0 && nShards > 0,
+      s"budgetTokens=$budgetTokens nShards=$nShards must be positive")
+    require(nShards.toLong <= (1L << 23),
+      s"nShards=$nShards exceeds the 23-bit shard space of seq_id")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -71,7 +81,7 @@ object Curation {
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("n_tokens"), col("shard"),
-        (col("shard") * 1000000L + floor(col("off") / budgetTokens).cast("long")).as("seq_id"),
+        (shiftleft(col("shard"), 40) + floor(col("off") / budgetTokens).cast("long")).as("seq_id"),
         (col("off") % budgetTokens).as("seq_offset"))
   }
 }

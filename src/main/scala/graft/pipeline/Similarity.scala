@@ -142,12 +142,18 @@ object Similarity {
       maxBucket: Int = 1 << 20, extraPlanes: Int = 4): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val sig = lshSignature(emb, planes, idCol, vecCol)
-    val oversized: Seq[Long] = sig.groupBy("bucket").count()
+    // oversized-bucket set stays DISTRIBUTED (broadcast-joined below, never
+    // collected into the plan): it is bounded by n/maxBucket buckets, but a
+    // pathological corpus with very many hot buckets would bloat an
+    // isin(literals) expression tree — a broadcast hash join is O(1) plan
+    // size regardless
+    val oversizedDf = sig.groupBy("bucket").count()
       .filter(col("count") > maxBucket)
-      .select("bucket").collect().map(_.getLong(0)).toSeq
+      .select(col("bucket"), lit(true).as("_hot"))
+    val anyOversized = !oversizedDf.isEmpty // limit-1 probe, not a full count
     val withSig = e.join(sig, "id")
     val (xSide, ySide) =
-      if (oversized.isEmpty) (withSig, withSig)
+      if (!anyOversized) (withSig, withSig)
       else {
         val refined =
           if (extraPlanes <= 0) withSig // cap-only mode
@@ -155,11 +161,12 @@ object Similarity {
             val ext = lshSignature(emb, extraPlanes, idCol, vecCol, firstPlane = planes)
               .withColumnRenamed("bucket", "_ext")
             withSig.join(ext, "id")
+              .join(broadcast(oversizedDf), Seq("bucket"), "left")
               .withColumn("bucket",
-                when(col("bucket").isin(oversized: _*),
+                when(col("_hot").isNotNull,
                   col("bucket") * (1L << extraPlanes) + col("_ext"))
                   .otherwise(col("bucket") * (1L << extraPlanes)))
-              .drop("_ext")
+              .drop("_ext", "_hot")
           }
         // deterministic candidate cap per refined bucket (md5 order)
         val wcap = Window.partitionBy("bucket")

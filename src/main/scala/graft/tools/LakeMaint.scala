@@ -21,9 +21,12 @@ import graft.lake.LakeTable
   *                                 (in-place redaction / backfill)
   *   rollback <version>         — move the head back to a snapshot (new
   *                                 commit; history stays readable)
-  *   tail <dstRoot>             — stream the change log into another lake
-  *                                 table (AvailableNow; resumable via the
-  *                                 destination's `_tailcp` checkpoint)
+  *   tail <dstRoot>             — apply the committed change log to another
+  *                                 lake table (manifest-driven catch-up;
+  *                                 the watermark is the destination's
+  *                                 per-writer epoch lineage, so reruns
+  *                                 resume where they left off and rollback/
+  *                                 orphan phantoms are never applied)
   *
   * The table's key columns and bucket count are read from the MANIFEST
   * (every commit records the layout), so the CLI works on any graft lake
@@ -83,17 +86,13 @@ object LakeMaint {
         println(s"rolled back to snapshot ${args(2)} -> version ${table.currentSnapshot().version}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
+        // committed-manifest-driven (NOT readStreamChanges): the change
+        // window respects rollbacks and never sees uncommitted-publish
+        // orphans, and the destination's epoch lineage is the watermark
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
-        val q = table.readStreamChanges()
-          .writeStream
-          .option("checkpointLocation", s"${args(2)}/_tailcp")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
-            dst.merge(b, epoch, writerId = "cdc-tail"); ()
-          }
-          .start()
-        q.awaitTermination()
-        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows}")
+        val st = graft.lake.Replicate.sync(table, dst, writerId = "cdc-tail")
+        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows} " +
+          s"applied=${st.rowsApplied} skipped=${st.skipped}")
       case other => throw new IllegalArgumentException(s"unknown command '$other'")
     }
     spark.stop()

@@ -83,6 +83,25 @@ class CdcReplaySpec extends SparkSpec {
       .agg(sum("rowsIn")).collect()(0).getLong(0) === cfg.nEvents)
   }
 
+  test("time-based flush: continuous tail fires micro-batches on a processing-time interval") {
+    // the starrocks/doris writers' third flush dimension (rows/bytes/
+    // INTERVAL, starrocks_writer.go:27-31) — here the streaming trigger
+    val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)
+    val logDir = tmpDir("cdclog-t")
+    val lakeDir = tmpDir("lake-t")
+    val cp = tmpDir("cp-t")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 4)
+
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    val q = CdcPipeline.start(spark, table,
+      CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 100,
+        availableNow = false, triggerInterval = Some("1 second")))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assertStateMatches(table, cfg)
+  }
+
   test("replayed epoch is skipped idempotently (batch API)") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)

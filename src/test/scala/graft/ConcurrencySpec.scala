@@ -60,6 +60,43 @@ class ConcurrencySpec extends SparkSpec {
     assert(table.read().count() === 150L)
   }
 
+  test("maintenance race detector catches a concurrent commit at EXACTLY the synthetic lsn") {
+    val root = tmpDir("mrace") + "/t"
+    val table = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    table.merge(batch(0, 0 until 50, "seed"), epoch = 0L) // maxLsn = 49
+    val preVersion = table.currentSnapshot().version
+    val opLsn = 50L // what a maintenance op reading this head would mint
+
+    // concurrent writer lands rows at lsn EXACTLY 50 (dense monotonic
+    // source lsn space) before the maintenance op's own merge commits
+    table.merge(Seq(("U", opLsn, 7L, "racer")).toDF("op", "lsn", "id", "payload"),
+      epoch = 0L, writerId = "other")
+    // the maintenance op's own commit (same lsn, its own writer lineage)
+    table.merge(Seq(("D", opLsn, 3L, null.asInstanceOf[String]))
+        .toDF("op", "lsn", "id", "payload"),
+      epoch = 0L, writerId = "maint")
+
+    // head maxLsn == opLsn — the old `maxLsn > opLsn` head check is blind
+    // here; the history walk attributes the raise to the OTHER writer
+    assert(table.currentSnapshot().maxLsn === opLsn)
+    assert(table.maintenanceRaced(preVersion, opLsn, epoch = 0L, writerId = "maint"),
+      "equal-lsn concurrent commit must be detected")
+
+    // no false positive: only the op's own commit raised maxLsn
+    val root2 = tmpDir("mrace2") + "/t"
+    val t2 = LakeTable.create(spark, root2, Seq("id"), numBuckets = 4)
+    t2.merge(batch(0, 0 until 50, "seed"), epoch = 0L)
+    val pre2 = t2.currentSnapshot().version
+    t2.merge(Seq(("D", 50L, 3L, null.asInstanceOf[String]))
+        .toDF("op", "lsn", "id", "payload"),
+      epoch = 0L, writerId = "maint")
+    assert(!t2.maintenanceRaced(pre2, 50L, epoch = 0L, writerId = "maint"),
+      "the op's own commit must not be flagged")
+    // and deleteWhere end-to-end on a quiet table does not throw
+    t2.deleteWhere(col("id") === 4L, epoch = 1L, writerId = "maint")
+    assert(t2.read().filter($"id" === 4L).count() === 0L)
+  }
+
   test("commit survives a crash between snapshot claim and pointer update") {
     val root = tmpDir("hint") + "/t"
     val table = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)

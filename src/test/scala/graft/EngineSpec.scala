@@ -363,4 +363,72 @@ class EngineSpec extends SparkSpec {
       SyncJob.read(spark, SyncJob.Source("debezium", s"$dir/log"))
     }
   }
+
+  test("orc round-trip (hdfsreader/writer fileType ORC)") {
+    val dir = tmpDir("orc")
+    SyncJob.write(spark, users, Sink("orc", s"$dir/t", WriteMode.Truncate))
+    val back = SyncJob.read(spark, Source("orc", s"$dir/t"))
+    assert(back.count() === 5)
+    assert(back.schema("age").dataType.typeName === "long") // typed, not text
+    assert(back.orderBy("id").collect()(0).getString(1) === "Alice")
+  }
+
+  test("stringifyNested flattens subdocuments to JSON text (mongoreader analog)") {
+    val dir = tmpDir("nested")
+    Seq(
+      ("""{"id": 1, "user": {"name": "a", "tags": ["x", "y"]}, "scores": [1, 2]}"""),
+      ("""{"id": 2, "user": {"name": "b", "tags": []}, "scores": []}"""))
+      .toDF("value").write.text(s"$dir/src")
+    val flat = SyncJob.read(spark,
+      Source("jsonl", s"$dir/src", stringifyNested = true))
+    // every nested column became one JSON string column, like the
+    // reference's mongoreader subdocument stringification; scalars keep
+    // their native types
+    assert(flat.schema("user").dataType.typeName === "string")
+    assert(flat.schema("scores").dataType.typeName === "string")
+    assert(flat.schema("id").dataType.typeName === "long")
+    val r = flat.orderBy("id").collect()(0)
+    assert(r.getAs[String]("user").contains(""""name":"a""""))
+    assert(r.getAs[String]("scores") === "[1,2]")
+    // default: nested structures are read natively
+    val native = SyncJob.read(spark, Source("jsonl", s"$dir/src"))
+    assert(native.schema("user").dataType.typeName === "struct")
+  }
+
+  test("envelope source -> lake sink preserves op/lsn: deletes apply, malformed lines are dirty records") {
+    import graft.sources.CdcEnvelope
+    val dir = tmpDir("envlake")
+    // binlog dump: insert a and b, update a, delete b (canal carries the
+    // full deleted row image — stamping op='U' would resurrect it)
+    val events = Seq(
+      ("I", 1L, "a", 1L), ("I", 2L, "b", 2L),
+      ("U", 3L, "a", 10L), ("D", 4L, "b", 2L))
+      .toDF("op", "lsn", "k", "n")
+    CdcEnvelope.encodeCanal(events, Seq("k", "n")).write.text(s"$dir/log")
+    // a malformed envelope line: decodes to null lsn, must be counted as a
+    // dirty record and never reach the merge
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/log/zz-malformed.txt"),
+      "{this is not a canal envelope\n".getBytes("UTF-8"))
+
+    val src = Source("canal", s"$dir/log", columns = Seq(
+      SyncJob.ColumnSpec(name = "k", colType = "string"),
+      SyncJob.ColumnSpec(name = "n", colType = "long")))
+    val sink = Sink("lake", s"$dir/t", keyCols = Seq("k"), numBuckets = 4)
+    val res = SyncJob.run(spark, src, Nil, sink, errorLimit = ErrorLimit(record = 5))
+    assert(res.rowsBad === 1, "malformed line must count against the error limit")
+    assert(res.rowsWritten === 4)
+
+    val table = graft.lake.LakeTable.create(spark, s"$dir/t", Seq("k"), 4)
+    val got = table.read().orderBy("k").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a"), "delete event must tombstone b")
+    assert(got(0).getLong(1) === 10L, "update event must win over the insert by lsn")
+
+    // re-running the same dump is a fresh epoch but the same lsns: LWW
+    // converges to the identical state (no resurrection of b)
+    SyncJob.run(spark, src, Nil, sink, errorLimit = ErrorLimit(record = 5))
+    val again = table.read().orderBy("k").collect()
+    assert(again.map(_.getString(0)).toSeq === Seq("a"))
+    assert(again(0).getLong(1) === 10L)
+  }
 }

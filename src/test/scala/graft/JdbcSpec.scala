@@ -53,6 +53,18 @@ class JdbcSpec extends AnyFunSuite {
     assert(Dialect.Oracle.hashSplitPredicates("id", 4).isEmpty)
   }
 
+  test("per-connection session statements map to sessionInitStatement") {
+    // mysqlwriter `session` conf: statements run on each connection before
+    // the write — Spark JDBC's sessionInitStatement is the exact analog
+    val sess = Seq("SET SESSION sql_mode='ANSI'", "SET NAMES utf8mb4")
+    val w = Dialect.Mysql.writerOptions("u", "t", session = sess)
+    assert(w("sessionInitStatement") === "SET SESSION sql_mode='ANSI'; SET NAMES utf8mb4")
+    val r = Dialect.Postgres.readerOptions("u", "t", session = Seq("SET search_path TO s"))
+    assert(r("sessionInitStatement") === "SET search_path TO s")
+    // absent by default — an empty option would still run a round trip
+    assert(!Dialect.Mysql.writerOptions("u", "t").contains("sessionInitStatement"))
+  }
+
   test("dialect upsert SQL: the 4 scenarios of common.go:556-616") {
     val cols = Seq("id", "name", "age")
     // scenario 1: no PK -> plain INSERT (both dialects)

@@ -272,7 +272,7 @@ class PipelineSpec extends SparkSpec {
     packed.groupBy(_._3).foreach { case (shard, rows) =>
       var off = 0L
       rows.sortBy(_._1).foreach { case (_, nTok, _, seqId, seqOff) =>
-        assert(seqId === shard * 1000000L + off / 512, s"shard $shard")
+        assert(seqId === (shard << 40) + off / 512, s"shard $shard")
         assert(seqOff === off % 512)
         assert(seqOff >= 0 && seqOff < 512)
         off += nTok
@@ -282,6 +282,28 @@ class PipelineSpec extends SparkSpec {
     val again = Curation.packSequences(docs.repartition(11), 512, 4)
       .orderBy("shard", "doc_id").as[(Long, Long, Long, Long, Long)].collect()
     assert(again.toSeq === packed.toSeq)
+  }
+
+  test("packSequences: no cross-shard seq_id aliasing past 10^6 sequences per shard") {
+    import graft.pipeline.Curation
+    // 2.4M single-token docs over 2 shards => 1.2M sequences per shard at
+    // budget 1 — the earlier decimal encoding (shard·10⁶ + seq) aliased
+    // shard 0's sequence 10⁶+k onto shard 1's space exactly here
+    val docs = spark.range(2400000L)
+      .select($"id".as("doc_id"), lit("tok").as("text"))
+    val packed = Curation.packSequences(docs, budgetTokens = 1, nShards = 2)
+    val perShard = packed.groupBy("shard")
+      .agg(countDistinct($"seq_id").as("seqs"),
+        min($"seq_id").as("lo"), max($"seq_id").as("hi"))
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perShard.length === 2)
+    val (_, seqs0, lo0, hi0) = perShard(0)
+    val (_, seqs1, lo1, hi1) = perShard(1)
+    assert(seqs0 === 1200000L && seqs1 === 1200000L)
+    // shard spaces are disjoint: shard 0 stays below 2^40, shard 1 at/above
+    assert(lo0 === 0L && hi0 === 1199999L && hi0 < (1L << 40))
+    assert(lo1 === (1L << 40) && hi1 === (1L << 40) + 1199999L)
   }
 
   test("redactPii: spans, counts, no double counting of digits inside IPs") {

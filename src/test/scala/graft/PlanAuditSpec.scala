@@ -128,6 +128,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("dictionary split assigns via boundary projection — no window, no join") {
+    // boundaries come from a bounded TakeOrdered sample (driver-side
+    // literals); the data side must stay a narrow codegen'd projection —
+    // the earlier ntile-over-full-domain formulation planned a
+    // SinglePartition window over every distinct key
+    val plan = planOf(SparkEntry.queries("s_dict_split")(spark, sfDir))
+    assert(!plan.contains("Window"), s"dict split must not window:\n$plan")
+    assert(!plan.contains("Join"), s"dict split must not join:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"dict split must not serialize through one partition:\n$plan")
+  }
+
   test("tfidf broadcasts the document-frequency side; no pairwise join") {
     val plan = planOf(SparkEntry.queries("ta_tfidf")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
