@@ -702,18 +702,29 @@ final class LakeTable(
   /** Per-epoch ingest metrics table, reconstructed from snapshot manifests
     * (one row per committed, non-skipped epoch; atomic with the commit).
     */
+  /** Manifests are read in PARALLEL (same rationale as the footer counts in
+    * publish): with long histories a serial driver loop over snapshot files
+    * grows linearly while everything else parallelizes. See the manifest
+    * scale design note in the class scaladoc for the tiering upgrade path.
+    */
+  private def readAllSnapshots(): Seq[Snapshot] = {
+    val dir = new Path(snapDir)
+    if (!fs.exists(dir)) return Nil
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val versioned = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("snap-[0-9]+\\.txt"))
+      .map(st => (st.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong, st.getPath))
+      .sortBy(_._1)
+    Await.result(
+      Future.traverse(versioned) { case (v, p) => Future(readSnapshot(fs, p, v)) },
+      Duration.Inf)
+  }
+
   def metrics(): DataFrame = {
     import spark.implicits._
-    val dir = new Path(snapDir)
-    val rows =
-      if (!fs.exists(dir)) Seq.empty[MergeStats]
-      else fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.startsWith("snap-"))
-        .sortBy(_.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong)
-        .flatMap { st =>
-          val v = st.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong
-          readSnapshot(fs, st.getPath, v).stats
-        }
+    val rows = readAllSnapshots().flatMap(_.stats)
     rows.toDF()
   }
 
@@ -841,19 +852,11 @@ final class LakeTable(
     */
   def history(): DataFrame = {
     import spark.implicits._
-    val dir = new Path(snapDir)
-    val rows =
-      if (!fs.exists(dir)) Seq.empty[(Long, java.sql.Timestamp, Long, Long, Int, Int, Int)]
-      else fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.matches("snap-[0-9]+\\.txt"))
-        .map { st =>
-          val v = st.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong
-          val s = readSnapshot(fs, st.getPath, v)
-          (v, new java.sql.Timestamp(s.commitTs), s.lastEpoch, s.rows,
-            s.files.count(_.kind == "b"), s.files.count(_.kind == "d"),
-            s.addedDeltas.size)
-        }
-        .sortBy(_._1)
+    val rows = readAllSnapshots().map { s =>
+      (s.version, new java.sql.Timestamp(s.commitTs), s.lastEpoch, s.rows,
+        s.files.count(_.kind == "b"), s.files.count(_.kind == "d"),
+        s.addedDeltas.size)
+    }
     rows.toDF("version", "commit_ts", "last_epoch", "rows",
       "base_files", "delta_files", "added_deltas")
   }

@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object Replicate {
 
+  /** Continuous committed tail: poll-loop [[sync]] until `idleRounds`
+    * consecutive polls find the destination already caught up, then return
+    * the total rows applied. This is the push-consumer shape that tracks
+    * the COMMITTED head exactly — unlike the file-tail
+    * [[LakeTable#readStreamChanges]], versions undone by a rollback and
+    * uncommitted-publish orphans are never applied, because every window
+    * comes from manifests ([[LakeTable#readChangesBetween]] semantics).
+    * Crash-resume for free: the watermark is the destination's epoch
+    * lineage, so a restarted follow continues where the last one left off.
+    */
+  def follow(src: LakeTable, dst: LakeTable, writerId: String = "replication",
+      pollMillis: Long = 1000L, idleRounds: Int = 3): Long = {
+    require(idleRounds > 0, s"idleRounds=$idleRounds must be positive")
+    var applied = 0L
+    var idle = 0
+    while (idle < idleRounds) {
+      val st = sync(src, dst, writerId)
+      if (st.skipped) {
+        idle += 1
+        if (idle < idleRounds) Thread.sleep(pollMillis)
+      } else {
+        idle = 0
+        applied += st.rowsApplied
+      }
+    }
+    applied
+  }
+
   /** Sync `dst` with all source commits since the last replicated version.
     * Returns the merge stats (`skipped = true` when already up to date).
     */

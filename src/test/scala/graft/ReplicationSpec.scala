@@ -101,6 +101,36 @@ class ReplicationSpec extends SparkSpec {
     ()
   }
 
+  test("follow tails committed changes and skips rollback phantoms") {
+    val dir = tmpDir("repl-follow")
+    val cfg = Gen.GenConfig(nEvents = 4000, nConvs = 30, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    val src = LakeTable.create(spark, s"$dir/src", Seq("conv_id", "turn_idx"), 4)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 4)
+
+    src.merge(events.filter(pmod($"lsn", lit(2)) === 0), epoch = 0L)
+    src.merge(events.filter(pmod($"lsn", lit(2)) === 1), epoch = 1L)
+    val applied = Replicate.follow(src, dst, pollMillis = 50L, idleRounds = 2)
+    assert(applied > 0L)
+    assert(sortedRows(dst) === sortedRows(src))
+
+    // a bad commit is rolled back BEFORE the consumer polls again: the
+    // committed-window tail must never apply it (the file-tail
+    // readStreamChanges would — that is the documented contract gap)
+    val headBeforeJunk = src.currentSnapshot().version
+    val junk = Seq(("U", 999999L, "junk-conv", 0, "user", "junk", null: String,
+      new java.sql.Timestamp(0L)))
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    src.merge(junk, epoch = 2L)
+    src.rollbackTo(headBeforeJunk)
+    Replicate.follow(src, dst, pollMillis = 50L, idleRounds = 2)
+    assert(dst.read().filter($"conv_id" === "junk-conv").count() === 0L,
+      "rolled-back commit must not reach the follower")
+    assert(sortedRows(dst) === sortedRows(src))
+    events.unpersist()
+    ()
+  }
+
   test("replication coexists with the destination's own writers") {
     val dir = tmpDir("repl-mix")
     val cfg = Gen.GenConfig(nEvents = 2000, nConvs = 20, partitions = 4)
