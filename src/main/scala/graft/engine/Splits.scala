@@ -56,18 +56,41 @@ object Splits {
   /** Offset/limit split: rows ordered by `orderBy` are cut into n contiguous
     * slices; the remainder is spread over the FIRST slices one row each
     * (go-datax `mysql_reader.go:386-429`). Emits a `split` column.
+    *
+    * The global 0-based rank is computed WITHOUT a single-partition sort
+    * (which `Window.orderBy` with no partitionBy would plan — every row
+    * through one task): range-partition on the key, count rows per
+    * partition (one small aggregate, O(partitions) to the driver), then
+    * rank = partition prefix offset + local row_number. Range partitioning
+    * guarantees partition p's keys all precede partition p+1's, so the
+    * composed rank equals the global row_number for unique keys — the
+    * classic distributed zipWithIndex, DataFrame-native.
     */
   def offsetSplit(df: DataFrame, orderBy: String, n: Int, total: Long): DataFrame = {
     val base = total / n
     val rem = total % n
-    // slice i gets base+1 rows for i < rem else base rows; rn is 1-based
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderBy))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(nPart, col(orderBy))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition counts -> prefix offsets; repartitionByRange sampling is
+    // deterministic for the same input, so this count job and the final
+    // query see identical partition boundaries
+    val counts = parts.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 until nPart).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offCol = (0 until nPart).foldLeft(lit(0L): Column) { (acc, p) =>
+      when(col("_pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    // slice i gets base+1 rows for i < rem else base rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col(orderBy))
     val boundary = lit(rem * (base + 1)) // first rem slices are (base+1)-sized
-    val rn = row_number().over(w).cast("long") - 1L // 0-based position
-    df.withColumn("split",
+    val rn = row_number().over(w).cast("long") - 1L + offCol // 0-based global
+    parts.withColumn("split",
       when(rn < boundary, floor(rn / lit(base + 1)))
         .otherwise(lit(rem) + floor((rn - boundary) / lit(math.max(base, 1L))))
         .cast("int"))
+      .drop("_pid")
   }
 
   /** Text-dictionary split: boundaries picked from a bounded sample of the

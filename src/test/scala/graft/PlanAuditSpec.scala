@@ -128,6 +128,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("offset split ranks per range-partition — no single-partition global window") {
+    val plan = planOf(SparkEntry.queries("s_offset_split")(spark, sfDir))
+    assert(!plan.contains("SinglePartition"),
+      s"offset split must not serialize through one partition:\n$plan")
+    assert(plan.contains("Window"), plan) // the per-partition local rank
+  }
+
   test("dictionary split assigns via boundary projection — no window, no join") {
     // boundaries come from a bounded TakeOrdered sample (driver-side
     // literals); the data side must stay a narrow codegen'd projection —
