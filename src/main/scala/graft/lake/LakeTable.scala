@@ -877,6 +877,50 @@ final class LakeTable(
       files = files, addedDeltas = Nil))
   }
 
+  /** Re-bucket the table into a NEW table at `dstRoot` with `newBuckets`
+    * buckets — the full-rewrite escape hatch for a table that outgrew its
+    * frozen bucket count (Iceberg's rewrite-with-new-partition-spec analog;
+    * bucket count is a table constant because the layout hashes the key, so
+    * evolution is by rewrite, never in place).
+    *
+    * CDC CONTINUITY is preserved: the destination's first snapshot carries
+    * the source's per-writer epoch lineage and running maxLsn, so the SAME
+    * checkpointed stream can point at the new table and (a) replays of
+    * already-applied epochs are still skipped exactly-once, (b) predicate
+    * maintenance ops keep minting lsns above everything ever stored.
+    * TOMBSTONE winners are rewritten too (same rule as compaction): an
+    * at-least-once source re-delivering an older change after the rebucket
+    * still loses LWW against the carried tombstone.
+    *
+    * Cost: one read of the source (per-bucket LWW resolution, the compaction
+    * plan) + one shuffle into the new bucket layout + one write — O(table),
+    * as a re-bucket must be. The source table is left untouched (keep it
+    * until the cut-over is verified, then drop its root).
+    */
+  def rebucketTo(dstRoot: String, newBuckets: Int): LakeTable = {
+    require(newBuckets > 0, s"newBuckets=$newBuckets must be positive")
+    val snap = currentSnapshot()
+    require(snap.version >= 0, "nothing to rebucket: no committed snapshot")
+    val dst = new LakeTable(spark, dstRoot, keyCols, newBuckets, deltaRatio, maxDeltaFiles)
+    require(dst.currentSnapshot().version < 0,
+      s"rebucket destination $dstRoot already has committed snapshots")
+    val resolvedAll = resolvedBucketed(snap, snap.files.map(_.bucket).toSet)
+      .withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(newBuckets)))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val base = dst.publish(resolvedAll, s"$dstRoot/_staging-rb-$nonce", s"b0-$nonce", "b",
+      newBuckets, reshuffle = true)
+    dst.commitSnapshot(Snapshot(
+      version = 0L,
+      lastEpoch = snap.lastEpoch,
+      schema = snap.schema,
+      rows = base.map(_.rows).sum,
+      files = base,
+      addedDeltas = Nil,
+      epochs = snap.epochs,
+      maxLsn = snap.maxLsn))
+    dst
+  }
+
   /** Tombstone GC: drop `_op = D` winners whose `_lsn` is below
     * `horizonLsn` — safe once the source can no longer re-deliver changes
     * older than that lsn (the at-least-once re-delivery horizon). The lake

@@ -21,6 +21,9 @@ import graft.lake.LakeTable
   *                                 (in-place redaction / backfill)
   *   rollback <version>         — move the head back to a snapshot (new
   *                                 commit; history stays readable)
+  *   rebucket <dstRoot> <n>     — rewrite into a NEW table with n buckets
+  *                                 (epoch lineage + maxLsn carried, so the
+  *                                 same stream resumes against the copy)
   *   tail <dstRoot>             — apply the committed change log to another
   *                                 lake table (manifest-driven catch-up;
   *                                 the watermark is the destination's
@@ -84,6 +87,12 @@ object LakeMaint {
         require(args.length >= 3, "rollback <version>")
         table.rollbackTo(args(2).toLong)
         println(s"rolled back to snapshot ${args(2)} -> version ${table.currentSnapshot().version}")
+      case "rebucket" =>
+        require(args.length >= 4, "rebucket <dstRoot> <newBuckets>")
+        val dst = table.rebucketTo(args(2), args(3).toInt)
+        val s = dst.currentSnapshot()
+        println(s"rebucketed -> ${args(2)} buckets=${args(3)} rows=${s.rows} " +
+          s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         // committed-manifest-driven (NOT readStreamChanges): the change

@@ -304,6 +304,54 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.readInternal().count() === 1L) // D(lsn 2) physically gone
   }
 
+  test("rebucketTo: identical state under new layout, lineage carried, tombstones survive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, conv: String, turn: Int) =
+      Model.ChangeEvent(op, lsn, ts, conv, turn,
+        if (op == "D") None else Some("user"),
+        if (op == "D") None else Some(s"text-$conv-$turn"), None)
+
+    val src = LakeTable.create(spark, tmpDir("rb-src"), Model.keyCols, numBuckets = 4)
+    // two epochs: 40 keys, one updated, one deleted
+    src.merge((0 until 40).map(i => ev("I", i + 1L, s"conv-${i % 10}", i / 10)).toDF(), 0L)
+    src.merge(Seq(ev("U", 100L, "conv-0", 0), ev("D", 101L, "conv-1", 0)).toDF(), 1L)
+
+    val dstRoot = tmpDir("rb-dst") + "/t"
+    val dst = src.rebucketTo(dstRoot, newBuckets = 8)
+
+    // state equality under the new layout
+    val diff = dst.read().exceptAll(src.read()).count() +
+      src.read().exceptAll(dst.read()).count()
+    assert(diff === 0L, s"$diff rows differ after rebucket")
+    // layout really is 8 buckets, recorded in the manifest (open validates)
+    val reopened = LakeTable.open(spark, dstRoot)
+    assert(reopened.numBuckets === 8)
+    // point lookup prunes under the NEW bucketing
+    assert(dst.readKey(Seq("conv-0", 0)).collect()(0).getAs[String]("text") === "text-conv-0-0")
+
+    // epoch lineage carried: a replay of source epoch 1 is skipped...
+    assert(dst.merge(Seq(ev("U", 100L, "conv-0", 0)).toDF(), 1L).skipped)
+    // ...while the stream's NEXT epoch applies normally
+    assert(!dst.merge(Seq(ev("I", 200L, "conv-9", 9)).toDF(), 2L).skipped)
+
+    // tombstone carried: a late re-delivered OLDER duplicate of the deleted
+    // key still loses LWW in the rebucketed table
+    dst.merge(Seq(ev("I", 50L, "conv-1", 0)).toDF(), 3L)
+    assert(dst.read().filter($"conv_id" === "conv-1" && $"turn_idx" === 0).count() === 0L,
+      "rebucket dropped the tombstone — older duplicate resurrected the key")
+
+    // maxLsn carried: a predicate delete mints a lsn above EVERYTHING,
+    // including the source table's history
+    dst.deleteWhere($"conv_id" === "conv-0", epoch = 4L)
+    assert(dst.read().filter($"conv_id" === "conv-0").count() === 0L)
+    assert(dst.currentSnapshot().maxLsn > 200L)
+
+    // a non-empty destination is refused
+    intercept[IllegalArgumentException] { src.rebucketTo(dstRoot, 8) }
+  }
+
   test("tombstone GC rewrites only buckets holding expirable tombstones") {
     import spark.implicits._
     import java.sql.Timestamp
