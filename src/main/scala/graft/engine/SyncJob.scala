@@ -66,7 +66,11 @@ object SyncJob {
       stringifyNested: Boolean = false)
 
   final case class Sink(
-      format: String, // csv | json | parquet | text | lake
+      format: String, // csv | json | parquet | orc | text | lake
+      //              // | debezium | canal | maxwell (canonical
+      //              // (op, lsn, payload...) rows encoded as JSONL binlog
+      //              // envelopes — the export/produce direction; debezium
+      //              // needs `keyCols` for the delete key image)
       path: String,
       writeMode: WriteMode.Value = WriteMode.Append,
       options: Map[String, String] = Map.empty,
@@ -380,7 +384,29 @@ object SyncJob {
         else df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
       table.merge(withMeta, epoch)
       ()
-    case fmt =>
+    case fmt0 =>
+      // envelope sinks: canonical change events -> JSONL binlog envelopes
+      // (the produce direction of sources/CdcEnvelope; a graft export feeds
+      // any debezium/canal/maxwell consumer). The encoded frame is one
+      // string column written through the ordinary text machinery, so
+      // writeModes, flush thresholds and staged error-limit publish all
+      // apply unchanged.
+      val (df1, fmt) = fmt0 match {
+        case env @ ("debezium" | "canal" | "maxwell") =>
+          require(df.columns.contains("op") && df.columns.contains("lsn"),
+            s"'$env' sink needs canonical (op, lsn, payload...) input columns")
+          val payload = df.columns.filterNot(c => c == "op" || c == "lsn").toSeq
+          val enc = env match {
+            case "debezium" =>
+              require(sink.keyCols.nonEmpty,
+                "debezium sink needs keyCols for the delete key image")
+              graft.sources.CdcEnvelope.encodeDebezium(df, payload, sink.keyCols)
+            case "canal" => graft.sources.CdcEnvelope.encodeCanal(df, payload)
+            case _ => graft.sources.CdcEnvelope.encodeMaxwell(df, payload)
+          }
+          (enc, "text")
+        case f => (df, f)
+      }
       val mode = sink.writeMode match {
         case WriteMode.Append => "append"
         case WriteMode.Truncate => "overwrite"
@@ -404,14 +430,14 @@ object SyncJob {
       val fileCap: Option[Long] = {
         val byRows = if (sink.flushRows > 0) Some(sink.flushRows) else None
         val byBytes = if (sink.flushBytes > 0) {
-          val sample = df.limit(10000)
+          val sample = df1.limit(10000)
           val mean = sample.agg(avg(graft.core.ByteSize.logicalBytes(sample))).collect()(0)
           val avgB = (if (mean.isNullAt(0)) 1.0 else mean.getDouble(0)).max(1.0)
           Some(math.max(1L, (sink.flushBytes / avgB).toLong))
         } else None
         (byRows.toSeq ++ byBytes.toSeq).reduceOption((a, b) => math.min(a, b))
       }
-      val w0 = df.write.mode(mode).options(sink.options)
+      val w0 = df1.write.mode(mode).options(sink.options)
       val w1 = fileCap.fold(w0)(c => w0.option("maxRecordsPerFile", c))
       val w = if (sink.partitionCols.nonEmpty) w1.partitionBy(sink.partitionCols: _*) else w1
       fmt match {

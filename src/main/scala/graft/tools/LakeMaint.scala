@@ -24,6 +24,10 @@ import graft.lake.LakeTable
   *   rebucket <dstRoot> <n>     — rewrite into a NEW table with n buckets
   *                                 (epoch lineage + maxLsn carried, so the
   *                                 same stream resumes against the copy)
+  *   export <fmt> <dst> [since] — write the committed change window since
+  *                                 snapshot `since` (default: full history)
+  *                                 as debezium|canal|maxwell JSONL — feeds
+  *                                 any external binlog-envelope consumer
   *   tail <dstRoot>             — apply the committed change log to another
   *                                 lake table (manifest-driven catch-up;
   *                                 the watermark is the destination's
@@ -87,6 +91,15 @@ object LakeMaint {
         require(args.length >= 3, "rollback <version>")
         table.rollbackTo(args(2).toLong)
         println(s"rolled back to snapshot ${args(2)} -> version ${table.currentSnapshot().version}")
+      case "export" =>
+        require(args.length >= 4, "export <debezium|canal|maxwell> <dstDir> [sinceVersion]")
+        val since = if (args.length >= 5) args(4).toLong else -1L
+        val changes = table.readChangesSince(since)
+          .withColumnRenamed(LakeTable.OpCol, "op")
+          .withColumnRenamed(LakeTable.LsnCol, "lsn")
+        graft.engine.SyncJob.write(spark, changes,
+          graft.engine.SyncJob.Sink(args(2), args(3), keyCols = table.keyCols))
+        println(s"exported changes since version $since as ${args(2)} -> ${args(3)}")
       case "rebucket" =>
         require(args.length >= 4, "rebucket <dstRoot> <newBuckets>")
         val dst = table.rebucketTo(args(2), args(3).toInt)

@@ -364,6 +364,26 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("envelope sinks encode what the matching source decodes back (produce direction)") {
+    val events = Seq(("I", 1L, "a", 1L), ("U", 2L, "a", 5L), ("D", 3L, "b", 2L))
+      .toDF("op", "lsn", "k", "n")
+    for (fmt <- Seq("canal", "maxwell", "debezium")) {
+      val dir = tmpDir(s"envsink-$fmt")
+      SyncJob.write(spark, events, Sink(fmt, s"$dir/out", keyCols = Seq("k")))
+      val back = SyncJob.read(spark, Source(fmt, s"$dir/out", columns = Seq(
+        SyncJob.ColumnSpec(name = "k", colType = "string"),
+        SyncJob.ColumnSpec(name = "n", colType = "long"))))
+        .orderBy("lsn").collect()
+      assert(back.map(_.getString(0)).toSeq === Seq("I", "U", "D"), s"$fmt ops")
+      // the upsert's full payload survives the round trip
+      val u = back(1)
+      assert(u.getString(2) === "a" && u.getLong(3) === 5L, s"$fmt upsert payload")
+      // the delete's key survives (debezium: key image only; canal/maxwell:
+      // full deleted row image)
+      assert(back(2).getString(2) === "b", s"$fmt delete key")
+    }
+  }
+
   test("orc round-trip (hdfsreader/writer fileType ORC)") {
     val dir = tmpDir("orc")
     SyncJob.write(spark, users, Sink("orc", s"$dir/t", WriteMode.Truncate))
