@@ -59,27 +59,47 @@ object Splits {
     *
     * The global 0-based rank is computed WITHOUT a single-partition sort
     * (which `Window.orderBy` with no partitionBy would plan — every row
-    * through one task): range-partition on the key, count rows per
-    * partition (one small aggregate, O(partitions) to the driver), then
-    * rank = partition prefix offset + local row_number. Range partitioning
-    * guarantees partition p's keys all precede partition p+1's, so the
-    * composed rank equals the global row_number for unique keys — the
-    * classic distributed zipWithIndex, DataFrame-native.
+    * through one task): the key domain is cut into ordered range buckets
+    * whose boundaries are LITERALS from a deterministic hash sample (so a
+    * bucket id is a pure function of the key — identical in every job that
+    * evaluates it), rows are counted per bucket (one small aggregate,
+    * O(buckets) to the driver), and rank = bucket prefix offset + local
+    * row_number within the bucket. Buckets are ordered, so the composed
+    * rank equals the global row_number for unique keys — the classic
+    * distributed zipWithIndex, DataFrame-native.
+    *
+    * NOT `repartitionByRange`: Spark's RangePartitioner seeds its sampler
+    * with the RDD id, which differs between the counts action and the final
+    * query — the two jobs could see different boundaries and mis-assign
+    * prefix offsets. Literal boundaries make both jobs bit-identical by
+    * construction. Boundary quality only affects bucket BALANCE, never rank
+    * correctness; the md5 sample (~10⁵ keys regardless of table size, the
+    * reference's `total` count sets the sampling rate) keeps buckets near
+    * even for non-degenerate key distributions.
     */
   def offsetSplit(df: DataFrame, orderBy: String, n: Int, total: Long): DataFrame = {
     val base = total / n
     val rem = total % n
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = df.repartitionByRange(nPart, col(orderBy))
-      .withColumn("_pid", spark_partition_id())
-    // per-partition counts -> prefix offsets; repartitionByRange sampling is
-    // deterministic for the same input, so this count job and the final
-    // query see identical partition boundaries
+    // deterministic ~1e5-key sample: keep keys whose md5 bucket is 0 mod p;
+    // the sample's own sort is bounded by the target size, not the table
+    val target = math.max(100000L, nPart.toLong * 10L)
+    val p = math.max(total / target, 1L)
+    val sample = df
+      .filter(pmod(conv(substring(md5(col(orderBy).cast("string")), 1, 8), 16, 10).cast("long"), lit(p)) === 0)
+      .select(col(orderBy)).distinct().orderBy(col(orderBy))
+      .collect().map(_.get(0))
+    val step = math.max(sample.length / nPart, 1)
+    val bounds = (1 until nPart).map(_ * step).filter(_ < sample.length).map(sample(_))
+    val pidCol = bounds.foldLeft(lit(0): Column) { (acc, b) =>
+      acc + when(col(orderBy) >= lit(b), 1).otherwise(0)
+    }
+    val parts = df.withColumn("_pid", pidCol)
     val counts = parts.groupBy("_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
-    val offsets = (0 until nPart).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offCol = (0 until nPart).foldLeft(lit(0L): Column) { (acc, p) =>
-      when(col("_pid") === p, lit(offsets(p))).otherwise(acc)
+    val offsets = (0 to bounds.length).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+    val offCol = (0 to bounds.length).foldLeft(lit(0L): Column) { (acc, b) =>
+      when(col("_pid") === b, lit(offsets(b))).otherwise(acc)
     }
     // slice i gets base+1 rows for i < rem else base rows
     val w = org.apache.spark.sql.expressions.Window

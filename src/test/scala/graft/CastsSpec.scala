@@ -55,6 +55,24 @@ class CastsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq === Seq(15L, 15L, 14L, 14L, 14L, 14L, 14L))
   }
 
+  test("offset split: exact slices and per-row determinism once hash sampling engages") {
+    // total > 10^5 ⇒ the boundary sample is a REAL subset (p > 1): slice
+    // SIZES must still be exact (boundaries affect balance, never rank),
+    // and the per-row assignment identical at any input partitioning —
+    // the cross-job-consistency property the literal boundaries exist for
+    val n = 250000L
+    val df = spark.range(n).toDF("k")
+    val out = Splits.offsetSplit(df, "k", 7, n)
+      .groupBy("split").count().orderBy("split").collect()
+    val sizes = out.map(_.getLong(1)).toSeq
+    val base = n / 7
+    val rem = (n % 7).toInt
+    assert(sizes === (0 until 7).map(i => if (i < rem) base + 1 else base))
+    val a = Splits.offsetSplit(df, "k", 7, n).select("k", "split")
+    val b = Splits.offsetSplit(df.repartition(13), "k", 7, n).select("k", "split")
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
+
   test("salted key spreads a hot key deterministically") {
     val df = Seq.tabulate(100)(i => ("hot", i)).toDF("k", "sec")
     val salts = df.select(Splits.saltedKey($"k", $"sec", 8).as("sk"))

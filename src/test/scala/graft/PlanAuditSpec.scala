@@ -128,7 +128,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
-  test("offset split ranks per range-partition — no single-partition global window") {
+  test("offset split ranks per ordered range bucket — no single-partition global window") {
     val plan = planOf(SparkEntry.queries("s_offset_split")(spark, sfDir))
     assert(!plan.contains("SinglePartition"),
       s"offset split must not serialize through one partition:\n$plan")
