@@ -80,23 +80,34 @@ sealed abstract class Dialect(
     * and before any read/write on it — the reference's mysqlwriter/reader
     * `session` conf (`mysql_writer.go` session list, e.g.
     * `SET SESSION sql_mode='ANSI'`). Spark's JDBC source has the exact
-    * analog: `sessionInitStatement` (one string; statements joined with
-    * `;`), applied per executor connection.
+    * analog: `sessionInitStatement`, applied per executor connection.
+    *
+    * Spark executes the init string as ONE `Statement.execute`, while the
+    * reference loops statements one by one — so joining with `;` only
+    * works on drivers that accept multi-statement strings. MySQL-family
+    * drivers reject them unless the URL carries `allowMultiQueries=true`;
+    * [[sessionUrl]] adds it for multi-statement session lists on those
+    * dialects (postgres executes multi-statement simple queries natively).
     */
   private def sessionOption(session: Seq[String]): Map[String, String] =
     if (session.isEmpty) Map.empty
     else Map("sessionInitStatement" -> session.mkString("; "))
 
+  /** Dialect hook: adjust the JDBC URL so a multi-statement session init
+    * can actually execute (see [[sessionOption]]). Default: unchanged.
+    */
+  protected def sessionUrl(url: String, session: Seq[String]): String = url
+
   /** Spark JDBC reader options with the dialect's defaults applied. */
   def readerOptions(url: String, table: String,
       session: Seq[String] = Nil): Map[String, String] = Map(
-    "url" -> url, "dbtable" -> table,
+    "url" -> sessionUrl(url, session), "dbtable" -> table,
     "fetchsize" -> defaultFetchSize.toString) ++ sessionOption(session)
 
   /** Spark JDBC writer options with the dialect's defaults applied. */
   def writerOptions(url: String, table: String,
       session: Seq[String] = Nil): Map[String, String] = Map(
-    "url" -> url, "dbtable" -> table,
+    "url" -> sessionUrl(url, session), "dbtable" -> table,
     "batchsize" -> defaultBatchSize.toString) ++ sessionOption(session)
 }
 
@@ -107,6 +118,11 @@ object Dialect {
     * the mysql wire protocol).
     */
   sealed class MysqlFamily(name: String) extends Dialect(name, "`", "`") {
+    // Connector/J rejects multi-statement strings unless the URL opts in;
+    // a single session statement needs no URL change
+    override protected def sessionUrl(url: String, session: Seq[String]): String =
+      if (session.length <= 1 || url.contains("allowMultiQueries=")) url
+      else url + (if (url.contains("?")) "&" else "?") + "allowMultiQueries=true"
     override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
       Some(Jdbc.hashPredicatesMysql(splitPk, n))
     override protected def allPkSql(table: String, cols: Seq[String],

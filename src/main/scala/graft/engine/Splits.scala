@@ -75,7 +75,19 @@ object Splits {
     * construction. Boundary quality only affects bucket BALANCE, never rank
     * correctness; the md5 sample (~10⁵ keys regardless of table size, the
     * reference's `total` count sets the sampling rate) keeps buckets near
-    * even for non-degenerate key distributions.
+    * even for non-degenerate key distributions, and a DUPLICATE-HEAVY key
+    * domain (few distinct values, so the hash sample comes back near-empty)
+    * falls back to boundaries from the bounded distinct domain itself
+    * (TakeOrdered, cost capped by the target size) rather than silently
+    * degrading to one bucket.
+    *
+    * CONTRACT: the input is scanned three times (boundary sample and bucket
+    * counts prune to the `orderBy` column; the final pass reads all
+    * columns), and the source must be RE-READ-STABLE across those jobs —
+    * true for files/snapshots, and the same stability the reference's
+    * paginated `LIMIT/OFFSET` split queries already require of a live RDBMS
+    * (`mysql_reader.go:386-429` pages an ORDER BY under concurrent writes
+    * with exactly the same caveat).
     */
   def offsetSplit(df: DataFrame, orderBy: String, n: Int, total: Long): DataFrame = {
     val base = total / n
@@ -85,10 +97,14 @@ object Splits {
     // the sample's own sort is bounded by the target size, not the table
     val target = math.max(100000L, nPart.toLong * 10L)
     val p = math.max(total / target, 1L)
-    val sample = df
+    val hashSample = df
       .filter(pmod(conv(substring(md5(col(orderBy).cast("string")), 1, 8), 16, 10).cast("long"), lit(p)) === 0)
       .select(col(orderBy)).distinct().orderBy(col(orderBy))
       .collect().map(_.get(0))
+    val sample =
+      if (hashSample.length >= nPart || p == 1L) hashSample
+      else df.select(col(orderBy)).distinct().orderBy(col(orderBy))
+        .limit(target.toInt).collect().map(_.get(0))
     val step = math.max(sample.length / nPart, 1)
     val bounds = (1 until nPart).map(_ * step).filter(_ < sample.length).map(sample(_))
     val pidCol = bounds.foldLeft(lit(0): Column) { (acc, b) =>

@@ -83,6 +83,16 @@ object SyncJob {
         * (`common/database/rdbms/writer/common.go:88-183`).
         */
       partitionCols: Seq[String] = Nil,
+      /** lake sink only: the input rows are CHANGE EVENTS already carrying
+        * canonical (op, lsn) columns (binlog-dump envelope sources, lake
+        * change streams) — preserve them through the merge instead of
+        * stamping op='U'/lsn=epoch. EXPLICIT opt-in, never inferred from
+        * column names: a plain business table that happens to have columns
+        * named `op`/`lsn` must not be reinterpreted as a change stream
+        * (its 'D' rows would silently delete). [[run]] sets this
+        * automatically when the SOURCE is an envelope format.
+        */
+      changeEvents: Boolean = false,
       /** clickhousewriter-style DUAL flush thresholds
         * (`clickhouse_writer.go:103-104,320-340`): a batch (here: an output
         * file) closes when it reaches `flushRows` rows OR ~`flushBytes`
@@ -279,8 +289,12 @@ object SyncJob {
 
     // envelope sources: a malformed line decodes to null lsn — it is a
     // dirty record (counted against the error limit, filtered before the
-    // sink), the batch-path analog of CdcPipeline's corrupt-line policy
+    // sink), the batch-path analog of CdcPipeline's corrupt-line policy;
+    // and a lake sink fed by an envelope source consumes CHANGE EVENTS
+    // (op/lsn preserved through the merge — the explicit opt-in is set
+    // here, where the source format is known)
     val isEnvelope = Set("debezium", "canal", "maxwell").contains(src.format)
+    val sink1 = if (isEnvelope && sink.format == "lake") sink.copy(changeEvents = true) else sink
     val userBad = badPredicate.getOrElse(lit(false))
     val bad = if (isEnvelope) userBad || col("lsn").isNull else userBad
     val obs = Observation(s"sync-${System.nanoTime()}")
@@ -304,9 +318,9 @@ object SyncJob {
         if (fs.exists(p) && fs.listStatus(p).nonEmpty)
           throw new IllegalStateException(s"nonConflict: target ${sink.path} not empty")
       }
-      write(spark, observed, sink.copy(path = stagingPath, writeMode = WriteMode.Truncate))
+      write(spark, observed, sink1.copy(path = stagingPath, writeMode = WriteMode.Truncate))
     } else {
-      write(spark, observed, sink)
+      write(spark, observed, sink1)
     }
 
     val m = obs.get
@@ -367,21 +381,26 @@ object SyncJob {
       //    defined order in the reference (channel arrival order), so any
       //    winner is VALID — the merge's payload-hash tie-break makes the
       //    winner DETERMINISTIC (EngineSpec "deterministic winner").
-      //  - a CHANGE-EVENT source (debezium/canal/maxwell binlog dump, or a
-      //    lake change stream): rows already carry canonical (op, lsn).
-      //    Those are PRESERVED — overwriting them would turn DELETE events
-      //    into live upserts (canal/maxwell carry the full deleted row
-      //    image) and collapse the dump's LWW order into one epoch. Rows
-      //    whose lsn is null (malformed envelope lines decode to null)
-      //    never reach the merge, mirroring CdcPipeline's corrupt-line
-      //    policy — count them with `badPredicate = col("lsn").isNull`
-      //    through run()'s error limiter (run() wires this automatically
-      //    for envelope sources).
+      //  - a CHANGE-EVENT input (`Sink.changeEvents = true` — set by run()
+      //    for debezium/canal/maxwell sources, or explicitly for lake
+      //    change streams): rows already carry canonical (op, lsn), which
+      //    are PRESERVED — overwriting them would turn DELETE events into
+      //    live upserts (canal/maxwell carry the full deleted row image)
+      //    and collapse the dump's LWW order into one epoch. Rows whose
+      //    lsn is null (malformed envelope lines decode to null) never
+      //    reach the merge, mirroring CdcPipeline's corrupt-line policy —
+      //    count them with `badPredicate = col("lsn").isNull` through
+      //    run()'s error limiter (run() wires this automatically for
+      //    envelope sources). The flag is EXPLICIT: a plain table whose
+      //    business schema happens to contain `op`/`lsn` columns is still
+      //    treated as plain data.
       val epoch = table.currentSnapshot().lastEpochFor(LakeTable.DefaultWriter) + 1
-      val hasCdcMeta = df.columns.contains("op") && df.columns.contains("lsn")
       val withMeta =
-        if (hasCdcMeta) df.filter(col("lsn").isNotNull)
-        else df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
+        if (sink.changeEvents) {
+          require(df.columns.contains("op") && df.columns.contains("lsn"),
+            "changeEvents lake sink needs canonical (op, lsn) input columns")
+          df.filter(col("lsn").isNotNull)
+        } else df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
       table.merge(withMeta, epoch)
       ()
     case fmt0 =>

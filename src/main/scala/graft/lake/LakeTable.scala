@@ -275,8 +275,9 @@ final class LakeTable(
       stats = None,
       addedDeltas = Nil,
       revertedFrom = version,
-      maxLsn = cur.maxLsn)) // lsn history is not rewound: future synthetic
-                            // lsns must still outrank everything ever seen
+      maxLsn = cur.maxLsn, // lsn history is not rewound: future synthetic
+                           // lsns must still outrank everything ever seen
+      lsnHigh = -1L)) // no new rows in a rollback commit
   }
 
   /** STREAMING CDC-out: tail the table's delta files as a Structured
@@ -563,7 +564,8 @@ final class LakeTable(
           commitSnapshot(mkSnap(base).copy(version = base.version + 1,
             lastEpoch = epoch, stats = Some(st),
             epochs = base.epochs + (writerId -> epoch),
-            maxLsn = math.max(base.maxLsn, observedMaxLsn)))
+            maxLsn = math.max(base.maxLsn, observedMaxLsn),
+            lsnHigh = observedMaxLsn)) // THIS commit's own high (race guard)
           return st
         } catch {
           case e: CommitConflictException =>
@@ -756,13 +758,18 @@ final class LakeTable(
     * arbitrary payload hash instead of losing to it.
     *
     * Detection walks the snapshots committed since `preVersion` (the head
-    * the op read its lsn from) and flags any commit that raised maxLsn to
-    * >= `opLsn` — EXCLUDING the op's own commit, identified as the version
-    * where `epochs(writerId)` first became `epoch`. A head-only
-    * `maxLsn > opLsn` check would miss a concurrent writer landing rows at
-    * exactly `opLsn` (reachable with a dense monotonic source lsn space),
-    * whose rows then win or lose against the rewrite by xxhash64 tie-break
-    * instead of being reported.
+    * the op read its lsn from) and flags any commit whose OWN batch reached
+    * `opLsn` (`Snapshot.lsnHigh`, recorded per commit exactly so this
+    * attribution works in both interleavings) — EXCLUDING the op's own
+    * commit, identified as the version where `epochs(writerId)` first
+    * became `epoch`. A head-only `maxLsn > opLsn` check would miss a
+    * concurrent writer landing rows at exactly `opLsn` (reachable with a
+    * dense monotonic source lsn space), and a raised-running-max check
+    * would additionally miss a racer committing AFTER the op's own commit
+    * already lifted the running max to `opLsn` — `lsnHigh` is immune to
+    * both, because it is the commit's own observation, not the running
+    * max. The raised-running-max test is kept as a fallback for commits
+    * written by pre-`lsnHigh` binaries.
     */
   private[graft] def maintenanceRaced(preVersion: Long, opLsn: Long,
       epoch: Long, writerId: String): Boolean = {
@@ -777,10 +784,11 @@ final class LakeTable(
       val s = if (v == cur.version) cur
         else readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
       val isOurs = s.epochs.get(writerId).contains(epoch) && !prevEpoch.contains(epoch)
-      val raised = s.maxLsn >= opLsn && s.maxLsn > prevMax
+      val raced = s.lsnHigh >= opLsn ||
+        (s.maxLsn >= opLsn && s.maxLsn > prevMax) // pre-lsnHigh fallback
       prevEpoch = s.epochs.get(writerId)
       prevMax = s.maxLsn
-      raised && !isOurs
+      raced && !isOurs
     }
   }
 
@@ -874,7 +882,7 @@ final class LakeTable(
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
-      files = files, addedDeltas = Nil))
+      files = files, addedDeltas = Nil, lsnHigh = -1L))
   }
 
   /** Re-bucket the table into a NEW table at `dstRoot` with `newBuckets`
@@ -950,7 +958,7 @@ final class LakeTable(
       math.max(buckets.size, 1), reshuffle = false)
     val files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newBase
     commitSnapshot(snap.copy(version = newVersion, rows = files.map(_.rows).sum,
-      files = files, addedDeltas = Nil))
+      files = files, addedDeltas = Nil, lsnHigh = -1L))
   }
 
   /** Remove data files referenced by neither the current snapshot nor the
@@ -1043,7 +1051,14 @@ object LakeTable {
         * outranks every stored change without scanning the table. -1 in
         * pre-tracking manifests.
         */
-      maxLsn: Long = -1L) {
+      maxLsn: Long = -1L,
+      /** highest `_lsn` observed in THIS commit's batch (not the running
+        * max): lets the maintenance race guard attribute a high lsn to the
+        * specific commit that introduced it, even when the running max was
+        * already at that value. -1 for commits that added no rows
+        * (compaction, rollback, GC) and in pre-tracking manifests.
+        */
+      lsnHigh: Long = -1L) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -1166,6 +1181,7 @@ object LakeTable {
     if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
     if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
+    if (s.lsnHigh >= 0) sb.append("lsnHigh=").append(s.lsnHigh).append('\n')
     if (s.revertedFrom >= 0) sb.append("revertedFrom=").append(s.revertedFrom).append('\n')
     s.epochs.toSeq.sortBy(_._1).foreach { case (w, e) =>
       require(!w.contains('\t') && !w.contains('\n'), s"writerId '$w' has separator chars")
@@ -1192,6 +1208,7 @@ object LakeTable {
     var keysMeta: Seq[String] = Nil
     var bucketsMeta = 0
     var maxLsn = -1L
+    var lsnHigh = -1L
     var revertedFrom = -1L
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
@@ -1208,6 +1225,7 @@ object LakeTable {
         case "keys" => keysMeta = v.split(',').toSeq
         case "buckets" => bucketsMeta = v.toInt
         case "maxLsn" => maxLsn = v.toLong
+        case "lsnHigh" => lsnHigh = v.toLong
         case "revertedFrom" => revertedFrom = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" =>
@@ -1234,7 +1252,8 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, revertedFrom, maxLsn)
+      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, revertedFrom,
+      maxLsn, lsnHigh)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

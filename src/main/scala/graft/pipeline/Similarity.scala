@@ -142,18 +142,20 @@ object Similarity {
       maxBucket: Int = 1 << 20, extraPlanes: Int = 4): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val sig = lshSignature(emb, planes, idCol, vecCol)
-    // oversized-bucket set stays DISTRIBUTED (broadcast-joined below, never
-    // collected into the plan): it is bounded by n/maxBucket buckets, but a
-    // pathological corpus with very many hot buckets would bloat an
-    // isin(literals) expression tree — a broadcast hash join is O(1) plan
-    // size regardless
-    val oversizedDf = sig.groupBy("bucket").count()
+    // the oversized-bucket set is bounded by n/maxBucket buckets, so it is
+    // computed ONCE and collected (a second evaluation inside the plan
+    // would re-run the whole signature aggregation), then rejoined as a
+    // broadcast LOCAL relation — O(1) plan size, unlike an isin(literals)
+    // expression tree that grows with the hot-bucket count
+    val oversized: Array[Long] = sig.groupBy("bucket").count()
       .filter(col("count") > maxBucket)
-      .select(col("bucket"), lit(true).as("_hot"))
-    val anyOversized = !oversizedDf.isEmpty // limit-1 probe, not a full count
+      .select("bucket").collect().map(_.getLong(0))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val oversizedDf = oversized.toSeq.toDF("bucket").withColumn("_hot", lit(true))
     val withSig = e.join(sig, "id")
     val (xSide, ySide) =
-      if (!anyOversized) (withSig, withSig)
+      if (oversized.isEmpty) (withSig, withSig)
       else {
         val refined =
           if (extraPlanes <= 0) withSig // cap-only mode

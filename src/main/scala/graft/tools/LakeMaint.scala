@@ -108,13 +108,19 @@ object LakeMaint {
           s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
-        // committed-manifest-driven (NOT readStreamChanges): the change
-        // window respects rollbacks and never sees uncommitted-publish
-        // orphans, and the destination's epoch lineage is the watermark
+        // committed-manifest-driven (NOT readStreamChanges): change windows
+        // respect rollbacks and never see uncommitted-publish orphans, and
+        // the destination's epoch lineage is the watermark. The writerId is
+        // "lake-tail", DELIBERATELY distinct from the old file-tail's
+        // "cdc-tail": that lineage recorded streaming micro-batch ids, not
+        // source versions — reusing it would silently skip source versions
+        // at or below the old batch counter. A destination previously fed
+        // by the file tail simply resyncs its full history once (LWW by the
+        // original lsns makes the re-apply converge, never duplicate).
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
-        val st = graft.lake.Replicate.sync(table, dst, writerId = "cdc-tail")
-        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows} " +
-          s"applied=${st.rowsApplied} skipped=${st.skipped}")
+        val applied = graft.lake.Replicate.follow(table, dst, writerId = "lake-tail",
+          pollMillis = 500L, idleRounds = 2)
+        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows} applied=$applied")
       case other => throw new IllegalArgumentException(s"unknown command '$other'")
     }
     spark.stop()

@@ -73,6 +73,19 @@ class CastsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
 
+  test("offset split: duplicate-heavy key domain still yields exact slices") {
+    // only 5 distinct values over 200k rows: the hash boundary sample comes
+    // back near-empty, the fallback samples the (bounded) distinct domain —
+    // slice sizes stay exact, ranks remain a permutation
+    val n = 200000L
+    val df = spark.range(n).selectExpr("id % 5 as k")
+    val sizes = Splits.offsetSplit(df, "k", 7, n)
+      .groupBy("split").count().orderBy("split").collect().map(_.getLong(1)).toSeq
+    val base = n / 7
+    val rem = (n % 7).toInt
+    assert(sizes === (0 until 7).map(i => if (i < rem) base + 1 else base))
+  }
+
   test("salted key spreads a hot key deterministically") {
     val df = Seq.tabulate(100)(i => ("hot", i)).toDF("k", "sec")
     val salts = df.select(Splits.saltedKey($"k", $"sec", 8).as("sk"))

@@ -82,6 +82,21 @@ class ConcurrencySpec extends SparkSpec {
     assert(table.maintenanceRaced(preVersion, opLsn, epoch = 0L, writerId = "maint"),
       "equal-lsn concurrent commit must be detected")
 
+    // REVERSED interleaving: the op's own commit lands FIRST (lifting the
+    // running max to opLsn), the racer at exactly opLsn commits after — a
+    // raised-running-max walk is blind here; per-commit lsnHigh is not
+    val rootR = tmpDir("mraceR") + "/t"
+    val tR = LakeTable.create(spark, rootR, Seq("id"), numBuckets = 4)
+    tR.merge(batch(0, 0 until 50, "seed"), epoch = 0L) // maxLsn = 49
+    val preR = tR.currentSnapshot().version
+    tR.merge(Seq(("D", 50L, 3L, null.asInstanceOf[String]))
+        .toDF("op", "lsn", "id", "payload"),
+      epoch = 0L, writerId = "maint") // ours first
+    tR.merge(Seq(("U", 50L, 7L, "racer")).toDF("op", "lsn", "id", "payload"),
+      epoch = 0L, writerId = "other") // racer second, same lsn
+    assert(tR.maintenanceRaced(preR, 50L, epoch = 0L, writerId = "maint"),
+      "racer committing after the op's own commit must still be detected")
+
     // no false positive: only the op's own commit raised maxLsn
     val root2 = tmpDir("mrace2") + "/t"
     val t2 = LakeTable.create(spark, root2, Seq("id"), numBuckets = 4)

@@ -450,5 +450,13 @@ class EngineSpec extends SparkSpec {
     val again = table.read().orderBy("k").collect()
     assert(again.map(_.getString(0)).toSeq === Seq("a"))
     assert(again(0).getLong(1) === 10L)
+
+    // change-event interpretation is EXPLICIT opt-in: a plain source whose
+    // rows happen to carry op/lsn-shaped values is NOT reinterpreted — a
+    // 'D' value upserts like any row instead of deleting
+    val plain = Seq(("D", 4L, "b", 2L)).toDF("op", "lsn", "k", "n")
+    SyncJob.write(spark, plain, Sink("lake", s"$dir/plain", keyCols = Seq("k"), numBuckets = 2))
+    val pTable = graft.lake.LakeTable.create(spark, s"$dir/plain", Seq("k"), 2)
+    assert(pTable.read().count() === 1L, "plain input must never apply deletes")
   }
 }

@@ -57,10 +57,22 @@ class JdbcSpec extends AnyFunSuite {
     // mysqlwriter `session` conf: statements run on each connection before
     // the write — Spark JDBC's sessionInitStatement is the exact analog
     val sess = Seq("SET SESSION sql_mode='ANSI'", "SET NAMES utf8mb4")
-    val w = Dialect.Mysql.writerOptions("u", "t", session = sess)
+    val w = Dialect.Mysql.writerOptions("jdbc:mysql://h/db", "t", session = sess)
     assert(w("sessionInitStatement") === "SET SESSION sql_mode='ANSI'; SET NAMES utf8mb4")
-    val r = Dialect.Postgres.readerOptions("u", "t", session = Seq("SET search_path TO s"))
-    assert(r("sessionInitStatement") === "SET search_path TO s")
+    // Connector/J executes the init as ONE statement: a multi-statement
+    // session list needs allowMultiQueries on the URL (the reference loops
+    // statements one by one — mysql_writer.go session conf)
+    assert(w("url") === "jdbc:mysql://h/db?allowMultiQueries=true")
+    // existing query params are appended to, not clobbered; single
+    // statements leave the URL alone; postgres never needs the flag
+    assert(Dialect.Mysql.writerOptions("jdbc:mysql://h/db?useSSL=false", "t",
+      session = sess)("url").endsWith("useSSL=false&allowMultiQueries=true"))
+    assert(Dialect.Mysql.writerOptions("jdbc:mysql://h/db", "t",
+      session = sess.take(1))("url") === "jdbc:mysql://h/db")
+    val r = Dialect.Postgres.readerOptions("jdbc:postgresql://h/db", "t",
+      session = Seq("SET search_path TO s", "SET statement_timeout=0"))
+    assert(r("sessionInitStatement") === "SET search_path TO s; SET statement_timeout=0")
+    assert(r("url") === "jdbc:postgresql://h/db")
     // absent by default — an empty option would still run a round trip
     assert(!Dialect.Mysql.writerOptions("u", "t").contains("sessionInitStatement"))
   }
