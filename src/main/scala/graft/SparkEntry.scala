@@ -445,6 +445,21 @@ object SparkEntry {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text)""")),
 
+    ("d_decontaminate", (s, dir) => {
+      // test-set decontamination: every 97th doc plays the benchmark; the
+      // corpus is scanned once against its broadcast 5-gram set
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 5)
+    }, Some("""
+      WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+             FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, count(*)::BIGINT AS contaminated_ngrams
+      FROM sh s JOIN ev USING (sh)
+      GROUP BY s.doc_id""")),
+
     ("d_jaccard_pairs", (s, dir) => {
       Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2)
     }, Some("""

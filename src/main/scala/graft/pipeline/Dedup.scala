@@ -31,6 +31,39 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(shingles(tokens(col(textCol)), n)).as("sh"))
       .distinct()
 
+  /** Test-set CONTAMINATION scan: per corpus document, how many of its
+    * distinct `n`-grams also occur in the evaluation set — the overlap
+    * check that keeps benchmark data out of a training corpus (the
+    * published recipe: flag training documents sharing ≥1 long n-gram,
+    * typically 8–13 tokens, with any eval document).
+    *
+    * Scale shape: the EVAL side is small by nature (benchmarks), so its
+    * distinct n-gram set is broadcast; the corpus streams ONCE through an
+    * in-scan shingle explode + broadcast hash join — no corpus-side
+    * shuffle except the final per-doc count. Cost O(corpus tokens), never
+    * corpus×eval.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      evalTextCol: String = "text"): DataFrame = {
+    val evalGrams = broadcast(
+      evalSet.select(explode(shingles(tokens(col(evalTextCol)), n)).as("sh")).distinct())
+    docShingles(corpus, n, idCol, textCol)
+      .join(evalGrams, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+  }
+
+  /** The corpus with every contaminated document removed (anti-join against
+    * [[contamination]]) — the decontaminated training set.
+    */
+  def decontaminated(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      evalTextCol: String = "text"): DataFrame =
+    corpus.join(contamination(corpus, evalSet, n, idCol, textCol, evalTextCol)
+        .withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
     * Quadratic in co-shingled docs — the validation oracle for the sketches,
     * not the scale path (use [[minhashCandidates]] at scale).

@@ -52,6 +52,17 @@ class PipelineSpec extends SparkSpec {
     assert(inc.nonEmpty, "planted dups must collide with their originals")
   }
 
+  test("decontamination flags the benchmark doc and its near-duplicate, keeps the rest") {
+    val eval = planted.filter($"doc_id" === 5)
+    val con = Dedup.contamination(planted, eval, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(con.contains(5L), "the benchmark doc is trivially contaminated")
+    assert(con.contains(1005L), "the planted near-dup shares almost all 5-grams")
+    val kept = Dedup.decontaminated(planted, eval, n = 5)
+    assert(kept.filter($"doc_id".isin(con.toSeq: _*)).count() === 0L)
+    assert(kept.count() === planted.count() - con.size)
+  }
+
   test("simhash of near-duplicates has small hamming distance") {
     val pairs = Dedup.simhashPairs(planted, maxDist = 6)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -147,6 +147,13 @@ class PlanAuditSpec extends SparkSpec {
       s"dict split must not serialize through one partition:\n$plan")
   }
 
+  test("decontamination broadcasts the eval n-gram set; corpus streams once") {
+    val plan = planOf(SparkEntry.queries("d_decontaminate")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("tfidf broadcasts the document-frequency side; no pairwise join") {
     val plan = planOf(SparkEntry.queries("ta_tfidf")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
