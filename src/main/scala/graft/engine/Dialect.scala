@@ -119,9 +119,19 @@ object Dialect {
     */
   sealed class MysqlFamily(name: String) extends Dialect(name, "`", "`") {
     // Connector/J rejects multi-statement strings unless the URL opts in;
-    // a single session statement needs no URL change
+    // a single session statement needs no URL change. An EXPLICIT
+    // allowMultiQueries=false conflicts with a multi-statement session
+    // list — fail fast instead of letting every executor connection die
+    // with a driver syntax error at runtime.
     override protected def sessionUrl(url: String, session: Seq[String]): String =
-      if (session.length <= 1 || url.contains("allowMultiQueries=")) url
+      if (session.length <= 1) url
+      else if (url.contains("allowMultiQueries=false"))
+        throw new IllegalArgumentException(
+          s"$name URL sets allowMultiQueries=false but the session list has " +
+            s"${session.length} statements, which Spark's sessionInitStatement " +
+            "executes as ONE multi-statement string — drop the URL parameter or " +
+            "use a single session statement")
+      else if (url.contains("allowMultiQueries=")) url
       else url + (if (url.contains("?")) "&" else "?") + "allowMultiQueries=true"
     override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
       Some(Jdbc.hashPredicatesMysql(splitPk, n))

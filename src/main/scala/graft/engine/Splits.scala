@@ -101,8 +101,16 @@ object Splits {
       .filter(pmod(conv(substring(md5(col(orderBy).cast("string")), 1, 8), 16, 10).cast("long"), lit(p)) === 0)
       .select(col(orderBy)).distinct().orderBy(col(orderBy))
       .collect().map(_.get(0))
+    // A NON-EMPTY hash sample is always preferred, even when smaller than
+    // nPart: its values are uniformly spread over the key domain, so fewer
+    // (but balanced) buckets merely cap parallelism at sample size + 1.
+    // The TakeOrdered fallback collects the LOWEST `target` distinct keys —
+    // unbiased only when it does not truncate (small domains, which is
+    // exactly the empty-hash-sample case it exists for); preferring it over
+    // a small hash sample would low-bias the boundaries and funnel the
+    // domain's tail through one bucket.
     val sample =
-      if (hashSample.length >= nPart || p == 1L) hashSample
+      if (hashSample.nonEmpty || p == 1L) hashSample
       else df.select(col(orderBy)).distinct().orderBy(col(orderBy))
         .limit(target.toInt).collect().map(_.get(0))
     val step = math.max(sample.length / nPart, 1)

@@ -400,7 +400,18 @@ object SyncJob {
           require(df.columns.contains("op") && df.columns.contains("lsn"),
             "changeEvents lake sink needs canonical (op, lsn) input columns")
           df.filter(col("lsn").isNotNull)
-        } else df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
+        } else {
+          // `op`/`lsn` are the merge's reserved metadata names: stamping
+          // over business columns with those names would silently destroy
+          // their values (and merge would drop them from the stored
+          // payload) — fail fast instead; rename them or opt into
+          // changeEvents if they really are change metadata
+          val clash = df.columns.filter(c => c == "op" || c == "lsn")
+          require(clash.isEmpty,
+            s"plain lake sink input has reserved column name(s) ${clash.mkString(", ")}: " +
+              "rename them, or set Sink.changeEvents = true if they are canonical CDC metadata")
+          df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
+        }
       table.merge(withMeta, epoch)
       ()
     case fmt0 =>

@@ -329,6 +329,27 @@ final class LakeTable(
       .withColumnRenamed(LsnCol, "lsn")
   }
 
+  /** BOOTSTRAP change set: the current snapshot's resolved state — one LWW
+    * winner per key, TOMBSTONE WINNERS INCLUDED — shaped like a change
+    * window (payload + `_lsn` + `_op`). This is how a FRESH incremental
+    * consumer starts: unlike replaying every historical window, it reads
+    * only files the current snapshot references (which exist by
+    * definition, no matter how aggressively [[vacuum]] ran) and costs
+    * O(table), not O(history). [[Replicate.sync]] uses it when the
+    * destination has no watermark yet.
+    */
+  def readChangesBootstrap(): DataFrame = {
+    val s = currentSnapshot()
+    if (s.files.isEmpty) {
+      val stored = s.schema.getOrElse(StructType(Nil))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(stored.fields :+ StructField(OpCol, StringType, nullable = true)))
+    }
+    resolvedBucketed(s, s.files.map(_.bucket).toSet)
+      .drop(BucketCol)
+      .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+  }
+
   /** Point lookup: resolve ONE key touching only ITS bucket's files — the
     * payoff of hash-bucketing the layout (O(table/buckets) bytes read, not
     * O(table)). The bucket is computed driver-side with the same `hash`

@@ -65,7 +65,13 @@ object Replicate {
     if (srcVersion <= since)
       return LakeTable.MergeStats(srcVersion, skipped = true, 0, 0, 0, 0, 0,
         dst.currentSnapshot().rows, 1.0)
-    val changes = src.readChangesSince(since)
+    // a FRESH destination bootstraps from the source's CURRENT resolved
+    // state (tombstones included) instead of replaying every historical
+    // window: O(table) not O(history), and immune to [[LakeTable#vacuum]]
+    // having reclaimed old delta files — current-snapshot files exist by
+    // definition. Incremental syncs (since >= 0) read change windows under
+    // the documented vacuum-retention contract.
+    val changes = (if (since < 0) src.readChangesBootstrap() else src.readChangesSince(since))
       .withColumnRenamed(LakeTable.OpCol, "op")
       .withColumnRenamed(LakeTable.LsnCol, "lsn")
     dst.merge(changes, epoch = srcVersion, writerId = writerId)

@@ -111,12 +111,13 @@ object LakeMaint {
         // committed-manifest-driven (NOT readStreamChanges): change windows
         // respect rollbacks and never see uncommitted-publish orphans, and
         // the destination's epoch lineage is the watermark. The writerId is
-        // "lake-tail", DELIBERATELY distinct from the old file-tail's
-        // "cdc-tail": that lineage recorded streaming micro-batch ids, not
-        // source versions — reusing it would silently skip source versions
-        // at or below the old batch counter. A destination previously fed
-        // by the file tail simply resyncs its full history once (LWW by the
-        // original lsns makes the re-apply converge, never duplicate).
+        // "lake-tail", DELIBERATELY distinct from the round-2 file tail's
+        // "cdc-tail": that released binary's lineage recorded STREAMING
+        // MICRO-BATCH ids, not source versions — reusing the name would
+        // silently skip source versions at or below the old batch counter.
+        // A destination previously fed by the file tail resyncs once via
+        // the bootstrap path (current snapshot state, vacuum-proof) and
+        // converges by LWW — never duplicates.
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
         val applied = graft.lake.Replicate.follow(table, dst, writerId = "lake-tail",
           pollMillis = 500L, idleRounds = 2)

@@ -452,11 +452,13 @@ class EngineSpec extends SparkSpec {
     assert(again(0).getLong(1) === 10L)
 
     // change-event interpretation is EXPLICIT opt-in: a plain source whose
-    // rows happen to carry op/lsn-shaped values is NOT reinterpreted — a
-    // 'D' value upserts like any row instead of deleting
+    // schema carries the reserved op/lsn names is REJECTED outright —
+    // neither reinterpreted as CDC (silent deletes) nor stamped over
+    // (silent column destruction)
     val plain = Seq(("D", 4L, "b", 2L)).toDF("op", "lsn", "k", "n")
-    SyncJob.write(spark, plain, Sink("lake", s"$dir/plain", keyCols = Seq("k"), numBuckets = 2))
-    val pTable = graft.lake.LakeTable.create(spark, s"$dir/plain", Seq("k"), 2)
-    assert(pTable.read().count() === 1L, "plain input must never apply deletes")
+    val err = intercept[IllegalArgumentException] {
+      SyncJob.write(spark, plain, Sink("lake", s"$dir/plain", keyCols = Seq("k"), numBuckets = 2))
+    }
+    assert(err.getMessage.contains("reserved column name"))
   }
 }

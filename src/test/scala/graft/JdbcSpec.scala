@@ -75,6 +75,12 @@ class JdbcSpec extends AnyFunSuite {
     assert(r("url") === "jdbc:postgresql://h/db")
     // absent by default — an empty option would still run a round trip
     assert(!Dialect.Mysql.writerOptions("u", "t").contains("sessionInitStatement"))
+    // an explicit allowMultiQueries=false conflicts with a multi-statement
+    // session list: fail fast, don't let every connection die at runtime
+    intercept[IllegalArgumentException] {
+      Dialect.Mysql.writerOptions("jdbc:mysql://h/db?allowMultiQueries=false", "t",
+        session = sess)
+    }
   }
 
   test("dialect upsert SQL: the 4 scenarios of common.go:556-616") {

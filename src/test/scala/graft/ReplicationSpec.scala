@@ -101,6 +101,27 @@ class ReplicationSpec extends SparkSpec {
     ()
   }
 
+  test("bootstrap sync survives a fully vacuumed source (current state, not history)") {
+    val dir = tmpDir("repl-boot")
+    val cfg = Gen.GenConfig(nEvents = 3000, nConvs = 20, partitions = 4)
+    val events = Gen.changeEvents(spark, cfg).toDF().cache()
+    val src = LakeTable.create(spark, s"$dir/src", Seq("conv_id", "turn_idx"), 4)
+    for (e <- 0 until 3) src.merge(events.filter(pmod($"lsn", lit(3)) === e), e.toLong)
+    // fold everything and reclaim ALL historical delta files — a consumer
+    // replaying windows from version -1 would hit missing files here
+    src.compactAll()
+    src.vacuum(retainVersions = 0)
+    val dst = LakeTable.create(spark, s"$dir/dst", Seq("conv_id", "turn_idx"), 4)
+    val st = Replicate.sync(src, dst)
+    assert(!st.skipped)
+    assert(sortedRows(dst) === sortedRows(src))
+    // tombstone winners crossed the bootstrap: a late OLDER duplicate of a
+    // deleted key still loses LWW in the destination
+    assert(dst.read().join(src.read(), Seq("conv_id", "turn_idx"), "left_anti").count() === 0L)
+    events.unpersist()
+    ()
+  }
+
   test("follow tails committed changes and skips rollback phantoms") {
     val dir = tmpDir("repl-follow")
     val cfg = Gen.GenConfig(nEvents = 4000, nConvs = 30, partitions = 4)
