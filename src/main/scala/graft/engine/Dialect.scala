@@ -91,7 +91,21 @@ sealed abstract class Dialect(
     */
   private def sessionOption(session: Seq[String]): Map[String, String] =
     if (session.isEmpty) Map.empty
+    else if (session.length > 1 && !multiStatementSessionOk)
+      throw new IllegalArgumentException(
+        s"dialect $name has no multi-statement execution path for its JDBC " +
+          s"driver, but the session list has ${session.length} statements — " +
+          "Spark's sessionInitStatement executes ONE string per connection; " +
+          "use a single statement (or a driver-side procedure)")
     else Map("sessionInitStatement" -> session.mkString("; "))
+
+  /** Whether this dialect's driver can execute a ';'-joined multi-statement
+    * string as one `Statement.execute` (mysql family: with the URL opt-in
+    * [[sessionUrl]] adds; postgres: native simple-query protocol). Oracle,
+    * Sybase jConnect, SQL Server etc. reject multi-statement strings at
+    * runtime on every executor connection — fail fast at plan time instead.
+    */
+  protected def multiStatementSessionOk: Boolean = false
 
   /** Dialect hook: adjust the JDBC URL so a multi-statement session init
     * can actually execute (see [[sessionOption]]). Default: unchanged.
@@ -118,6 +132,7 @@ object Dialect {
     * the mysql wire protocol).
     */
   sealed class MysqlFamily(name: String) extends Dialect(name, "`", "`") {
+    override protected def multiStatementSessionOk: Boolean = true
     // Connector/J rejects multi-statement strings unless the URL opts in;
     // a single session statement needs no URL change. An EXPLICIT
     // allowMultiQueries=false conflicts with a multi-statement session
@@ -149,6 +164,8 @@ object Dialect {
 
   /** ANSI double-quote family with ON CONFLICT upsert (postgres, gaussdb). */
   sealed class PostgresFamily(name: String) extends Dialect(name, "\"", "\"") {
+    // pgjdbc executes multi-statement simple queries natively
+    override protected def multiStatementSessionOk: Boolean = true
     override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
       Some(Jdbc.hashPredicatesPostgres(splitPk, n))
     override protected def allPkSql(table: String, cols: Seq[String],
@@ -174,9 +191,56 @@ object Dialect {
   case object GaussDb extends PostgresFamily("gaussdb") {
     override def supportedWriteModes: Set[String] = Set("insert")
   }
-  case object Oracle extends AnsiQuoted("oracle")
+  /** Oracle: the reference's dedicated oraclewriter accepts
+    * INSERT/UPDATE/REPLACE (`oracle_writer.go:101-103` validates; its write
+    * path preps a per-row INSERT, `:301-307`) — graft goes further and
+    * generates the real `MERGE INTO ... USING (... FROM dual)` upsert the
+    * validation promises, so writeMode=update actually updates instead of
+    * duplicate-key-erroring. REPLACE maps to the same MERGE (per-key replace
+    * semantics); all-PK inputs get the WHEN-NOT-MATCHED-only skip form.
+    */
+  case object Oracle extends AnsiQuoted("oracle") {
+    private def mergeSql(table: String, cols: Seq[String], pks: Seq[String],
+        updateCols: Seq[String], rows: Int): String = {
+      val srcRows = Seq.fill(rows)(
+        cols.map(c => s"? AS ${quote(c)}").mkString("SELECT ", ", ", " FROM dual"))
+        .mkString(" UNION ALL ")
+      val on = pks.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
+      val matched =
+        if (updateCols.isEmpty) ""
+        else " WHEN MATCHED THEN UPDATE SET " +
+          updateCols.map(c => s"t.${quote(c)} = s.${quote(c)}").mkString(", ")
+      s"MERGE INTO ${quote(table)} t USING ($srcRows) s ON ($on)$matched" +
+        s" WHEN NOT MATCHED THEN INSERT (${cols.map(quote).mkString(", ")})" +
+        s" VALUES (${cols.map(c => s"s.${quote(c)}").mkString(", ")})"
+    }
+    override protected def allPkSql(table: String, cols: Seq[String],
+        pks: Seq[String], rows: Int): String = mergeSql(table, cols, pks, Nil, rows)
+    override protected def upsertWithUpdate(table: String, cols: Seq[String],
+        pks: Seq[String], updateCols: Seq[String], rows: Int): String =
+      mergeSql(table, cols, pks, updateCols, rows)
+  }
   case object Sqlite extends AnsiQuoted("sqlite")
+  /** Databend (`databend_writer.go:94-103,396-430`): mysql-compatible
+    * quoting; writeMode insert|replace where replace compiles to the
+    * dedicated `REPLACE INTO t (cols) ON (conflictCols) VALUES (...)` form
+    * and REQUIRES the conflict column list (validated at plan time like the
+    * reference's validateWriteMode).
+    */
+  case object Databend extends Dialect("databend", "`", "`") {
+    override def supportedWriteModes: Set[String] = Set("insert", "replace")
+    override def replaceSql(table: String, cols: Seq[String],
+        primaryKeys: Seq[String], rows: Int): String = {
+      require(primaryKeys.nonEmpty, "replace mode must has onConflictColumn config")
+      val ph = Seq.fill(rows)(cols.map(_ => "?").mkString("(", ", ", ")")).mkString(", ")
+      s"REPLACE INTO ${quote(table)} (${cols.map(quote).mkString(", ")}) " +
+        s"ON (${primaryKeys.map(quote).mkString(", ")}) VALUES $ph"
+    }
+  }
   case object ClickHouse extends MysqlFamily("clickhouse") {
+    // clickhouse-jdbc has no multi-statement path and no allowMultiQueries
+    override protected def multiStatementSessionOk: Boolean = false
+    override protected def sessionUrl(url: String, session: Seq[String]): String = url
     // clickhouse quotes with backticks but has no conflict clause: its
     // plugin buffers and plain-INSERTs (dedup is engine-side ReplacingMergeTree)
     override protected def allPkSql(t: String, c: Seq[String], p: Seq[String], r: Int): String =
@@ -192,7 +256,7 @@ object Dialect {
   // lazy: forcing the nested modules from the companion constructor would
   // race their own lazy initialization (observed as nulls in the Seq)
   lazy val all: Seq[Dialect] = Seq(Mysql, Doris, StarRocks, OceanBase, Postgres,
-    GaussDb, Oracle, Sqlite, ClickHouse, SqlServer, Sybase)
+    GaussDb, Oracle, Sqlite, ClickHouse, SqlServer, Sybase, Databend)
 
   def byName(name: String): Dialect =
     all.find(_.name == name.toLowerCase)

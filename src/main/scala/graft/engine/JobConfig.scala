@@ -1,0 +1,385 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.sources.SyntheticSource
+
+/** The reference's ONLY user entry point is a JSON job config — `datax -job
+  * config.json` (`core/engine/engine.go:34-81`) parsed into a dotted-path
+  * store (`common/config/configuration.go:60-105`) with the shape
+  * `job.content[0].{reader,transformer,writer}` + `job.setting.{speed.
+  * channel, errorLimit}`. This module parses that exact shape and translates
+  * each plugin block into graft's programmatic surface ([[SyncJob]],
+  * [[Dialect]], [[JdbcExec]], [[SyntheticSource]]), so a go-datax user's
+  * existing config runs unchanged (`graft.tools.RunJob <config.json>`); the
+  * JSON configs under the reference's own `test-data/` directory are the
+  * conformance suite (JobSpecSpec parses and translates every one of them).
+  *
+  * Translation is PLAN construction only — pure, driver-side, testable
+  * without any live system. Execution lives in [[graft.tools.RunJob]].
+  */
+object JobConfig {
+
+  /** Dotted-path accessor over a parsed JSON tree — the semantics of the
+    * reference's `DefaultConfiguration.Get` (`configuration.go:88-105`):
+    * descend map keys; a missing key yields the zero value, and scalars
+    * stringify like Go's `fmt.Sprintf("%v")` (`GetString`,
+    * `configuration.go:107-117`).
+    */
+  final class Conf(val node: JsonNode) {
+    def get(path: String): Option[JsonNode] = {
+      var cur = node
+      for (k <- path.split('.')) {
+        if (cur == null) return None
+        cur = cur.get(k)
+      }
+      Option(cur).filterNot(_.isNull)
+    }
+    def str(path: String, default: String = ""): String =
+      get(path).map(n => if (n.isTextual) n.asText else n.toString).filter(_.nonEmpty).getOrElse(default)
+    def int(path: String, default: Int = 0): Int = get(path).map(_.asInt(default)).getOrElse(default)
+    def long(path: String, default: Long = 0L): Long = get(path).map(_.asLong(default)).getOrElse(default)
+    def bool(path: String, default: Boolean = false): Boolean =
+      get(path).map(_.asBoolean(default)).getOrElse(default)
+    def has(path: String): Boolean = get(path).isDefined
+    /** GetStringList: a JSON array of scalars as strings; non-array → empty. */
+    def strList(path: String): Seq[String] = get(path) match {
+      case Some(n) if n.isArray =>
+        n.elements().asScala.map(e => if (e.isTextual) e.asText else e.toString).toSeq
+      case _ => Nil
+    }
+    def listConf(path: String): Seq[Conf] = get(path) match {
+      case Some(n) if n.isArray => n.elements().asScala.map(new Conf(_)).toSeq
+      case _ => Nil
+    }
+    /** path params may be a single string OR a list (`txtfile_reader.go:56-69`). */
+    def pathList(path: String): Seq[String] = get(path) match {
+      case Some(n) if n.isArray => n.elements().asScala.map(_.asText).toSeq
+      case Some(n) => Seq(n.asText)
+      case None => Nil
+    }
+  }
+
+  final case class Content(
+      readerName: String,
+      reader: Conf,
+      writerName: String,
+      writer: Conf,
+      transforms: Seq[Transformers.Transform])
+
+  final case class Spec(
+      channel: Int,
+      errorLimit: SyncJob.ErrorLimit,
+      contents: Seq[Content])
+
+  def parse(json: String): Spec = {
+    val root = new Conf(new ObjectMapper().readTree(json))
+    val channel = math.max(1, root.int("job.setting.speed.channel", 1))
+    // error_limiter.go:27-28: record<=0 disables the count check; percentage
+    // is an INT percent, default 100 (=1.0, disabled)
+    val rec = root.int("job.setting.errorLimit.record", 0)
+    val pct = root.int("job.setting.errorLimit.percentage", 100)
+    val limit = SyncJob.ErrorLimit(
+      record = if (rec > 0) rec.toLong else Long.MaxValue,
+      percentage = pct / 100.0)
+    val contents = root.listConf("job.content").map { c =>
+      Content(
+        readerName = c.str("reader.name"),
+        reader = new Conf(c.get("reader.parameter").orNull),
+        writerName = c.str("writer.name"),
+        writer = new Conf(c.get("writer.parameter").orNull),
+        transforms = c.listConf("transformer").map(parseTransform))
+    }
+    require(contents.nonEmpty, "job.content is empty")
+    Spec(channel, limit, contents)
+  }
+
+  def fromFile(path: String): Spec =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** `{name, parameter: {columnIndex, paras: [...]}}` (docs/TRANSFORMER.md). */
+  def parseTransform(t: Conf): Transformers.Transform = {
+    val ci = Left(t.int("parameter.columnIndex")): Either[Int, String]
+    val paras = t.strList("parameter.paras")
+    def para(i: Int): String =
+      if (i < paras.length) paras(i)
+      else throw new IllegalArgumentException(s"${t.str("name")}: missing paras[$i]")
+    t.str("name") match {
+      case "dx_filter" => Transformers.DxFilter(ci, para(0), para(1))
+      case "dx_substr" => Transformers.DxSubstr(ci, para(0).toInt, para(1).toInt)
+      case "dx_replace" => Transformers.DxReplace(ci, para(0), para(1))
+      case "dx_pad" => Transformers.DxPad(ci, para(0), para(1).toInt, para(2))
+      case "dx_digest" => Transformers.DxDigest(ci, para(0))
+      case other => throw new IllegalArgumentException(s"unknown transformer '$other'")
+    }
+  }
+
+  // ---------------------------------------------------------------- plans
+
+  sealed trait ReaderPlan
+  /** File-backed readers ride [[SyncJob.read]] unchanged. */
+  final case class FileRead(src: SyncJob.Source) extends ReaderPlan
+  /** streamreader: channel slices × sliceRecordCount generated rows
+    * (`stream_reader.go:67-81,122-143`).
+    */
+  final case class StreamRead(cols: Seq[SyntheticSource.ColumnGen], perSlice: Long,
+      slices: Int) extends ReaderPlan
+  /** RDBMS readers: Spark JDBC options + optional split predicates. `table`
+    * is a dbtable EXPRESSION (possibly a pushdown subquery). Numeric splitPk
+    * MIN/MAX range probing needs a live connection, so the static translation
+    * emits the dialect's hash-split predicates instead — the same disjoint
+    * complete cover, no runtime probe (`mysql_reader.go:432-444`).
+    */
+  final case class JdbcRead(dialect: Dialect, url: String, table: String,
+      predicates: Seq[String], session: Seq[String],
+      props: Map[String, String]) extends ReaderPlan
+
+  sealed trait WriterPlan
+  final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
+      preSql: Seq[String], postSql: Seq[String]) extends WriterPlan
+  /** streamwriter: canonical-formatted delimiter-joined lines
+    * (`stream_writer.go:215-250`). The reference prints to the console; a
+    * distributed engine writes the same lines as text files (plus an optional
+    * bounded console echo), so `path` is filled by the runner.
+    */
+  final case class StreamWrite(fieldDelimiter: String, print: Boolean) extends WriterPlan
+  final case class JdbcWrite(dialect: Dialect, url: String, table: String,
+      columns: Seq[String], writeMode: String, batchSize: Int,
+      session: Seq[String], preSql: Seq[String], postSql: Seq[String],
+      props: Map[String, String]) extends WriterPlan
+
+  final case class Translated(
+      reader: ReaderPlan,
+      transforms: Seq[Transformers.Transform],
+      writer: WriterPlan,
+      errorLimit: SyncJob.ErrorLimit,
+      channel: Int)
+
+  def translate(spec: Spec): Seq[Translated] = spec.contents.map { c =>
+    Translated(
+      reader = translateReader(c.readerName, c.reader, spec.channel),
+      transforms = c.transforms,
+      writer = translateWriter(c.writerName, c.writer),
+      errorLimit = spec.errorLimit,
+      channel = spec.channel)
+  }
+
+  /** Plugins that exist in the reference but cannot run here (zero-egress
+    * sandbox / no bundled client): translation fails with a sharp reason
+    * instead of a generic parse error.
+    */
+  private val outOfScope = Map(
+    "ossreader" -> "object-store client (zero-egress sandbox)",
+    "ftpreader" -> "ftp client (zero-egress sandbox)",
+    "ftpwriter" -> "ftp client (zero-egress sandbox)",
+    "sftpreader" -> "sftp client (zero-egress sandbox)",
+    "mongoreader" -> "mongo wire client not bundled; supply an Overrides.source",
+    "mongowriter" -> "mongo wire client not bundled; supply an Overrides.sink",
+    "cassandrareader" -> "cassandra client not bundled; supply an Overrides.source",
+    "cassandrawriter" -> "cassandra client not bundled; supply an Overrides.sink",
+    "tdenginereader" -> "tdengine client not bundled; supply an Overrides.source",
+    "tdenginewriter" -> "tdengine client not bundled; supply an Overrides.sink",
+    "neo4jwriter" -> "bolt client not bundled; wire BatchedExec with your driver",
+    "elasticsearchwriter" -> "http client stubbed; wire EsBulk payloads to your client")
+
+  final class UnsupportedPlugin(val plugin: String, reason: String)
+    extends IllegalArgumentException(s"$plugin: $reason")
+
+  def translateReader(name: String, p: Conf, channel: Int): ReaderPlan = name match {
+    case "streamreader" =>
+      val n = p.long("sliceRecordCount")
+      require(n > 0, "sliceRecordCount must be greater than 0") // stream_reader.go:36-38
+      val cols = p.listConf("column").zipWithIndex.map { case (c, i) =>
+        SyntheticSource.ColumnGen(
+          name = s"col$i",
+          colType = c.str("type", "string"),
+          value = c.get("value").map(v => if (v.isTextual) v.asText else v.toString))
+      }
+      require(cols.nonEmpty, "no valid columns configured")
+      StreamRead(cols, n, channel)
+
+    case "txtfilereader" =>
+      val cols = p.get("column") match {
+        case Some(n) if n.isArray && n.elements().asScala.forall(_.isTextual) => Nil // ["*"]
+        case Some(_) => p.listConf("column").zipWithIndex.map { case (c, i) =>
+          SyncJob.ColumnSpec(
+            index = c.int("index", -1),
+            value = c.get("value").map(_.asText).orNull,
+            colType = c.str("type", "string"),
+            format = goDateFormat(c.str("format")))
+        }
+        case None => Nil
+      }
+      FileRead(SyncJob.Source(
+        format = "csv",
+        path = p.pathList("path").mkString(","),
+        options = Map(
+          "sep" -> p.str("fieldDelimiter", ","),
+          "encoding" -> p.str("encoding", "UTF-8"),
+          // skipHeader consumes the first line of each file (txtfile_reader.go:112)
+          "header" -> p.bool("skipHeader").toString),
+        columns = cols,
+        nullFormat = p.str("nullFormat", "\\N")))
+
+    case "jsonfilereader" =>
+      // dotted-path named columns ride Source.columns with `name` set; the
+      // typed projection resolves names (jsonfile_reader.go dotted access)
+      val cols = p.listConf("column").map { c =>
+        SyncJob.ColumnSpec(index = -1, colType = c.str("type", "string"),
+          format = goDateFormat(c.str("format")), name = c.str("name"))
+      }
+      FileRead(SyncJob.Source(format = "json-auto", path = p.pathList("path").mkString(","),
+        columns = if (cols.forall(_.name.nonEmpty)) cols else Nil))
+
+    case "hdfsreader" =>
+      val fmt = p.str("fileType", "text").toLowerCase match {
+        case "orc" => "orc"
+        case "parquet" => "parquet"
+        case _ => "text"
+      }
+      val fs = p.str("defaultFS")
+      val paths = p.pathList("path").map(pp => if (fs.nonEmpty && !pp.contains("://")) fs + pp else pp)
+      FileRead(SyncJob.Source(format = fmt, path = paths.mkString(",")))
+
+    case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
+
+    case r if r.endsWith("reader") =>
+      val dialect = Dialect.byName(r.stripSuffix("reader"))
+      val conn = p.listConf("connection").headOption
+        .getOrElse(throw new IllegalArgumentException(s"$r: connection is required"))
+      val url = conn.pathList("jdbcUrl").headOption
+        .getOrElse(throw new IllegalArgumentException(s"$r: jdbcUrl is required"))
+      val querySql = p.str("querySql")
+      val columns = p.strList("column")
+      val where = p.str("where")
+      val splitPk = p.str("splitPk")
+      val table = conn.strList("table").headOption.getOrElse("")
+      // pushdown shape (mysql_reader.go:70-81): raw querySql wins; else
+      // column projection + where fold into a dbtable subquery
+      val tableExpr =
+        if (querySql.nonEmpty) s"($querySql) graft_q"
+        else {
+          require(table.nonEmpty, s"$r: table or querySql is required")
+          val proj = if (columns.isEmpty || columns == Seq("*")) "*"
+            else columns.map(dialect.quote).mkString(", ")
+          if (proj == "*" && where.isEmpty) table
+          else s"(SELECT $proj FROM ${dialect.quote(table)}" +
+            (if (where.nonEmpty) s" WHERE $where" else "") + s") graft_q"
+        }
+      val predicates =
+        if (splitPk.isEmpty || channel <= 1) Nil
+        else dialect.hashSplitPredicates(splitPk, channel).map(_.toSeq).getOrElse(Nil)
+      JdbcRead(dialect, url, tableExpr, predicates,
+        session = p.strList("session"),
+        props = Map("user" -> p.str("username"), "password" -> p.str("password"),
+          "fetchsize" -> p.int("fetchSize", dialect.defaultFetchSize).toString))
+
+    case other => throw new UnsupportedPlugin(other, "unknown reader plugin")
+  }
+
+  def translateWriter(name: String, p: Conf): WriterPlan = name match {
+    case "streamwriter" =>
+      StreamWrite(p.str("fieldDelimiter", "\t"), p.bool("print"))
+
+    case "txtfilewriter" =>
+      val fileFormat = p.str("fileFormat", "text")
+      val mode = parseFileWriteMode(p.str("writeMode"))
+      val compress = p.str("compress")
+      val dateFmt = goDateFormat(p.str("dateFormat"))
+      val opts = Map(
+        "sep" -> p.str("fieldDelimiter", ","),
+        "nullValue" -> p.str("nullFormat", "\\N"),
+        "encoding" -> p.str("encoding", "UTF-8"),
+        // a header line is written only when the config names one
+        "header" -> p.strList("header").nonEmpty.toString) ++
+        (if (compress.nonEmpty) Map("compression" -> compress) else Map.empty) ++
+        (if (dateFmt.nonEmpty) Map("timestampFormat" -> dateFmt, "dateFormat" -> dateFmt)
+         else Map.empty)
+      FileWrite(
+        SyncJob.Sink(format = if (fileFormat == "csv") "csv" else "stream-text",
+          path = s"${p.str("path")}/${p.str("fileName", "result")}",
+          writeMode = mode, options = opts),
+        header = p.strList("header"), preSql = Nil, postSql = Nil)
+
+    case "jsonfilewriter" =>
+      FileWrite(
+        SyncJob.Sink(format = "json",
+          path = s"${p.str("path")}/${p.str("fileName", "result")}",
+          writeMode = parseFileWriteMode(p.str("writeMode"))),
+        header = p.listConf("column").map(_.str("name")).filter(_.nonEmpty),
+        preSql = Nil, postSql = Nil)
+
+    case "hdfswriter" =>
+      val fmt = p.str("fileType", "text").toLowerCase match {
+        case "orc" => "orc"
+        case "parquet" => "parquet"
+        case _ => "stream-text"
+      }
+      val fs = p.str("defaultFS")
+      val dir = p.str("path")
+      FileWrite(
+        SyncJob.Sink(format = fmt,
+          path = (if (fs.nonEmpty && !dir.contains("://")) fs + dir else dir) +
+            s"/${p.str("fileName", "result")}",
+          writeMode = parseFileWriteMode(p.str("writeMode")),
+          options = Map("sep" -> p.str("fieldDelimiter", ","))),
+        header = Nil, preSql = Nil, postSql = Nil)
+
+    case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
+
+    case w if w.endsWith("writer") =>
+      val dialect = Dialect.byName(w.stripSuffix("writer"))
+      val conn = p.listConf("connection").headOption
+        .getOrElse(throw new IllegalArgumentException(s"$w: connection is required"))
+      val url = conn.pathList("jdbcUrl").headOption
+        .getOrElse(throw new IllegalArgumentException(s"$w: jdbcUrl is required"))
+      val table = conn.strList("table").headOption
+        .getOrElse(throw new IllegalArgumentException(s"$w: table is required"))
+      val writeMode = p.str("writeMode", "insert").toLowerCase
+      dialect.validateWriteMode(writeMode)
+      // databend replace demands onConflictColumn (databend_writer.go:98-103)
+      if (dialect == Dialect.Databend && writeMode == "replace")
+        require(p.strList("onConflictColumn").nonEmpty,
+          "replace mode must has onConflictColumn config")
+      JdbcWrite(dialect, url, table,
+        columns = p.strList("column"),
+        writeMode = writeMode,
+        // doris/starrocks use `batchSize` for BYTES and `maxBatchRows` for
+        // rows (`mysql2doris.json`); prefer the row bound when present
+        batchSize = p.int("maxBatchRows", p.int("batchSize", dialect.defaultBatchSize)),
+        session = p.strList("session"),
+        preSql = SyncJob.renderSqls(p.strList("preSql"), table),
+        postSql = SyncJob.renderSqls(p.strList("postSql"), table),
+        props = Map("user" -> p.str("username"), "password" -> p.str("password")) ++
+          (if (p.strList("onConflictColumn").nonEmpty)
+             Map("onConflictColumn" -> p.strList("onConflictColumn").mkString(","))
+           else Map.empty))
+
+    case other => throw new UnsupportedPlugin(other, "unknown writer plugin")
+  }
+
+  private def parseFileWriteMode(m: String): SyncJob.WriteMode.Value = m match {
+    case "truncate" | "" => SyncJob.WriteMode.Truncate
+    case "append" => SyncJob.WriteMode.Append
+    case "nonConflict" => SyncJob.WriteMode.NonConflict
+    case other => throw new IllegalArgumentException(
+      "writeMode must be one of: truncate, append, nonConflict" + s" (got '$other')")
+  }
+
+  /** Go reference-time layout → Java datetime pattern (the reference's date
+    * `format` params are Go layouts, e.g. `2006-01-02` —
+    * `txtfile_reader.go:461-481`). Already-Java patterns pass through.
+    */
+  def goDateFormat(go: String): String = {
+    if (go.isEmpty || go.exists(ch => "yMdHhms".contains(ch))) return go
+    Seq(
+      "2006" -> "yyyy", ".000" -> ".SSS", "Z07:00" -> "XXX", "-07:00" -> "xxx",
+      "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm",
+      "05" -> "ss", "06" -> "yy", "PM" -> "a", "Jan" -> "MMM", "Mon" -> "EEE",
+      "MST" -> "zzz"
+    ).foldLeft(go) { case (s, (g, j)) => s.replace(g, j) }
+  }
+}

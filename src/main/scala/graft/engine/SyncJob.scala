@@ -121,20 +121,23 @@ object SyncJob {
   final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
 
   def read(spark: SparkSession, src: Source): DataFrame = {
+    // `path` may be a ','-joined list (the reference's path params accept
+    // lists, `txtfile_reader.go:56-69`); globs pass through to the scan
+    val paths = src.path.split(",").toSeq
     val base = src.format match {
       case "csv" =>
         spark.read
           .option("header", "true").option("nullValue", src.nullFormat) // nullFormat \N: txtfile_reader.go:108-118
-          .options(src.options).csv(src.path)
-      case "jsonl" => spark.read.options(src.options).json(src.path)
-      case "json" => spark.read.option("multiLine", "true").options(src.options).json(src.path)
+          .options(src.options).csv(paths: _*)
+      case "jsonl" => spark.read.options(src.options).json(paths: _*)
+      case "json" => spark.read.option("multiLine", "true").options(src.options).json(paths: _*)
       case "json-auto" => // sniff `[` vs `{`: jsonfile_reader.go:378-400
-        return read(spark, src.copy(format = sniffJsonFormat(spark, src.path)))
-      case "parquet" => spark.read.options(src.options).parquet(src.path)
+        return read(spark, src.copy(format = sniffJsonFormat(spark, paths.head)))
+      case "parquet" => spark.read.options(src.options).parquet(paths: _*)
       // hdfsreader fileType ORC (`hdfs_reader.go:221-229` names TEXT/ORC/
       // PARQUET; only TEXT is implemented there — Spark gives ORC for free)
-      case "orc" => spark.read.options(src.options).orc(src.path)
-      case "text" => spark.read.options(src.options).text(src.path)
+      case "orc" => spark.read.options(src.options).orc(paths: _*)
+      case "text" => spark.read.options(src.options).text(paths: _*)
       case env @ ("debezium" | "canal" | "maxwell") =>
         // batch read of a binlog-dump file (the offline twin of the
         // CdcPipeline streaming tail): named `columns` specs define the
@@ -199,10 +202,15 @@ object SyncJob {
   def typedProjection(df: DataFrame, specs: Seq[ColumnSpec], nullFormat: String): DataFrame = {
     val inCols = df.columns
     val cols = specs.zipWithIndex.map { case (sp, i) =>
-      val outName = if (sp.name.nonEmpty) sp.name else s"col$i"
+      // dotted source paths flatten to '_'-joined output names
+      val outName = if (sp.name.nonEmpty) sp.name.replace('.', '_') else s"col$i"
       val raw: Column =
         if (sp.value != null) lit(sp.value)
         else if (sp.index >= 0 && sp.index < inCols.length) col(inCols(sp.index)).cast("string")
+        else if (sp.index < 0 && sp.name.nonEmpty)
+          // named (possibly dotted) path — jsonfilereader's column addressing
+          // (`jsonfile_reader.go` dotted access); missing paths fail analysis
+          col(sp.name).cast("string")
         else lit(null).cast("string") // out-of-range index ⇒ null
       val nn = when(raw.isNull || raw === "" || raw === nullFormat, lit(null).cast("string"))
         .otherwise(raw)
@@ -231,8 +239,12 @@ object SyncJob {
   private def sniffJsonFormat(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isGlob = path.exists("*?[{".contains(_))
     val file =
-      if (fs.getFileStatus(p).isDirectory)
+      if (isGlob)
+        Option(fs.globStatus(p)).getOrElse(Array.empty).filter(_.isFile)
+          .sortBy(_.getPath.getName).headOption.map(_.getPath)
+      else if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith(".")).sortBy(_.getPath.getName).headOption.map(_.getPath)
       else Some(p)
@@ -282,11 +294,6 @@ object SyncJob {
         */
       preSql: Seq[String] = Nil,
       postSql: Seq[String] = Nil): JobResult = {
-    val t0 = System.nanoTime()
-    preSql.foreach(spark.sql(_).collect())
-    val input = read(spark, src)
-    val transformed = Transformers.chain(input, transforms)
-
     // envelope sources: a malformed line decodes to null lsn — it is a
     // dirty record (counted against the error limit, filtered before the
     // sink), the batch-path analog of CdcPipeline's corrupt-line policy;
@@ -294,6 +301,30 @@ object SyncJob {
     // (op/lsn preserved through the merge — the explicit opt-in is set
     // here, where the source format is known)
     val isEnvelope = Set("debezium", "canal", "maxwell").contains(src.format)
+    runFrom(spark, read(spark, src), transforms, sink, badPredicate, errorLimit,
+      preSql, postSql, envelopeInput = isEnvelope)
+  }
+
+  /** [[run]] with a caller-supplied input plan instead of a [[Source]] —
+    * the same transform chain / error-limit / staged-publish machinery for
+    * inputs that are not files (generated streams, JDBC scans, another
+    * job's DataFrame). `envelopeInput` marks the input as canonical change
+    * events (see [[run]]'s envelope handling).
+    */
+  def runFrom(
+      spark: SparkSession,
+      input: DataFrame,
+      transforms: Seq[Transformers.Transform],
+      sink: Sink,
+      badPredicate: Option[Column] = None,
+      errorLimit: ErrorLimit = ErrorLimit(record = Long.MaxValue),
+      preSql: Seq[String] = Nil,
+      postSql: Seq[String] = Nil,
+      envelopeInput: Boolean = false): JobResult = {
+    val t0 = System.nanoTime()
+    preSql.foreach(spark.sql(_).collect())
+    val transformed = Transformers.chain(input, transforms)
+    val isEnvelope = envelopeInput
     val sink1 = if (isEnvelope && sink.format == "lake") sink.copy(changeEvents = true) else sink
     val userBad = badPredicate.getOrElse(lit(false))
     val bad = if (isEnvelope) userBad || col("lsn").isNull else userBad
@@ -307,7 +338,9 @@ object SyncJob {
       .filter(!coalesce(bad, lit(false)))
 
     val binding = errorLimit.record != Long.MaxValue || errorLimit.percentage < 1.0
-    val staged = binding && sink.format != "lake"
+    // lake: epoch-idempotent merge needs no staging; jdbc: rows stream into
+    // the target's transactions (the reference's mid-transfer abort shape)
+    val staged = binding && sink.format != "lake" && sink.format != "jdbc"
     val fs = new Path(sink.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingPath = s"${sink.path}.staging-${System.nanoTime()}"
 
@@ -367,6 +400,31 @@ object SyncJob {
     }
   }
 
+  /** Render every row as ONE delimiter-joined line with the reference's
+    * canonical per-type formatting (`stream_writer.go:215-250` via
+    * [[graft.core.ColumnCasts]]): doubles `%.6f`, timestamps
+    * `yyyy-MM-dd HH:mm:ss` (or the writer's dateFormat), bytes lowercase
+    * hex, NULL → `nullFormat`. All codegen'd builtins — the projection
+    * fuses into the scan.
+    */
+  def canonicalLines(df: DataFrame, delim: String, nullFormat: String,
+      tsFormat: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.ColumnCasts
+    val rendered = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val s = f.dataType match {
+        case DoubleType | FloatType => ColumnCasts.doubleToString(c.cast("double"))
+        case TimestampType | DateType =>
+          tsFormat.fold(ColumnCasts.dateToString(c))(fmt => date_format(c, fmt))
+        case BinaryType => ColumnCasts.bytesToString(c)
+        case _ => c.cast("string")
+      }
+      coalesce(s, lit(nullFormat))
+    }
+    df.select(concat_ws(delim, rendered.toSeq: _*).as("value"))
+  }
+
   def write(spark: SparkSession, df: DataFrame, sink: Sink): Unit = sink.format match {
     case "lake" =>
       require(sink.keyCols.nonEmpty, "lake sink needs keyCols")
@@ -405,14 +463,28 @@ object SyncJob {
           // over business columns with those names would silently destroy
           // their values (and merge would drop them from the stored
           // payload) — fail fast instead; rename them or opt into
-          // changeEvents if they really are change metadata
-          val clash = df.columns.filter(c => c == "op" || c == "lsn")
+          // changeEvents if they really are change metadata. Matched
+          // case-INsensitively, mirroring Spark's default column
+          // resolution: withColumn("op") replaces a column named 'OP' too.
+          val clash = df.columns.filter(c => c.equalsIgnoreCase("op") || c.equalsIgnoreCase("lsn"))
           require(clash.isEmpty,
             s"plain lake sink input has reserved column name(s) ${clash.mkString(", ")}: " +
               "rename them, or set Sink.changeEvents = true if they are canonical CDC metadata")
           df.withColumn("op", lit("U")).withColumn("lsn", lit(epoch))
         }
       table.merge(withMeta, epoch)
+      ()
+    case "jdbc" =>
+      // RDBMS sink via [[JdbcExec]]: `path` is the TABLE name; connection
+      // and writeMode ride options (see graft.tools.RunJob's JdbcWrite)
+      val o = sink.options
+      JdbcExec.write(df, Dialect.byName(o("dialect")), o("url"), sink.path,
+        columns = o.get("columns").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        writeMode = o.getOrElse("writeMode", "insert"),
+        batchSize = o.get("batchSize").map(_.toInt).getOrElse(0),
+        session = o.get("session").map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+        props = o.filter(kv => kv._1 == "user" || kv._1 == "password"),
+        conflictColumns = sink.keyCols)
       ()
     case fmt0 =>
       // envelope sinks: canonical change events -> JSONL binlog envelopes
@@ -422,6 +494,14 @@ object SyncJob {
       // writeModes, flush thresholds and staged error-limit publish all
       // apply unchanged.
       val (df1, fmt) = fmt0 match {
+        case "stream-text" =>
+          // txtfilewriter fileFormat=text / streamwriter lines: canonical
+          // per-type rendering joined with the field delimiter
+          // (`stream_writer.go:215-250`, `txtfile_writer.go` text mode)
+          (canonicalLines(df,
+            sink.options.getOrElse("sep", ","),
+            sink.options.getOrElse("nullValue", "\\N"),
+            sink.options.get("timestampFormat")), "text")
         case env @ ("debezium" | "canal" | "maxwell") =>
           require(df.columns.contains("op") && df.columns.contains("lsn"),
             s"'$env' sink needs canonical (op, lsn, payload...) input columns")
@@ -471,7 +551,11 @@ object SyncJob {
       val w1 = fileCap.fold(w0)(c => w0.option("maxRecordsPerFile", c))
       val w = if (sink.partitionCols.nonEmpty) w1.partitionBy(sink.partitionCols: _*) else w1
       fmt match {
-        case "csv" => w.option("header", "true").csv(sink.path)
+        case "csv" =>
+          // header defaults on but an explicit sink option wins (a
+          // txtfilewriter with no `header` list writes data lines only)
+          (if (sink.options.contains("header")) w else w.option("header", "true"))
+            .csv(sink.path)
         case "json" | "jsonl" => w.json(sink.path)
         case "parquet" => w.parquet(sink.path)
         case "orc" => w.orc(sink.path) // hdfswriter fileType ORC (hdfs_writer.go:569-572)

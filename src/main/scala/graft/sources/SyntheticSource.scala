@@ -34,6 +34,7 @@ object SyntheticSource {
           case "double" => lit(v.toDouble)
           case "bool" | "boolean" => lit(v.toBoolean)
           case "date" => to_timestamp(lit(v))
+          case "bytes" => lit(v).cast("binary") // stream_reader.go bytes column
           case _ => lit(v)
         }
         case None =>
@@ -45,6 +46,8 @@ object SyntheticSource {
             case "bool" | "boolean" => h % 2 === 0
             case "date" =>
               timestamp_seconds(lit(1704067200L) + h % 31536000L) // within a year
+            case "bytes" =>
+              substring(md5(concat_ws(":", col("id"), lit(c.name), lit(seed))), 1, 10).cast("binary")
             case _ => substring(md5(concat_ws(":", col("id"), lit(c.name), lit(seed))), 1, 10)
           }
       }

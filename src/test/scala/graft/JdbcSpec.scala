@@ -102,8 +102,8 @@ class JdbcSpec extends AnyFunSuite {
     assert(Dialect.Postgres.upsertSql("t", cols, Seq("id")) ===
       "INSERT INTO \"t\" (\"id\", \"name\", \"age\") VALUES (?, ?, ?) " +
         "ON CONFLICT (\"id\") DO UPDATE SET \"name\" = EXCLUDED.\"name\", \"age\" = EXCLUDED.\"age\"")
-    // scenario 4: other dialects -> plain INSERT regardless of keys
-    assert(Dialect.Oracle.upsertSql("t", cols, Seq("id")) ===
+    // scenario 4: remaining generic dialects -> plain INSERT regardless of keys
+    assert(Dialect.Sqlite.upsertSql("t", cols, Seq("id")) ===
       "INSERT INTO \"t\" (\"id\", \"name\", \"age\") VALUES (?, ?, ?)")
     assert(Dialect.ClickHouse.upsertSql("t", cols, Seq("id")) ===
       "INSERT INTO `t` (`id`, `name`, `age`) VALUES (?, ?, ?)")
@@ -115,6 +115,64 @@ class JdbcSpec extends AnyFunSuite {
     // multi-row batch placeholders (the batched flush shape)
     assert(Dialect.Mysql.upsertSql("t", Seq("id"), Nil, rows = 3) ===
       "INSERT INTO `t` (`id`) VALUES (?), (?), (?)")
+  }
+
+  test("oracle MERGE upsert: update, replace, all-PK skip form") {
+    // the reference's oraclewriter VALIDATES INSERT/UPDATE/REPLACE
+    // (oracle_writer.go:101-103) but preps only INSERT (:301-307); graft
+    // generates the MERGE the validation promises
+    val cols = Seq("id", "name")
+    assert(Dialect.Oracle.upsertSql("t", cols, Seq("id")) ===
+      "MERGE INTO \"t\" t USING (SELECT ? AS \"id\", ? AS \"name\" FROM dual) s " +
+        "ON (t.\"id\" = s.\"id\") " +
+        "WHEN MATCHED THEN UPDATE SET t.\"name\" = s.\"name\" " +
+        "WHEN NOT MATCHED THEN INSERT (\"id\", \"name\") VALUES (s.\"id\", s.\"name\")")
+    // replace == upsert on oracle (per-key replace semantics)
+    assert(Dialect.Oracle.replaceSql("t", cols, Seq("id")) ===
+      Dialect.Oracle.upsertSql("t", cols, Seq("id")))
+    // all columns are PKs: skip-duplicates form, no WHEN MATCHED clause
+    val allPk = Dialect.Oracle.upsertSql("t", Seq("id", "code"), Seq("id", "code"))
+    assert(!allPk.contains("WHEN MATCHED"))
+    assert(allPk.contains("WHEN NOT MATCHED THEN INSERT"))
+    // no PKs: plain INSERT (scenario 1)
+    assert(Dialect.Oracle.upsertSql("t", cols, Nil) ===
+      "INSERT INTO \"t\" (\"id\", \"name\") VALUES (?, ?)")
+    // multi-row batch: one UNION ALL branch per row
+    val multi = Dialect.Oracle.upsertSql("t", cols, Seq("id"), rows = 3)
+    assert(multi.split("UNION ALL").length === 3)
+  }
+
+  test("databend dialect: replace form and writeMode validation") {
+    // databend_writer.go:396-430: REPLACE INTO t (cols) ON (conflict) VALUES
+    assert(Dialect.Databend.replaceSql("t", Seq("a", "b"), Seq("a")) ===
+      "REPLACE INTO `t` (`a`, `b`) ON (`a`) VALUES (?, ?)")
+    assert(Dialect.Databend.upsertSql("t", Seq("a", "b"), Nil) ===
+      "INSERT INTO `t` (`a`, `b`) VALUES (?, ?)")
+    // replace without conflict columns: the reference's validateWriteMode error
+    val ex = intercept[IllegalArgumentException] {
+      Dialect.Databend.replaceSql("t", Seq("a", "b"), Nil)
+    }
+    assert(ex.getMessage.contains("onConflictColumn"))
+    // writeMode matrix: insert|replace only (databend_writer.go:88)
+    intercept[IllegalArgumentException] { Dialect.Databend.validateWriteMode("update") }
+    Dialect.Databend.validateWriteMode("insert")
+    assert(Dialect.byName("databend") === Dialect.Databend)
+    assert(Dialect.all.length === 12)
+  }
+
+  test("multi-statement session lists fail fast on drivers without a path") {
+    val sess = Seq("ALTER SESSION SET a=1", "ALTER SESSION SET b=2")
+    // oracle / sybase / sqlserver drivers reject multi-statement strings —
+    // plan-time failure instead of per-connection runtime death
+    for (d <- Seq(Dialect.Oracle, Dialect.Sybase, Dialect.SqlServer, Dialect.ClickHouse)) {
+      intercept[IllegalArgumentException] { d.writerOptions("u", "t", session = sess) }
+      // single statements stay fine everywhere
+      assert(d.writerOptions("u", "t", session = sess.take(1))
+        .contains("sessionInitStatement"))
+    }
+    // clickhouse never gets the mysql allowMultiQueries URL rewrite
+    assert(Dialect.ClickHouse.writerOptions("jdbc:clickhouse://h/db", "t",
+      session = sess.take(1))("url") === "jdbc:clickhouse://h/db")
   }
 
   test("partition predicates") {
