@@ -344,36 +344,62 @@ object SyncJob {
     val fs = new Path(sink.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingPath = s"${sink.path}.staging-${System.nanoTime()}"
 
-    if (staged) {
-      // nonConflict pre-checks the REAL target before any work
-      if (sink.writeMode == WriteMode.NonConflict) {
-        val p = new Path(sink.path)
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          throw new IllegalStateException(s"nonConflict: target ${sink.path} not empty")
-      }
-      write(spark, observed, sink1.copy(path = stagingPath, writeMode = WriteMode.Truncate))
-    } else {
-      write(spark, observed, sink1)
-    }
+    // nonConflict holds its exclusive sentinel from the pre-check through
+    // the publish — no check-then-act window for a concurrent job
+    val sentinel: Option[Path] =
+      if (staged && sink.writeMode == WriteMode.NonConflict)
+        Some(nonConflictClaim(fs, new Path(sink.path)))
+      else None
+    try {
+      if (staged)
+        write(spark, observed, sink1.copy(path = stagingPath, writeMode = WriteMode.Truncate))
+      else
+        write(spark, observed, sink1)
 
-    val m = obs.get
-    val total = m("total").asInstanceOf[Long]
-    val nBad = m("bad").asInstanceOf[Long]
-    val goodBytes = Option(m("goodBytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    if (nBad > errorLimit.record ||
-        (total > 0 && nBad.toDouble / total > errorLimit.percentage)) {
-      if (staged) fs.delete(new Path(stagingPath), true)
-      throw new ErrorLimitExceeded(
-        s"error limit exceeded: $nBad bad of $total (limit ${errorLimit.record} / ${errorLimit.percentage})")
-    }
-    if (staged) {
-      val target = new Path(sink.path)
-      if (sink.writeMode == WriteMode.Truncate) fs.delete(target, true)
-      mergeMove(fs, new Path(stagingPath), target)
-    }
-    postSql.foreach(spark.sql(_).collect())
-    JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9, goodBytes)
+      val m = obs.get
+      val total = m("total").asInstanceOf[Long]
+      val nBad = m("bad").asInstanceOf[Long]
+      val goodBytes = Option(m("goodBytes")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nBad > errorLimit.record ||
+          (total > 0 && nBad.toDouble / total > errorLimit.percentage)) {
+        if (staged) fs.delete(new Path(stagingPath), true)
+        throw new ErrorLimitExceeded(
+          s"error limit exceeded: $nBad bad of $total (limit ${errorLimit.record} / ${errorLimit.percentage})")
+      }
+      if (staged) {
+        val target = new Path(sink.path)
+        if (sink.writeMode == WriteMode.Truncate) fs.delete(target, true)
+        mergeMove(fs, new Path(stagingPath), target)
+      }
+      postSql.foreach(spark.sql(_).collect())
+      JobResult(total - nBad, nBad, (System.nanoTime() - t0) / 1e9, goodBytes)
+    } finally sentinel.foreach(nonConflictRelease(fs, _))
   }
+
+  /** Atomic nonConflict claim: verifies the target holds no files, then
+    * claims an exclusive sentinel beside it with `create(overwrite=false)` —
+    * atomic on HDFS (namenode-arbitrated), so two concurrent nonConflict
+    * jobs cannot both pass a check-then-act window (the reference's
+    * exists+list check has the same TOCTOU race this closes). Returns the
+    * sentinel; callers release it in a finally via [[nonConflictRelease]].
+    */
+  private def nonConflictClaim(fs: org.apache.hadoop.fs.FileSystem, target: Path): Path = {
+    if (fs.exists(target) && fs.listStatus(target).nonEmpty)
+      throw new IllegalStateException(s"nonConflict: target $target not empty")
+    val parent = Option(target.getParent).getOrElse(new Path("."))
+    fs.mkdirs(parent)
+    val sentinel = new Path(parent, s".${target.getName}.nonconflict")
+    try fs.create(sentinel, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"nonConflict: another job is writing $target (sentinel $sentinel)", e)
+    }
+    sentinel
+  }
+
+  private def nonConflictRelease(fs: org.apache.hadoop.fs.FileSystem, sentinel: Path): Unit =
+    try { fs.delete(sentinel, false); () } catch { case _: java.io.IOException => () }
 
   /** Recursive publish of a staging dir into the target: rename whole when
     * the target is absent, else merge children (Spark part-file names are
@@ -517,16 +543,20 @@ object SyncJob {
           (enc, "text")
         case f => (df, f)
       }
+      // reference nonConflict fails if ANY file exists at the target; the
+      // sentinel claim makes check→write exclusive (no TOCTOU window), so
+      // the write itself can run as a plain append into the verified-empty
+      // target. The claim is released after the write: a later nonConflict
+      // job then fails on the now-non-empty target.
+      val nonConflictSentinel: Option[Path] =
+        if (sink.writeMode == WriteMode.NonConflict) {
+          val p = new Path(sink.path)
+          Some(nonConflictClaim(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p))
+        } else None
       val mode = sink.writeMode match {
         case WriteMode.Append => "append"
         case WriteMode.Truncate => "overwrite"
-        case WriteMode.NonConflict =>
-          // reference nonConflict fails if ANY file exists at the target
-          val p = new Path(sink.path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-            throw new IllegalStateException(s"nonConflict: target ${sink.path} not empty")
-          "errorifexists"
+        case WriteMode.NonConflict => "append"
         case WriteMode.Upsert =>
           throw new IllegalArgumentException("upsert requires format=lake")
       }
@@ -550,17 +580,20 @@ object SyncJob {
       val w0 = df1.write.mode(mode).options(sink.options)
       val w1 = fileCap.fold(w0)(c => w0.option("maxRecordsPerFile", c))
       val w = if (sink.partitionCols.nonEmpty) w1.partitionBy(sink.partitionCols: _*) else w1
-      fmt match {
-        case "csv" =>
-          // header defaults on but an explicit sink option wins (a
-          // txtfilewriter with no `header` list writes data lines only)
-          (if (sink.options.contains("header")) w else w.option("header", "true"))
-            .csv(sink.path)
-        case "json" | "jsonl" => w.json(sink.path)
-        case "parquet" => w.parquet(sink.path)
-        case "orc" => w.orc(sink.path) // hdfswriter fileType ORC (hdfs_writer.go:569-572)
-        case "text" => w.text(sink.path)
-        case f => throw new IllegalArgumentException(s"sink format '$f'")
-      }
+      try {
+        fmt match {
+          case "csv" =>
+            // header defaults on but an explicit sink option wins (a
+            // txtfilewriter with no `header` list writes data lines only)
+            (if (sink.options.contains("header")) w else w.option("header", "true"))
+              .csv(sink.path)
+          case "json" | "jsonl" => w.json(sink.path)
+          case "parquet" => w.parquet(sink.path)
+          case "orc" => w.orc(sink.path) // hdfswriter fileType ORC (hdfs_writer.go:569-572)
+          case "text" => w.text(sink.path)
+          case f => throw new IllegalArgumentException(s"sink format '$f'")
+        }
+      } finally nonConflictSentinel.foreach(s =>
+        nonConflictRelease(s.getFileSystem(spark.sparkContext.hadoopConfiguration), s))
   }
 }

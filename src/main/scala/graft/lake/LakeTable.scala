@@ -696,8 +696,8 @@ final class LakeTable(
     } yield (bucket, n, f.getPath)
     val counted = Await.result(
       Future.traverse(candidates) { case (bucket, n, p) =>
-        Future((bucket, n, p, parquetRowCount(p)))
-      }, Duration.Inf)
+        Future((bucket, n, p, scala.concurrent.blocking(parquetRowCount(p))))
+      }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
     val moved = counted.flatMap { case (bucket, n, src, fileRows) =>
       if (fileRows == 0) None // drop empty files
       else {
@@ -740,9 +740,15 @@ final class LakeTable(
       .filter(_.getPath.getName.matches("snap-[0-9]+\\.txt"))
       .map(st => (st.getPath.getName.stripPrefix("snap-").stripSuffix(".txt").toLong, st.getPath))
       .sortBy(_._1)
+    // blocking{} marks the FS I/O for the fork-join pool's managed blocker
+    // so concurrent readers cannot starve the shared global pool; the await
+    // is bounded — a hung filesystem should surface as an error, not a
+    // forever-stuck driver
     Await.result(
-      Future.traverse(versioned) { case (v, p) => Future(readSnapshot(fs, p, v)) },
-      Duration.Inf)
+      Future.traverse(versioned) { case (v, p) =>
+        Future(scala.concurrent.blocking(readSnapshot(fs, p, v)))
+      },
+      scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
   }
 
   def metrics(): DataFrame = {
@@ -1311,6 +1317,15 @@ object LakeTable {
     */
   private val NonReplacingRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
 
+  /** Hadoop conf key extending the safe-scheme set: a comma-separated list
+    * of additional schemes whose rename is atomic AND non-replacing
+    * (maprfs, o3fs/ofs, alluxio and other HDFS-compatible filesystems
+    * qualify; s3a/gcs/abfs do NOT). An explicit operator opt-in, not a
+    * hardcoded allowlist, so such deployments keep working without
+    * weakening the object-store fail-fast.
+    */
+  val ExtraClaimSchemesKey = "graft.lake.atomic.rename.schemes"
+
   private[lake] def atomicClaim(fs: FileSystem, src: Path, dst: Path): Boolean = {
     val uri = fs.getUri
     if (uri.getScheme == null || uri.getScheme == "file") {
@@ -1321,10 +1336,13 @@ object LakeTable {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      require(NonReplacingRenameSchemes.contains(uri.getScheme),
+      val extra = fs.getConf.getTrimmedStrings(ExtraClaimSchemesKey)
+      val safe = NonReplacingRenameSchemes ++ extra
+      require(safe.contains(uri.getScheme),
         s"atomicClaim needs a non-replacing atomic rename; filesystem scheme " +
           s"'${uri.getScheme}' does not guarantee one (supported: file, " +
-          s"${NonReplacingRenameSchemes.mkString(", ")}). Object-store " +
+          s"${safe.mkString(", ")}). HDFS-compatible filesystems that do " +
+          s"provide one can opt in via $ExtraClaimSchemesKey; object-store " +
           "deployments need an external commit lock/catalog.")
       !fs.exists(dst) && fs.rename(src, dst)
     }

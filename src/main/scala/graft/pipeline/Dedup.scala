@@ -242,14 +242,25 @@ object Dedup {
     * label = the component's minimum id (deterministic canonical winner).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 16): DataFrame = {
+      maxIters: Int = 16,
+      /** RELIABLE checkpoint dir: when set, each round checkpoints to this
+        * (HDFS-visible) directory via `df.checkpoint()` instead of
+        * `localCheckpoint()`. localCheckpoint stores blocks on executors —
+        * an executor lost mid-iteration kills the job because the truncated
+        * lineage cannot be recomputed; at 100 TB-scale iteration times
+        * that is a reliability cliff one extra write per round avoids.
+        */
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
       .persist()
-    var labels = e.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = save(e.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -261,13 +272,12 @@ object Dedup {
         .select(col("id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       val obs = org.apache.spark.sql.Observation()
-      val jumped = stepped
+      val jumped = save(stepped
         .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
           col("label") === col("jid"), "left")
         .select(col("id"), col("_prev"), coalesce(col("jl"), col("label")).as("label"))
         .observe(obs, sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))
-        .drop("_prev")
-        .localCheckpoint()
+        .drop("_prev"))
       changed = obs.get.get("changed") match {
         case Some(n: java.lang.Number) => n.longValue
         case _ => 0L

@@ -59,22 +59,35 @@ object Ivf {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The default training bound: a coarse quantizer's centroids converge on
+    * a sample; `max(256k, 100·k)` rows train the same model a full pass
+    * would (the recall gates in PipelineSpec hold on the sampled default).
+    */
+  def defaultTrainSample(k: Int): Long = math.max(256000L, 100L * k)
+
   /** Deterministic spherical k-means on (a fraction of) the corpus.
     * `trainSample` bounds the expected training-set size: rows are kept by
-    * the same md5-prefix range predicate (no sort, no shuffle — a filter),
-    * giving a reproducible ~`trainSample`-row subset on any engine.
+    * an md5-prefix range predicate (no sort, no shuffle — a filter), giving
+    * a reproducible ~`trainSample`-row subset on any engine.
+    *
+    * COST NOTE — the bound is ON by default ([[defaultTrainSample]]):
+    * each Lloyd iteration shuffles n×d exploded rows for the centroid
+    * means, so an unbounded pass over 10⁹ × 64-dim vectors × 3 iterations
+    * is ~2×10¹¹ shuffled rows — for centroids a 10⁶-row sample trains
+    * identically. Pass `trainSample = Some(Long.MaxValue)` to explicitly
+    * opt into a full-corpus pass.
     */
   def train(emb: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Option[Long] = None): Model = {
     val n = emb.count()
-    val base = trainSample match {
-      case Some(s) if s < n =>
-        val bound = (math.min(1.0, s.toDouble / n) * 4294967296.0).toLong
+    val sample = trainSample.getOrElse(defaultTrainSample(k))
+    val base =
+      if (sample < n) {
+        val bound = (math.min(1.0, sample.toDouble / n) * 4294967296.0).toLong
         emb.filter(md5Head(idCol) < bound)
-      case _ => emb
-    }
-    val nBase = trainSample.map(s => math.min(s, n)).getOrElse(n)
+      } else emb
+    val nBase = math.min(sample, n)
     var centroids: Array[Array[Float]] = smallestByMd5(base, idCol, k, nBase)
       .select(col(vecCol))
       .collect()

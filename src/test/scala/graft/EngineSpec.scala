@@ -66,6 +66,30 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() === 7)
   }
 
+  test("nonConflict is exclusive: a held sentinel blocks a concurrent job cleanly") {
+    val dir = tmpDir("nc")
+    val target = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an in-flight nonConflict job holding the claim: the sentinel
+    // exists but the target is still empty — the exists+list pre-check alone
+    // would let a second job through (the TOCTOU the sentinel closes)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.create(new org.apache.hadoop.fs.Path(dir, ".t.nonconflict"), false).close()
+    val ex = intercept[IllegalStateException] {
+      SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.NonConflict))
+    }
+    assert(ex.getMessage.contains("another job"))
+    // claim released → the job wins and the sentinel does not linger
+    fs.delete(new org.apache.hadoop.fs.Path(dir, ".t.nonconflict"), false)
+    SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.NonConflict))
+    assert(spark.read.parquet(s"$dir/t").count() === 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".t.nonconflict")))
+    // and a later nonConflict fails on the now-non-empty target
+    intercept[IllegalStateException] {
+      SyncJob.write(spark, users, Sink("parquet", s"$dir/t", WriteMode.NonConflict))
+    }
+  }
+
   test("error limiter: bad rows filtered, threshold aborts the job") {
     val dir = tmpDir("err")
     users.write.parquet(s"$dir/src")

@@ -128,6 +128,39 @@ class PipelineSpec extends SparkSpec {
     assert(maxCand <= 20L, s"cap leaked: anchor saw $maxCand candidates")
   }
 
+  test("IVF sampled training: recall gate holds, sample is deterministic") {
+    import graft.pipeline.Ivf
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    // bound engaged (sample < n): the md5-prefix subset must train a model
+    // whose full-probe search is still exhaustive-correct and whose reduced
+    // probe clears the same recall floor as the full-corpus model
+    val m1 = Ivf.train(emb, k = 8, iters = 2, trainSample = Some(n / 2))
+    val m2 = Ivf.train(emb, k = 8, iters = 2, trainSample = Some(n / 2))
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq,
+      "sampled training must be deterministic")
+    val idx = tmpDir("ivfSampled") + "/index"
+    Ivf.buildIndex(emb, m1, idx)
+    val q = Ivf.vectorOf(emb, 1L)
+    val truth = Similarity.topK(emb, queryId = 1L, k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ann = Ivf.searchIndex(spark, idx, m1, q, topK = 10, nProbe = 4,
+      excludeId = Some(1L)).select("neighbor_id").as[Long].collect().toSet
+    // floor below the full-model 0.5: halving a few-hundred-vector corpus is
+    // a far harsher cut than the real default bound (256k+ rows) ever takes
+    assert(truth.intersect(ann).size.toDouble / truth.size >= 0.3,
+      "sampled-model recall below floor")
+    // full probe over the sampled model's index is still exhaustive-exact
+    val fullProbe = Ivf.searchIndex(spark, idx, m1, q, topK = 10, nProbe = 8,
+      excludeId = Some(1L)).select("neighbor_id").as[Long].collect().toSet
+    assert(fullProbe === truth)
+    // default bound covers small corpora entirely — identical to a full pass
+    assert(Ivf.defaultTrainSample(8) >= n)
+    val mDefault = Ivf.train(emb, k = 8, iters = 2)
+    val mFull = Ivf.train(emb, k = 8, iters = 2, trainSample = Some(Long.MaxValue))
+    assert(mDefault.centroids.map(_.toSeq).toSeq === mFull.centroids.map(_.toSeq).toSeq)
+  }
+
   test("IVF ANN: recall vs brute force, determinism, and probe pruning") {
     import graft.pipeline.Ivf
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -227,10 +260,15 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // long path: convergence is O(log diameter), 16 rounds cover 2^16
+    // long path: convergence is O(log diameter), 16 rounds cover 2^16 —
+    // run through the RELIABLE checkpoint path (executor-loss-safe variant)
+    val ckpt = tmpDir("ccCkpt")
     val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(path).as[(Long, Long)].collect()
+    val labels = Dedup.connectedComponents(path, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect()
     assert(labels.length === 41 && labels.forall(_._2 === 0L))
+    // the reliable path actually materialized checkpoints on disk
+    assert(new java.io.File(ckpt).listFiles().nonEmpty, "no reliable checkpoint written")
   }
 
   test("dedupClusters groups planted near-dup chains transitively") {
