@@ -161,6 +161,42 @@ object SparkEntry {
              o_totalprice AS price, NULL::VARCHAR AS missing, 'src1' AS tag
       FROM orders""")),
 
+    ("q_jobspec_pipeline", (s, dir) => {
+      // the datax JSON entry point END TO END (engine.go:34-81 analog):
+      // a full config — txtfilereader typed projection → dx_filter +
+      // dx_digest transformer chain → hdfswriter parquet — parsed,
+      // translated and EXECUTED by RunJob; the returned frame is the job's
+      // published output, oracle-checked against the same relational
+      // pipeline in SQL. The csv fixture stages once (warmup); the timed
+      // work is the job itself.
+      val fix = stageOnce(s"jobspec-fix:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-jobspec-${dir.hashCode}"
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("double"),
+            col("l_returnflag"), concat_ws("|", col("l_linestatus"), col("l_suppkey")))
+          .write.mode("overwrite").option("header", "true").csv(s"$p/src")
+        p
+      }
+      val cfg = graft.engine.JobConfig.parse(s"""{
+        "job": {"setting": {"speed": {"channel": 2}}, "content": [{
+          "reader": {"name": "txtfilereader", "parameter": {
+            "path": "$fix/src", "fieldDelimiter": ",", "skipHeader": true,
+            "column": [
+              {"index": 0, "type": "long"}, {"index": 1, "type": "double"},
+              {"index": 2, "type": "string"}, {"index": 3, "type": "string"}]}},
+          "transformer": [
+            {"name": "dx_filter", "parameter": {"columnIndex": 2, "paras": ["=", "A"]}},
+            {"name": "dx_digest", "parameter": {"columnIndex": 3, "paras": ["md5"]}}],
+          "writer": {"name": "hdfswriter", "parameter": {
+            "path": "$fix", "fileName": "out", "fileType": "parquet",
+            "writeMode": "truncate"}}}]}}""")
+      graft.tools.RunJob.run(s, cfg)
+      s.read.parquet(s"$fix/out")
+    }, Some("""
+      SELECT l_orderkey AS col0, l_quantity::DOUBLE AS col1,
+             l_returnflag AS col2, md5(l_linestatus || '|' || l_suppkey::VARCHAR) AS col3
+      FROM lineitem WHERE l_returnflag = 'A'""")),
+
     // ===== transformers (§2.4) ==========================================
     ("t_dx_filter", (s, dir) => {
       Transformers.chain(
