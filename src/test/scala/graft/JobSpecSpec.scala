@@ -197,6 +197,37 @@ class JobSpecSpec extends SparkSpec {
       ("7", "plain", "short@e.x")))
   }
 
+  test("txtfile_compress config: gzip output files, no header line") {
+    assume(refTestData.isDirectory, "reference test-data not present")
+    val fix = tmpDir("txtgz")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$fix/sample.csv"),
+      "id,name,age,email,created_at\n1,Alice,30,a@e.com,2024-03-01\n2,Bob,17,b@e.com,2024-05-02\n"
+        .getBytes("UTF-8"))
+    val spec = JobConfig.fromFile(s"$refTestData/txtfile_compress.json")
+    RunJob.run(spark, spec, RunJob.Overrides(rebase = Seq(
+      "/Users/longkeyy/GolandProjects/go-datax/test-data" -> fix)))
+    val outFiles = new File(s"$fix/output/compressed_result").listFiles()
+      .filter(_.getName.endsWith(".gz"))
+    assert(outFiles.nonEmpty, "no gzip part files written")
+    val back = spark.read.option("header", "true").csv(s"$fix/output/compressed_result")
+    // column ["*"] reads raw strings; this config writes a header list too
+    assert(back.columns.toSeq === Seq("id", "name", "age", "email", "created_at"))
+    assert(back.count() === 2)
+  }
+
+  test("txtfile_wildcard config: text fileFormat joins fields with the delimiter") {
+    assume(refTestData.isDirectory, "reference test-data not present")
+    val fix = tmpDir("txtwild")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$fix/sample.csv"),
+      "id,name,age,email,created_at\n1,Alice,30,a@e.com,2024-03-01\n".getBytes("UTF-8"))
+    val spec = JobConfig.fromFile(s"$refTestData/txtfile_wildcard.json")
+    RunJob.run(spark, spec, RunJob.Overrides(rebase = Seq(
+      "/Users/longkeyy/GolandProjects/go-datax/test-data" -> fix)))
+    val lines = spark.read.text(s"$fix/output/wildcard_result").as[String].collect()
+    // fileFormat=text with fieldDelimiter "|": one joined line per record
+    assert(lines.toSeq === Seq("1|Alice|30|a@e.com|2024-03-01"))
+  }
+
   // ------------------------------------------------------------- Derby JDBC
 
   test("real jdbc write path: batched insert into Derby, read back via spark") {
