@@ -78,7 +78,10 @@ object Bench {
     }.min
     val eventsPerSec = cdcEvents / cdcSecs
 
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // CDC-only mode: the best-of-N headline protocol (BASELINE.md) re-samples
+    // the CDC leg on a quiesced host without paying the ~5-min query sweep
+    val cdcOnly = sys.env.getOrElse("SPARK_GRAFT_BENCH_CDC_ONLY", "0") == "1"
+    val sorted = if (cdcOnly) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
     if (warmup) sorted.foreach { case (n, f) => once(n, f) } // JIT/codegen warmup
     val results = sorted.map { case (name, fn) => name -> once(name, fn) }
 
