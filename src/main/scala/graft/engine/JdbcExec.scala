@@ -112,14 +112,18 @@ object JdbcExec {
               while (!done && attempt <= retries) {
                 if (attempt > 0 && sleep > 0) Thread.sleep(sleep)
                 try {
+                  // JDBC batch protocol: one driver round trip per batch,
+                  // not per row (the reference's batched StartWrite shape)
+                  stmt.clearBatch()
                   batch.foreach { row =>
                     var i = 0
                     while (i < cols.length) {
                       stmt.setObject(i + 1, row.get(i))
                       i += 1
                     }
-                    stmt.executeUpdate()
+                    stmt.addBatch()
                   }
+                  stmt.executeBatch()
                   conn.commit()
                   written.add(batch.length)
                   done = true

@@ -185,6 +185,9 @@ object SyncJob {
     */
   val DateFallbackFormats: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd",
+    // ISO-8601/RFC3339 forms (the jsonfile reader's chain adds these,
+    // `jsonfile_reader.go:1152-1160`; XXX parses both `Z` and `+07:00`)
+    "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd",
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy")
 

@@ -13,13 +13,19 @@ import graft.lake.LakeTable
   * in the sandbox, so the SAME seeded replay runs at local[N] and local[4N]
   * on identical input; efficiency = (throughput_4N / throughput_N) / 4.
   *
-  * Usage: ScalingBench [nEvents] [nCoresSmall] — runs N and 4N.
+  * Usage: ScalingBench [nEvents] [nCoresSmall] [order] — runs N and 4N.
+  * `order` = `smallfirst` (default) | `bigfirst`: the sandbox hypervisor
+  * throttles many-core load PROGRESSIVELY within a session (BASELINE.md leg
+  * decompositions), so whichever leg runs second measures a worse host
+  * state — running samples in both orders brackets that bias instead of
+  * silently baking it into every sample.
   * Prints one JSON line; numbers are transcribed into BENCH.md.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.nonEmpty) args(0).toLong else 12000000L
     val nSmall = if (args.length > 1) args(1).toInt else 8
+    val bigFirst = args.length > 2 && args(2).equalsIgnoreCase("bigfirst")
     val nBig = nSmall * 4
 
     // Work dir on tmpfs when available: the sandbox VM's disk writes at
@@ -85,15 +91,17 @@ object ScalingBench {
       (secs, rows)
     }
 
-    val (secsSmall, rowsSmall) = run(nSmall)
-    val (secsBig, rowsBig) = run(nBig)
+    val ((secsSmall, rowsSmall), (secsBig, rowsBig)) =
+      if (bigFirst) { val b = run(nBig); (run(nSmall), b) }
+      else { val a = run(nSmall); (a, run(nBig)) }
     require(rowsSmall == rowsBig, s"final state diverged: $rowsSmall vs $rowsBig")
 
     val thrSmall = nEvents / secsSmall
     val thrBig = nEvents / secsBig
     val eff = (thrBig / thrSmall) / (nBig.toDouble / nSmall)
+    val order = if (bigFirst) "bigfirst" else "smallfirst"
     println(
-      f"""{"events":$nEvents,"cores_small":$nSmall,"cores_big":$nBig,"seconds_small":$secsSmall%.2f,"seconds_big":$secsBig%.2f,"events_per_sec_small":$thrSmall%.0f,"events_per_sec_big":$thrBig%.0f,"scaling_efficiency":$eff%.3f,"final_rows":$rowsSmall}""")
+      f"""{"events":$nEvents,"cores_small":$nSmall,"cores_big":$nBig,"order":"$order","seconds_small":$secsSmall%.2f,"seconds_big":$secsBig%.2f,"events_per_sec_small":$thrSmall%.0f,"events_per_sec_big":$thrBig%.0f,"scaling_efficiency":$eff%.3f,"final_rows":$rowsSmall}""")
     scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
   }
 }

@@ -228,6 +228,27 @@ class JobSpecSpec extends SparkSpec {
     assert(lines.toSeq === Seq("1|Alice|30|a@e.com|2024-03-01"))
   }
 
+  test("jsonfile config: reference sample-data jsonl in, typed jsonl out") {
+    assume(refTestData.isDirectory, "reference test-data not present")
+    val fix = tmpDir("jsonfile")
+    val spec = JobConfig.fromFile(s"$refTestData/config-jsonfile-test.json")
+    // the config's reader path is relative (`../../test-data/sample-data/
+    // *.jsonl`) — rebase onto the reference checkout; output onto tmp
+    RunJob.run(spark, spec, RunJob.Overrides(rebase = Seq(
+      "../../test-data" -> refTestData.toString,
+      "/tmp/output" -> s"$fix/output")))
+    val back = spark.read.json(s"$fix/output/converted_data")
+    val srcN = spark.read.json(s"$refTestData/sample-data/*.jsonl").count()
+    assert(back.count() === srcN)
+    assert(back.columns.sorted.toSeq === Seq("active", "created_at", "email", "id", "name"))
+    // typed projection: long id, boolean active, RFC3339 created_at parsed
+    // (the reference's jsonfile date chain, jsonfile_reader.go:1152-1160)
+    val row = back.filter($"id" === 1L).head
+    assert(row.getAs[Boolean]("active") === true)
+    assert(row.getAs[String]("created_at").startsWith("2023-01-01"))
+    assert(back.filter($"created_at".isNull).count() === 0)
+  }
+
   // ------------------------------------------------------------- Derby JDBC
 
   test("real jdbc write path: batched insert into Derby, read back via spark") {
