@@ -893,6 +893,27 @@ object SparkEntry {
           AS quality_score
       FROM f""")),
 
+    ("ta_repetition", (s, dir) => {
+      TextAnalysis.repetition(t(s, dir, "documents"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+        FROM documents),
+      uc AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id, unnest(a) AS g FROM toks) GROUP BY doc_id, g),
+      ua AS (SELECT doc_id, sum(c)::BIGINT AS n_words, max(c) AS top_w
+             FROM uc GROUP BY doc_id),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM
+          (SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+           FROM toks) GROUP BY doc_id, g),
+      ba AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_b
+             FROM bc GROUP BY doc_id)
+      SELECT ua.doc_id, ua.n_words,
+        round(ua.top_w::DOUBLE / ua.n_words, 6) AS top_word_frac,
+        coalesce(round(ba.top_b::DOUBLE / ba.n_bigrams, 6), 0.0) AS top_bigram_frac
+      FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id""")),
+
     ("ta_tokens", (s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
     }, Some("""

@@ -131,6 +131,34 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rk")
   }
 
+  /** Gopher-style within-document repetition signals (public literature —
+    * the repetition-removal rules of large web-corpus pipelines): the
+    * fraction of a document's words accounted for by its single most
+    * frequent word, and by its most frequent word BIGRAM. High values flag
+    * boilerplate, templated or keyword-stuffed pages that cross-document
+    * near-dup sketches cannot catch (the repetition is inside ONE doc).
+    *
+    * Scale shape: one explode per n-gram order into a (doc, gram) combiner
+    * aggregate then a per-doc max — the same O(tokens) shuffle shape as
+    * [[tfidf]]; no windows, no pairwise work, join keyed by doc_id.
+    * Fractions round to 6 decimals so thresholds cut identically on any
+    * engine. Docs with fewer than 2 words have no bigrams: frac 0.
+    */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    def topCounts(gram: Column, total: String, top: String): DataFrame =
+      docs.select(col("doc_id"), explode(gram).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as(total), max("c").as(top))
+    val uni = topCounts(toks, "n_words", "top_w")
+    val bi = topCounts(shingles(toks, 2), "n_bigrams", "top_b")
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_w") / col("n_words"), 6).as("top_word_frac"),
+        coalesce(round(col("top_b") / col("n_bigrams"), 6), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Document fingerprints: content hash of normalized text plus a rolling
     * shingle fingerprint (the lexicographic-min md5 over word 3-gram
     * shingles — a 1-hash minhash, stable under small reorderings of

@@ -367,4 +367,20 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) === ((2L, 0, 0, 0, "no pii here, just words and 123")))
     assert(got(2) === ((3L, 2, 1, 0, "two mails: <EMAIL> <EMAIL> ip <IP>")))
   }
+
+  test("repetition: top word/bigram fractions, case folding, single-word docs") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a A a b"), // top word a×3/4; bigrams (a a)×2 of 3
+      (2L, "x"), // one word, no bigrams
+      (3L, "p q r s"), // all distinct: 1/4 and 1/3
+      (4L, "spam spam spam spam")) // fully degenerate: 1.0 and 1.0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 0.75, 0.666667)))
+    assert(got(1) === ((2L, 1L, 1.0, 0.0)))
+    assert(got(2) === ((3L, 4L, 0.25, 0.333333)))
+    assert(got(3) === ((4L, 4L, 1.0, 1.0)))
+  }
 }
