@@ -52,6 +52,10 @@ object EsBulk {
       "update needs an id column") // :752 hasID check
     val payload = df.columns.filterNot(c => metaCols.contains(c.toLowerCase)).toSeq
     val hasOp = df.columns.exists(_.equalsIgnoreCase("op"))
+    // change-event input can carry op='D' rows, and a delete action without
+    // _id is rejected per item by ES — fail at plan time, not per batch
+    require(!hasOp || cfg.idCol.nonEmpty,
+      "change-event input (op column) needs an id column for delete actions")
 
     def metaStruct(withId: Boolean, forUpdate: Boolean): Column = {
       val id = cfg.idCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))

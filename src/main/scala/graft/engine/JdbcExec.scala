@@ -34,13 +34,34 @@ object JdbcExec {
     } finally conn.close()
   }
 
+  /** PK columns from target metadata. A `schema.table` qualifier splits
+    * into getPrimaryKeys' schema argument (the pattern argument matches the
+    * BARE name only), and unquoted identifiers retry in the case the engine
+    * stores them (Oracle/Derby fold to upper, postgres to lower) — a miss
+    * here silently degrades writeMode=update to plain INSERT.
+    */
   def primaryKeys(conn: Connection, table: String): Seq[String] = {
-    val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
-    try {
-      while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
-    } finally rs.close()
-    buf.sortBy(_._1).map(_._2).toSeq
+    val (schema, bare) = table.lastIndexOf('.') match {
+      case -1 => (null: String, table)
+      case i => (table.substring(0, i), table.substring(i + 1))
+    }
+    def lookup(s: String, t: String): Seq[String] = {
+      val rs = conn.getMetaData.getPrimaryKeys(null, s, t)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      try {
+        while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      } finally rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
+    val md = conn.getMetaData
+    lazy val folded =
+      if (md.storesUpperCaseIdentifiers())
+        lookup(if (schema == null) null else schema.toUpperCase, bare.toUpperCase)
+      else if (md.storesLowerCaseIdentifiers())
+        lookup(if (schema == null) null else schema.toLowerCase, bare.toLowerCase)
+      else Nil
+    val exact = lookup(schema, bare)
+    if (exact.nonEmpty) exact else folded
   }
 
   private def connect(url: String, props: Map[String, String]): Connection = {

@@ -226,13 +226,27 @@ object JobConfig {
 
     case "jsonfilereader" =>
       // dotted-path named columns ride Source.columns with `name` set; the
-      // typed projection resolves names (jsonfile_reader.go dotted access)
-      val cols = p.listConf("column").map { c =>
-        SyncJob.ColumnSpec(index = -1, colType = c.str("type", "string"),
-          format = goDateFormat(c.str("format")), name = c.str("name"))
+      // typed projection resolves names (jsonfile_reader.go dotted access).
+      // A column may instead carry a constant `value`, or an `index` that
+      // the reference coerces to a string key (`jsonfile_reader.go:
+      // 1042-1058`); a column with none of the three is an error there too.
+      val cols = p.get("column") match {
+        case Some(n) if n.isArray && n.elements().asScala.forall(_.isTextual) => Nil // ["*"]
+        case _ => p.listConf("column").map { c =>
+          val name =
+            if (c.str("name").nonEmpty) c.str("name")
+            else if (!c.has("value") && c.has("index")) c.int("index").toString
+            else ""
+          require(name.nonEmpty || c.has("value"),
+            "jsonfilereader column must have 'name', 'index' or 'value'")
+          SyncJob.ColumnSpec(index = -1, colType = c.str("type", "string"),
+            format = goDateFormat(c.str("format")),
+            name = name,
+            value = c.get("value").map(v => if (v.isTextual) v.asText else v.toString).orNull)
+        }
       }
       FileRead(SyncJob.Source(format = "json-auto", path = p.pathList("path").mkString(","),
-        columns = if (cols.forall(_.name.nonEmpty)) cols else Nil))
+        columns = cols))
 
     case "hdfsreader" =>
       val fmt = p.str("fileType", "text").toLowerCase match {
@@ -289,14 +303,21 @@ object JobConfig {
       val mode = parseFileWriteMode(p.str("writeMode"))
       val compress = p.str("compress")
       val dateFmt = goDateFormat(p.str("dateFormat"))
+      val sep = p.str("fieldDelimiter", ",")
+      val header = p.strList("header")
       val opts = Map(
-        "sep" -> p.str("fieldDelimiter", ","),
+        "sep" -> sep,
         "nullValue" -> p.str("nullFormat", "\\N"),
         "encoding" -> p.str("encoding", "UTF-8"),
         // a header line is written only when the config names one
-        "header" -> p.strList("header").nonEmpty.toString) ++
+        "header" -> header.nonEmpty.toString) ++
         (if (compress.nonEmpty) Map("compression" -> compress) else Map.empty) ++
         (if (dateFmt.nonEmpty) Map("timestampFormat" -> dateFmt, "dateFormat" -> dateFmt)
+         else Map.empty) ++
+        // text mode writes the header verbatim as each file's first line
+        // (`txtfile_writer.go:252-258`); csv mode uses the native option
+        (if (fileFormat != "csv" && header.nonEmpty)
+           Map("headerLine" -> header.mkString(sep))
          else Map.empty)
       FileWrite(
         SyncJob.Sink(format = if (fileFormat == "csv") "csv" else "stream-text",
@@ -347,9 +368,14 @@ object JobConfig {
       JdbcWrite(dialect, url, table,
         columns = p.strList("column"),
         writeMode = writeMode,
-        // doris/starrocks use `batchSize` for BYTES and `maxBatchRows` for
-        // rows (`mysql2doris.json`); prefer the row bound when present
-        batchSize = p.int("maxBatchRows", p.int("batchSize", dialect.defaultBatchSize)),
+        // doris/starrocks denominate `batchSize` in BYTES and `maxBatchRows`
+        // in rows (`mysql2doris.json`: batchSize=52428800) — there a missing
+        // maxBatchRows must fall back to the dialect default, NOT read the
+        // byte count as a row count (a 52M-row batch buffers the partition)
+        batchSize =
+          if (Set("doris", "starrocks").contains(dialect.name))
+            p.int("maxBatchRows", dialect.defaultBatchSize)
+          else p.int("maxBatchRows", p.int("batchSize", dialect.defaultBatchSize)),
         session = p.strList("session"),
         preSql = SyncJob.renderSqls(p.strList("preSql"), table),
         postSql = SyncJob.renderSqls(p.strList("postSql"), table),
@@ -371,15 +397,20 @@ object JobConfig {
 
   /** Go reference-time layout → Java datetime pattern (the reference's date
     * `format` params are Go layouts, e.g. `2006-01-02` —
-    * `txtfile_reader.go:461-481`). Already-Java patterns pass through.
+    * `txtfile_reader.go:461-481`). Already-Java patterns pass through:
+    * Go layouts encode fields as NUMBERS (2006, 01, 15, ...), Java patterns
+    * as letters, so "contains a digit" separates them (a letter-based guard
+    * would misfire on the letters inside PM/Jan/Mon/MST). Literal `T` in
+    * RFC3339-style layouts is quoted — unquoted `T` is an illegal Java
+    * pattern letter that throws at runtime, not a parse miss.
     */
   def goDateFormat(go: String): String = {
-    if (go.isEmpty || go.exists(ch => "yMdHhms".contains(ch))) return go
+    if (go.isEmpty || !go.exists(_.isDigit)) return go
     Seq(
       "2006" -> "yyyy", ".000" -> ".SSS", "Z07:00" -> "XXX", "-07:00" -> "xxx",
       "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm",
       "05" -> "ss", "06" -> "yy", "PM" -> "a", "Jan" -> "MMM", "Mon" -> "EEE",
-      "MST" -> "zzz"
+      "MST" -> "zzz", "T" -> "'T'"
     ).foldLeft(go) { case (s, (g, j)) => s.replace(g, j) }
   }
 }

@@ -316,7 +316,11 @@ object SyncJob {
     */
   def runFrom(
       spark: SparkSession,
-      input: DataFrame,
+      // by-name: preSql may materialize the source (CREATE TABLE ...
+      // LOCATION / INSERT OVERWRITE into the source path), so the input
+      // plan — whose construction eagerly infers file schemas — must not
+      // be built until preSql has run
+      input: => DataFrame,
       transforms: Seq[Transformers.Transform],
       sink: Sink,
       badPredicate: Option[Column] = None,
@@ -527,10 +531,23 @@ object SyncJob {
           // txtfilewriter fileFormat=text / streamwriter lines: canonical
           // per-type rendering joined with the field delimiter
           // (`stream_writer.go:215-250`, `txtfile_writer.go` text mode)
-          (canonicalLines(df,
+          val lines0 = canonicalLines(df,
             sink.options.getOrElse("sep", ","),
             sink.options.getOrElse("nullValue", "\\N"),
-            sink.options.get("timestampFormat")), "text")
+            sink.options.get("timestampFormat"))
+          val lines = sink.options.get("headerLine") match {
+            case Some(h) if h.nonEmpty =>
+              // the reference writes the configured header as the first
+              // line of each task's file (`txtfile_writer.go:252-258`);
+              // Spark's text sink has no header option, so prepend it to
+              // every non-empty written partition
+              import lines0.sparkSession.implicits._
+              lines0.as[String]
+                .mapPartitions(it => if (it.hasNext) Iterator(h) ++ it else it)
+                .toDF("value")
+            case _ => lines0
+          }
+          (lines, "text")
         case env @ ("debezium" | "canal" | "maxwell") =>
           require(df.columns.contains("op") && df.columns.contains("lsn"),
             s"'$env' sink needs canonical (op, lsn, payload...) input columns")

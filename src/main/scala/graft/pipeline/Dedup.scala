@@ -249,45 +249,66 @@ object Dedup {
         * an executor lost mid-iteration kills the job because the truncated
         * lineage cannot be recomputed; at 100 TB-scale iteration times
         * that is a reliability cliff one extra write per round avoids.
+        * Rounds ping-pong between two subdirectories, each deleted just
+        * before reuse, so on-disk state is bounded at ≤2 label-set copies
+        * instead of one per round held until application exit (Spark's
+        * checkpoint cleaner is off by default). The session's previous
+        * checkpoint dir is restored on exit; the returned frame reads from
+        * `<dir>/cc-*`, so delete the dir only when done with the result.
         */
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val sc = spark.sparkContext
+    val origCpDir = sc.getCheckpointDir
+    var round = 0
+    def save(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        // the subdir being (re)written holds only the round-(k-2)
+        // checkpoint, unreferenced once round k-1 materialized
+        val sub = new org.apache.hadoop.fs.Path(s"$dir/cc-${round % 2}")
+        sub.getFileSystem(sc.hadoopConfiguration).delete(sub, true)
+        sc.setCheckpointDir(sub.toString)
+        round += 1
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
     val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
       .persist()
-    var labels = save(e.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = e.join(labels.select(col("id").as("s"), col("label").as("sl")), "s")
-        .groupBy(col("d").as("id")).agg(min(col("sl")).as("nl"))
-      // previous label rides along so convergence is OBSERVED on the same
-      // checkpoint action — no separate join+count job per round
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("_prev"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      val obs = org.apache.spark.sql.Observation()
-      val jumped = save(stepped
-        .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
-          col("label") === col("jid"), "left")
-        .select(col("id"), col("_prev"), coalesce(col("jl"), col("label")).as("label"))
-        .observe(obs, sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))
-        .drop("_prev"))
-      changed = obs.get.get("changed") match {
-        case Some(n: java.lang.Number) => n.longValue
-        case _ => 0L
+    try {
+      var labels = save(e.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id")))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val nbrMin = e.join(labels.select(col("id").as("s"), col("label").as("sl")), "s")
+          .groupBy(col("d").as("id")).agg(min(col("sl")).as("nl"))
+        // previous label rides along so convergence is OBSERVED on the same
+        // checkpoint action — no separate join+count job per round
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("_prev"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        val obs = org.apache.spark.sql.Observation()
+        val jumped = save(stepped
+          .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
+            col("label") === col("jid"), "left")
+          .select(col("id"), col("_prev"), coalesce(col("jl"), col("label")).as("label"))
+          .observe(obs, sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))
+          .drop("_prev"))
+        changed = obs.get.get("changed") match {
+          case Some(n: java.lang.Number) => n.longValue
+          case _ => 0L
+        }
+        labels = jumped
+        iter += 1
       }
-      labels = jumped
-      iter += 1
+      require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+      labels
+    } finally {
+      e.unpersist()
+      if (checkpointDir.isDefined) origCpDir.foreach(sc.setCheckpointDir)
     }
-    e.unpersist()
-    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
-    labels
   }
 
   /** Every document with its near-dup cluster id (= min doc_id of its

@@ -57,19 +57,19 @@ object ManifestProfile {
         (System.nanoTime() - t0) / 1e9
       }
       val snapFiles = new java.io.File(s"$dir/_snapshots").listFiles()
-      val manifestKB = snapFiles.filter(_.getName.startsWith(s"snap-")).map(_.length()).max / 1024
-      val nFiles = {
-        // live file count from the newest manifest
-        val t1 = System.nanoTime()
-        val m = table.metrics().count()
-        val metricsS = (System.nanoTime() - t1) / 1e9
-        val t2 = System.nanoTime()
-        val h = table.history().count()
-        val historyS = (System.nanoTime() - t2) / 1e9
-        val live = spark.read.parquet(s"$dir/data").inputFiles.length
-        println(f"$buckets%7d | ${times.take(5).sum / 5}%14.2f | ${times.takeRight(5).sum / 5}%13.2f " +
-          f"| $live%5d | $manifestKB%10d | $metricsS%11.2f | $historyS%9.2f  (epochs=$m, commits=$h)")
-      }
+      val manifestKB = snapFiles.filter(_.getName.startsWith("snap-"))
+        .map(_.length()).maxOption.getOrElse(0L) / 1024
+      val first = times.take(5)
+      val last = times.takeRight(5)
+      val t1 = System.nanoTime()
+      val m = table.metrics().count()
+      val metricsS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val h = table.history().count()
+      val historyS = (System.nanoTime() - t2) / 1e9
+      val live = spark.read.parquet(s"$dir/data").inputFiles.length
+      println(f"$buckets%7d | ${first.sum / math.max(1, first.length)}%14.2f | ${last.sum / math.max(1, last.length)}%13.2f " +
+        f"| $live%5d | $manifestKB%10d | $metricsS%11.2f | $historyS%9.2f  (epochs=$m, commits=$h)")
     }
     spark.stop()
   }

@@ -68,9 +68,12 @@ object RunJob {
         val sink = ov.sink.getOrElse(
           sink0.copy(path = rebasePath(sink0.path, ov.rebase)))
         // header list renames output columns positionally (the reference
-        // writes the given header line verbatim, `txtfile_writer.go:84-88`)
+        // writes the given header line verbatim, `txtfile_writer.go:84-88`).
+        // Text mode writes the header through the sink's headerLine option
+        // instead — there the reference does not require the list to match
+        // the column count, so no rename
         val renamed =
-          if (header.isEmpty || ov.sink.isDefined) transformed
+          if (header.isEmpty || ov.sink.isDefined || sink.format == "stream-text") transformed
           else {
             val cols = transformed.columns
             require(header.length == cols.length,

@@ -24,9 +24,61 @@ class JobSpecSpec extends SparkSpec {
     assert(JobConfig.goDateFormat("2006-01-02") === "yyyy-MM-dd")
     assert(JobConfig.goDateFormat("2006-01-02 15:04:05") === "yyyy-MM-dd HH:mm:ss")
     assert(JobConfig.goDateFormat("2006/01/02 15:04:05.000") === "yyyy/MM/dd HH:mm:ss.SSS")
+    // RFC3339: literal T must come out QUOTED (unquoted T is an illegal
+    // java pattern letter that throws, not a parse miss)
+    assert(JobConfig.goDateFormat("2006-01-02T15:04:05Z07:00") === "yyyy-MM-dd'T'HH:mm:ssXXX")
+    // layouts with PM/Mon/MST must not trip the already-java guard on
+    // their letters (digit-based Go detection)
+    assert(JobConfig.goDateFormat("01/02/2006 03:04:05 PM") === "MM/dd/yyyy hh:mm:ss a")
     // already-java patterns pass through
     assert(JobConfig.goDateFormat("yyyy-MM-dd") === "yyyy-MM-dd")
+    assert(JobConfig.goDateFormat("yyyy-MM-dd HH:mm:ss") === "yyyy-MM-dd HH:mm:ss")
     assert(JobConfig.goDateFormat("") === "")
+  }
+
+  test("jsonfile columns accept value constants and index keys like the reference") {
+    // jsonfile_reader.go:1042-1058: a column is a name, a constant value,
+    // or an index coerced to a string key; none of the three is an error
+    val spec = JobConfig.parse("""{"job": {"content": [{
+      "reader": {"name": "jsonfilereader", "parameter": {
+        "path": "/x/*.jsonl",
+        "column": [{"name": "id", "type": "long"},
+                   {"value": "src1", "type": "string"},
+                   {"index": 2, "type": "string"}]}},
+      "writer": {"name": "streamwriter", "parameter": {}}}]}}""")
+    val r = JobConfig.translate(spec).head.reader.asInstanceOf[JobConfig.FileRead]
+    assert(r.src.columns.length === 3)
+    assert(r.src.columns(0).name === "id")
+    assert(r.src.columns(1).value === "src1")
+    assert(r.src.columns(2).name === "2")
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse("""{"job": {"content": [{
+        "reader": {"name": "jsonfilereader", "parameter": {
+          "path": "/x", "column": [{"type": "string"}]}},
+        "writer": {"name": "streamwriter", "parameter": {}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("'name', 'index' or 'value'"))
+  }
+
+  test("text fileFormat writes the configured header as each file's first line") {
+    val fix = tmpDir("txthdr")
+    val cfg = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "streamreader", "parameter": {"sliceRecordCount": 3,
+        "column": [{"type": "long", "value": "7"}, {"type": "string", "value": "v"}]}},
+      "writer": {"name": "txtfilewriter", "parameter": {
+        "path": "$fix", "fileName": "out", "fileFormat": "text",
+        "fieldDelimiter": "|", "writeMode": "truncate",
+        "header": ["id", "name"]}}}]}}""")
+    RunJob.run(spark, cfg)
+    val lines = spark.read.text(s"$fix/out").as[String].collect().toSeq
+    // header first in each part file (`txtfile_writer.go:252-258`), then rows
+    assert(lines.count(_ == "id|name") >= 1)
+    assert(lines.count(_ == "7|v") === 3)
+    val firstPart = new File(s"$fix/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .sortBy(_.getName).head
+    val fileLines = scala.io.Source.fromFile(firstPart).getLines().toSeq
+    assert(fileLines.head === "id|name")
   }
 
   test("conformance: every reference test-data config parses and translates") {
