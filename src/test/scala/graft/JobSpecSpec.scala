@@ -339,6 +339,27 @@ class JobSpecSpec extends SparkSpec {
     assert(back.filter($"name" === "fixed").count() === 100L)
   }
 
+  test("jdbc reader through the job runner: querySql pushdown against Derby") {
+    val url = "jdbc:derby:memory:graftdb3;create=true"
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      """CREATE TABLE "src" ("id" BIGINT, "v" VARCHAR(16))""",
+      """INSERT INTO "src" VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')"""))
+    val fix = tmpDir("jdbcread")
+    // sqlitewriter-style ANSI quoting works against Derby; querySql becomes
+    // the pushdown dbtable subquery (mysql_reader.go:70-81 shape)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "sqlitereader", "parameter": {
+        "querySql": "SELECT \\"id\\", \\"v\\" FROM \\"src\\" WHERE \\"id\\" > 1",
+        "connection": [{"jdbcUrl": "$url", "table": ["src"]}]}},
+      "writer": {"name": "hdfswriter", "parameter": {
+        "path": "$fix", "fileName": "out", "fileType": "parquet",
+        "writeMode": "truncate"}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten === 3L)
+    val back = spark.read.parquet(s"$fix/out")
+    assert(back.select(sum($"id")).head.getLong(0) === 9L) // 2+3+4
+  }
+
   test("dry-run describe renders reader, writer sql and transforms") {
     assume(refTestData.isDirectory, "reference test-data not present")
     val spec = JobConfig.fromFile(s"$refTestData/mysql2doris.json")
