@@ -93,6 +93,9 @@ class JobSpecSpec extends SparkSpec {
       try {
         val plans = JobConfig.translate(spec)
         assert(plans.nonEmpty, f.getName)
+        // the dry-run renderer must handle every translatable plan
+        // (writer SQL incl. upsert/replace forms, split predicates)
+        plans.foreach(t => assert(RunJob.describe(t).nonEmpty, f.getName))
         translated += 1
       } catch {
         case e: JobConfig.UnsupportedPlugin => unsupported += s"${f.getName}: ${e.getMessage}"

@@ -161,6 +161,17 @@ class PlanAuditSpec extends SparkSpec {
       && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("repetition is explode+partial-aggregate per order — no cartesian, no window") {
+    val plan = planOf(SparkEntry.queries("ta_repetition")(spark, sfDir))
+    // the per-doc top counts must come from hash aggregates with map-side
+    // partials (combiner shrinks the (doc, gram) shuffle), never a window
+    // or any pairwise join of the corpus with itself
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("Window"), plan)
+  }
+
   test("as-of join is union+window — single shuffle family, no join operator") {
     for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
