@@ -136,6 +136,16 @@ object JobConfig {
   final case class JdbcRead(dialect: Dialect, url: String, table: String,
       predicates: Seq[String], session: Seq[String],
       props: Map[String, String]) extends ReaderPlan
+  /** cdcreader (graft-native extension — the reference has no streaming
+    * reader; its closest analog is restarting a batch job on a schedule):
+    * tail a binlog/WAL-shaped change-event log directory through
+    * [[graft.engine.cdc.CdcPipeline]]. `mode=availableNow` drains the log
+    * and stops (the batch-job shape RunJob can await); `mode=continuous`
+    * keeps tailing on `triggerInterval`. Must pair with `lakewriter`.
+    */
+  final case class CdcRead(logDir: String, format: String, checkpoint: String,
+      maxFilesPerTrigger: Int, continuous: Boolean, triggerInterval: Option[String],
+      dlqDir: Option[String], toolColumn: Boolean) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -150,6 +160,13 @@ object JobConfig {
       columns: Seq[String], writeMode: String, batchSize: Int,
       session: Seq[String], preSql: Seq[String], postSql: Seq[String],
       props: Map[String, String]) extends WriterPlan
+  /** lakewriter (graft-native extension): MERGE-apply the paired
+    * [[CdcRead]]'s change events into the snapshot-committed lake table at
+    * `root`. An existing table is opened with its manifest layout;
+    * `primaryKey`/`buckets` are the create-time layout for a fresh table.
+    */
+  final case class LakeWrite(root: String, keyCols: Seq[String], buckets: Int,
+      writerId: String, vacuumEvery: Int, vacuumRetainVersions: Int) extends WriterPlan
 
   final case class Translated(
       reader: ReaderPlan,
@@ -159,10 +176,25 @@ object JobConfig {
       channel: Int)
 
   def translate(spec: Spec): Seq[Translated] = spec.contents.map { c =>
+    val reader = translateReader(c.readerName, c.reader, spec.channel)
+    val writer = translateWriter(c.writerName, c.writer)
+    // the streaming pair is all-or-nothing: change events only make sense
+    // MERGE-applied by key, and the lake sink only accepts change events
+    (reader, writer) match {
+      case (_: CdcRead, _: LakeWrite) =>
+        require(c.transforms.isEmpty,
+          "cdcreader content takes no transformer chain — change events are " +
+            "applied verbatim (transform downstream of the lake table instead)")
+      case (_: CdcRead, _) => throw new IllegalArgumentException(
+        s"cdcreader must pair with lakewriter (got ${c.writerName})")
+      case (_, _: LakeWrite) => throw new IllegalArgumentException(
+        s"lakewriter must pair with cdcreader (got ${c.readerName})")
+      case _ => ()
+    }
     Translated(
-      reader = translateReader(c.readerName, c.reader, spec.channel),
+      reader = reader,
       transforms = c.transforms,
-      writer = translateWriter(c.writerName, c.writer),
+      writer = writer,
       errorLimit = spec.errorLimit,
       channel = spec.channel)
   }
@@ -258,6 +290,28 @@ object JobConfig {
       val paths = p.pathList("path").map(pp => if (fs.nonEmpty && !pp.contains("://")) fs + pp else pp)
       FileRead(SyncJob.Source(format = fmt, path = paths.mkString(",")))
 
+    case "cdcreader" =>
+      val path = p.str("path")
+      require(path.nonEmpty, "cdcreader: path (the change-log directory) is required")
+      val fmt = p.str("format", "parquet").toLowerCase
+      require(Set("parquet", "debezium", "canal", "maxwell")(fmt),
+        s"cdcreader format must be parquet|debezium|canal|maxwell (got '$fmt')")
+      val ckpt = p.str("checkpoint")
+      require(ckpt.nonEmpty,
+        "cdcreader: checkpoint is required — offset lineage is what makes the tail resumable")
+      val continuous = p.str("mode", "availableNow") match {
+        case "availableNow" => false
+        case "continuous" => true
+        case other => throw new IllegalArgumentException(
+          s"cdcreader mode must be availableNow|continuous (got '$other')")
+      }
+      CdcRead(path, fmt, ckpt,
+        maxFilesPerTrigger = p.int("maxFilesPerTrigger", 4),
+        continuous = continuous,
+        triggerInterval = Some(p.str("triggerInterval")).filter(_.nonEmpty),
+        dlqDir = Some(p.str("dlqPath")).filter(_.nonEmpty),
+        toolColumn = p.bool("toolColumn", default = true))
+
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 
     case r if r.endsWith("reader") =>
@@ -348,6 +402,16 @@ object JobConfig {
           writeMode = parseFileWriteMode(p.str("writeMode")),
           options = Map("sep" -> p.str("fieldDelimiter", ","))),
         header = Nil, preSql = Nil, postSql = Nil)
+
+    case "lakewriter" =>
+      val root = p.str("path")
+      require(root.nonEmpty, "lakewriter: path (the lake table root) is required")
+      LakeWrite(root,
+        keyCols = p.strList("primaryKey"),
+        buckets = p.int("buckets", 32),
+        writerId = p.str("writerId", graft.lake.LakeTable.DefaultWriter),
+        vacuumEvery = p.int("vacuumEvery", 0),
+        vacuumRetainVersions = p.int("vacuumRetainVersions", 8))
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
 

@@ -11,7 +11,12 @@ import graft.lake.LakeTable
   * Usage: LakeMaint <tableRoot> <cmd> [args]
   *   history                    — print the snapshot history
   *   metrics                    — print the per-epoch ingest metrics table
-  *   state                      — print current version/rows/files summary
+  *   state [count]              — print current version/files summary.
+  *                                 `physicalRows` is the manifest stat
+  *                                 (includes tombstones and superseded MOR
+  *                                 delta rows — a metadata read, no scan);
+  *                                 `state count` adds the live row count
+  *                                 (one merged-read scan)
   *   compact                    — fold ALL delta files into base files
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
@@ -61,10 +66,12 @@ object LakeMaint {
       case "metrics" => table.metrics().show(100, truncate = false)
       case "state" =>
         val s = table.currentSnapshot()
-        println(s"version=${s.version} rows=${s.rows} " +
+        val live = if (args.length >= 3 && args(2) == "count")
+          s" liveRows=${table.read().count()}" else ""
+        println(s"version=${s.version} physicalRows=${s.rows} " +
           s"baseFiles=${s.files.count(_.kind == "b")} " +
           s"deltaFiles=${s.files.count(_.kind == "d")} " +
-          s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}")
+          s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}" + live)
       case "compact" =>
         table.compactAll()
         println(s"compacted -> version ${table.currentSnapshot().version}")
@@ -121,7 +128,7 @@ object LakeMaint {
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
         val applied = graft.lake.Replicate.follow(table, dst, writerId = "lake-tail",
           pollMillis = 500L, idleRounds = 2)
-        println(s"tailed -> ${args(2)} rows=${dst.currentSnapshot().rows} applied=$applied")
+        println(s"tailed -> ${args(2)} physicalRows=${dst.currentSnapshot().rows} applied=$applied")
       case other => throw new IllegalArgumentException(s"unknown command '$other'")
     }
     spark.stop()

@@ -20,6 +20,12 @@ import graft.sources.SyntheticSource
   * zero-egress sandbox, a mongo sink) with local equivalents while keeping
   * the rest of the translated pipeline intact — the mechanism the E2E specs
   * use to replay the reference's conformance configs end to end.
+  *
+  * One graft-native plugin pair extends the shape: `cdcreader` +
+  * `lakewriter` run the streaming CDC MERGE ([[graft.engine.cdc.CdcPipeline]])
+  * from the same JSON surface — the reference approximates incremental sync
+  * by re-running a batch job with a `where` watermark; graft's analog is a
+  * resumable change-log tail with exactly-once epochs.
   */
 object RunJob {
 
@@ -56,10 +62,20 @@ object RunJob {
           opts.foreach { case (k, v) => p.setProperty(k, v) }
           spark.read.jdbc(opts("url"), table, predicates.toArray, p)
         } else spark.read.format("jdbc").options(opts).load()
+      case _: JobConfig.CdcRead => throw new IllegalArgumentException(
+        "cdcreader is a streaming tail, not a batch input — it pairs with lakewriter")
     })
 
   def runContent(spark: SparkSession, t: JobConfig.Translated,
-      ov: Overrides = Overrides()): SyncJob.JobResult = {
+      ov: Overrides = Overrides()): SyncJob.JobResult = t.writer match {
+    // the streaming pair never goes through buildInput — the change log is
+    // tailed by the pipeline's own readStream, not materialized as a batch
+    case lw: JobConfig.LakeWrite => runCdcContent(spark, t, lw, ov)
+    case _ => runBatchContent(spark, t, ov)
+  }
+
+  private def runBatchContent(spark: SparkSession, t: JobConfig.Translated,
+      ov: Overrides): SyncJob.JobResult = {
     val input = buildInput(spark, t.reader, ov)
     val transformed = Transformers.chain(input, t.transforms)
 
@@ -119,7 +135,70 @@ object RunJob {
             JdbcExec.execStatements(url, props, postSql)
             res
         }
+
+      case _: JobConfig.LakeWrite => throw new IllegalStateException(
+        "lakewriter content is dispatched by runContent") // unreachable
     }
+  }
+
+  private def runCdcContent(spark: SparkSession, t: JobConfig.Translated,
+      lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
+    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain) = lw
+    val cdc = t.reader match {
+      case c: JobConfig.CdcRead => c
+      case other => throw new IllegalArgumentException(
+        s"lakewriter requires cdcreader (got $other)") // translate() guards this
+    }
+    val root = rebasePath(root0, ov.rebase)
+    val table = openOrCreateLake(spark, root, keys, buckets)
+    val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
+      logDir = rebasePath(cdc.logDir, ov.rebase),
+      checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
+      maxFilesPerTrigger = cdc.maxFilesPerTrigger,
+      availableNow = !cdc.continuous,
+      toolColumn = cdc.toolColumn,
+      vacuumEvery = vacEvery,
+      vacuumRetainVersions = vacRetain,
+      writerId = writerId,
+      format = cdc.format,
+      dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
+      triggerInterval = cdc.triggerInterval)
+    // job stats are the manifest-stat delta across the run: two cheap
+    // metadata reads, no table scan (the 100 TB-safe way to count)
+    def statTotals(): (Long, Long) = {
+      val r = table.metrics()
+        .agg(org.apache.spark.sql.functions.sum("rowsApplied"),
+          org.apache.spark.sql.functions.sum("bytesIn")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (rows0, bytes0) = statTotals()
+    val t0 = System.nanoTime()
+    val q = graft.engine.cdc.CdcPipeline.start(spark, table, cfg)
+    q.awaitTermination() // availableNow stops at end-of-log; continuous tails until killed
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (rows1, bytes1) = statTotals()
+    SyncJob.JobResult(rowsWritten = rows1 - rows0, rowsBad = 0L,
+      seconds = secs, bytesWritten = bytes1 - bytes0)
+  }
+
+  /** Open the lake table with its manifest-recorded layout when it exists;
+    * create it with the config's layout otherwise. Config keys that
+    * contradict an existing table's manifest fail fast rather than silently
+    * merging on the wrong key.
+    */
+  private def openOrCreateLake(spark: SparkSession, root: String,
+      keys: Seq[String], buckets: Int): graft.lake.LakeTable = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/snap-0.txt"))
+    if (exists) {
+      val table = graft.lake.LakeTable.open(spark, root)
+      require(keys.isEmpty || keys == table.keyCols,
+        s"lakewriter primaryKey ${keys.mkString(",")} contradicts the existing " +
+          s"table's manifest layout ${table.keyCols.mkString(",")} at $root")
+      table
+    } else graft.lake.LakeTable.create(spark, root,
+      if (keys.nonEmpty) keys else graft.core.Model.keyCols, buckets)
   }
 
   def run(spark: SparkSession, spec: JobConfig.Spec,
@@ -133,6 +212,12 @@ object RunJob {
       case JobConfig.JdbcRead(d, url, table, preds, _, _) =>
         s"jdbc[${d.name}] $url $table" +
           (if (preds.nonEmpty) s" split=${preds.length}: ${preds.head} ..." else "")
+      case JobConfig.CdcRead(dir, fmt, ckpt, mft, cont, interval, dlq, tool) =>
+        s"cdc-tail[$fmt] $dir ckpt=$ckpt maxFilesPerTrigger=$mft " +
+          s"mode=${if (cont) "continuous" else "availableNow"}" +
+          interval.map(i => s" trigger='$i'").getOrElse("") +
+          dlq.map(d => s" dlq=$d").getOrElse("") +
+          (if (!tool) " schema=v1(no tool col)" else "")
     }
     val w = t.writer match {
       case JobConfig.FileWrite(sink, header, _, _) =>
@@ -149,6 +234,10 @@ object RunJob {
         }
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
+      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain) =>
+        s"lake-merge $root key=(${keys.mkString(",")}) buckets=$buckets " +
+          s"writerId=$writerId" +
+          (if (vacEvery > 0) s" vacuumEvery=$vacEvery retain=$vacRetain" else "")
     }
     val tr = if (t.transforms.isEmpty) "" else
       s"\n  transform: ${t.transforms.map(_.getClass.getSimpleName).mkString(" → ")}"

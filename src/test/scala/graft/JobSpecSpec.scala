@@ -4,8 +4,10 @@ import java.io.File
 
 import org.apache.spark.sql.functions._
 
+import graft.core.{Gen, Model}
 import graft.engine.{Dialect, JdbcExec, JobConfig, SyncJob}
 import graft.lake.LakeTable
+import graft.sources.CdcEnvelope
 import graft.tools.RunJob
 
 /** The JSON job-spec entry point (`datax -job config.json` analog):
@@ -361,6 +363,81 @@ class JobSpecSpec extends SparkSpec {
     assert(res.rowsWritten === 3L)
     val back = spark.read.parquet(s"$fix/out")
     assert(back.select(sum($"id")).head.getLong(0) === 9L) // 2+3+4
+  }
+
+  // ------------------------------------------------------- cdc streaming pair
+
+  test("cdcreader+lakewriter config: availableNow drain reaches the LWW state, replay is a no-op") {
+    val cfg = Gen.GenConfig(nEvents = 6000L, nConvs = 80L, partitions = 4)
+    val work = tmpDir("cdcjob")
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 4)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten > 0L)
+    assert(res.bytesWritten > 0L)
+    val got = LakeTable.open(spark, s"$work/lake").read()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val want = Gen.expectedState(spark, cfg).toDF()
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+    // the same config re-run resumes from its checkpoint: end-of-log,
+    // nothing re-applied (the exactly-once restart contract through the
+    // JSON entry point, not just the programmatic API)
+    val res2 = RunJob.run(spark, spec).head
+    assert(res2.rowsWritten === 0L)
+  }
+
+  test("cdcreader envelope format: debezium JSONL tail with a DLQ through the job runner") {
+    val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 40L, partitions = 4)
+    val work = tmpDir("cdcjobenv")
+    CdcEnvelope.encodeDebezium(Gen.changeEvents(spark, cfg).toDF(),
+        Seq("ts", "conv_id", "turn_idx", "role", "text", "tool"), Model.keyCols)
+      .repartition(3).write.text(s"$work/jlog")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/jlog/part-x.txt"),
+      "corrupt line\n".getBytes("UTF-8"))
+    // lakewriter with no primaryKey: a fresh table takes the model default
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/jlog", "format": "debezium",
+        "checkpoint": "$work/cp", "dlqPath": "$work/dlq"}},
+      "writer": {"name": "lakewriter", "parameter": {"path": "$work/lake"}}}]}}""")
+    RunJob.run(spark, spec)
+    val got = LakeTable.open(spark, s"$work/lake").read()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val want = Gen.expectedState(spark, cfg).toDF()
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+    // the corrupt line is dead-lettered verbatim, not silently dropped
+    assert(spark.read.text(s"$work/dlq/epoch=*").count() === 1L)
+  }
+
+  test("cdc pair validation: cdcreader/lakewriter are all-or-nothing, describe renders the tail") {
+    def spec(r: String, w: String) = JobConfig.parse(
+      s"""{"job": {"content": [{"reader": $r, "writer": $w}]}}""")
+    val cdcR = """{"name": "cdcreader", "parameter": {"path": "/x/log", "checkpoint": "/x/cp"}}"""
+    val lakeW = """{"name": "lakewriter", "parameter": {"path": "/x/lake", "primaryKey": ["id"]}}"""
+    val fileW = """{"name": "hdfswriter", "parameter": {
+      "path": "/x/o", "fileName": "f", "fileType": "parquet", "writeMode": "truncate"}}"""
+    val streamR = """{"name": "streamreader", "parameter": {
+      "sliceRecordCount": 1, "column": [{"type": "long"}]}}"""
+    val e1 = intercept[IllegalArgumentException](JobConfig.translate(spec(cdcR, fileW)))
+    assert(e1.getMessage.contains("must pair with lakewriter"))
+    val e2 = intercept[IllegalArgumentException](JobConfig.translate(spec(streamR, lakeW)))
+    assert(e2.getMessage.contains("must pair with cdcreader"))
+    val e3 = intercept[IllegalArgumentException](JobConfig.translate(spec(
+      """{"name": "cdcreader", "parameter": {"path": "/x/log"}}""", lakeW)))
+    assert(e3.getMessage.contains("checkpoint"))
+    val e4 = intercept[IllegalArgumentException](JobConfig.translate(spec(
+      """{"name": "cdcreader", "parameter": {"path": "/x", "checkpoint": "/c", "mode": "nope"}}""",
+      lakeW)))
+    assert(e4.getMessage.contains("availableNow|continuous"))
+    val desc = RunJob.describe(JobConfig.translate(spec(cdcR, lakeW)).head)
+    assert(desc.contains("cdc-tail[parquet]"))
+    assert(desc.contains("lake-merge /x/lake"))
+    assert(desc.contains("mode=availableNow"))
   }
 
   test("dry-run describe renders reader, writer sql and transforms") {
