@@ -64,12 +64,18 @@ object Bench {
     Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 8)
     val warmCfg = cfg.copy(nEvents = math.min(cdcEvents, 200000L), nConvs = 2000L)
     Gen.writeChangeLog(spark, warmCfg, s"$work/warmlog", nChunks = 2)
+    // optional layout override: SPARK_GRAFT_DIST=conv_id measures the
+    // distribution-key layout (bucket on conv_id alone — group locality)
+    // against the default full-key layout (max spread) on the SAME protocol
+    val distCols: Seq[String] =
+      sys.env.get("SPARK_GRAFT_DIST").map(_.split(',').toSeq).getOrElse(Nil)
     CdcPipeline.replayAll(spark,
-      LakeTable.create(spark, s"$work/warmlake", Seq("conv_id", "turn_idx"), numBuckets = cpus),
+      LakeTable.create(spark, s"$work/warmlake", Seq("conv_id", "turn_idx"), numBuckets = cpus,
+        distCols = distCols),
       CdcPipeline.CdcConfig(s"$work/warmlog", s"$work/warmcp", maxFilesPerTrigger = 8))
     val cdcSecs = (1 to 2).map { rep =>
       val table = LakeTable.create(spark, s"$work/lake$rep", Seq("conv_id", "turn_idx"),
-        numBuckets = cpus)
+        numBuckets = cpus, distCols = distCols)
       val t0 = System.nanoTime()
       CdcPipeline.replayAll(spark, table,
         // 8 segment files per chunk -> 2 chunks per trigger -> 4 epochs

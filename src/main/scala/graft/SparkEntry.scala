@@ -464,6 +464,86 @@ object SparkEntry {
       QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
               AND event_type <> 'error'""")),
 
+    ("cdc_rollup_incremental", (s, dir) => {
+      // incrementally maintained materialized aggregate (lake/Rollup.scala):
+      // the events log becomes a change stream applied to a lake table in
+      // two halves; the per-user rollup bootstraps at the first cut
+      // (toVersion-pinned) then refreshes incrementally to head, so only
+      // groups the second window touched recompute. The staged part is the
+      // SOURCE lake (two merges); the timed work is the rollup machinery
+      // itself against a fresh destination. Oracle: the same rollup
+      // recomputed from scratch over the LWW-with-deletes state in SQL.
+      import org.apache.spark.sql.functions.{lit => l}
+      val (srcRoot, cutVersion) = stageOnce(s"rollup-src:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-rollup-src").toString
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"),
+          col("value"), col("event_id").as("src_lsn"))
+        val src = graft.lake.LakeTable.create(s, s"$p/src",
+          Seq("user_id", "event_type"), numBuckets = 8)
+        src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+        val cut = src.currentSnapshot().version
+        src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+        (s"$p/src", cut)
+      }
+      val src = graft.lake.LakeTable.open(s, srcRoot)
+      val dst = graft.lake.LakeTable.create(s,
+        java.nio.file.Files.createTempDirectory("graft-rollup-dst").toString + "/roll",
+        Seq("user_id"), numBuckets = 4)
+      val aggs = Seq(count(l(1)).as("n_live"), max(col("src_lsn")).as("last_lsn"),
+        max(round(col("value"), 4)).as("max_value_r"))
+      graft.lake.Rollup.sync(src, dst, aggs, toVersion = Some(cutVersion))
+      graft.lake.Rollup.sync(src, dst, aggs)
+      dst.read().select("user_id", "n_live", "last_lsn", "max_value_r")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, count(*)::BIGINT AS n_live, max(lsn)::BIGINT AS last_lsn,
+             max(round(value, 4)) AS max_value_r
+      FROM live GROUP BY user_id""")),
+
+    ("cdc_group_read", (s, dir) => {
+      // distribution-key layout (LakeTable.distCols): the lake is bucketed
+      // on user_id ALONE under key (user_id, event_type) — the Iceberg
+      // bucket(conv_id) partition-spec analog — so one user's whole group
+      // resolves by reading ONE bucket's files (physical pruning is
+      // asserted in DistLayoutSpec by hiding the other buckets). Oracle:
+      // the LWW-with-deletes state of the smallest user_id, in SQL.
+      import org.apache.spark.sql.functions.{lit => l}
+      val lakeRoot = stageOnce(s"group-lake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-group-lake").toString + "/t"
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"))
+        val tab = graft.lake.LakeTable.create(s, p, Seq("user_id", "event_type"),
+          numBuckets = 16, distCols = Seq("user_id"))
+        tab.merge(ev, epoch = 0L)
+        p
+      }
+      val tab = graft.lake.LakeTable.open(s, lakeRoot)
+      val target = t(s, dir, "events").agg(min(col("user_id"))).head().getLong(0)
+      tab.readGroup(Seq(target)).select("user_id", "event_type", "value")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, value FROM live
+      WHERE user_id = (SELECT min(user_id) FROM events)""")),
+
     ("cdc_dedup_rate", (s, dir) => {
       val e = t(s, dir, "events")
       e.agg(

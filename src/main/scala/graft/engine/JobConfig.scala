@@ -166,7 +166,11 @@ object JobConfig {
     * `primaryKey`/`buckets` are the create-time layout for a fresh table.
     */
   final case class LakeWrite(root: String, keyCols: Seq[String], buckets: Int,
-      writerId: String, vacuumEvery: Int, vacuumRetainVersions: Int) extends WriterPlan
+      writerId: String, vacuumEvery: Int, vacuumRetainVersions: Int,
+      /** optional distribution-key subset (`distributionColumns`) — bucket
+        * on a key prefix for group locality ([[graft.lake.LakeTable.distCols]])
+        */
+      distCols: Seq[String] = Nil) extends WriterPlan
 
   final case class Translated(
       reader: ReaderPlan,
@@ -411,7 +415,8 @@ object JobConfig {
         buckets = p.int("buckets", 32),
         writerId = p.str("writerId", graft.lake.LakeTable.DefaultWriter),
         vacuumEvery = p.int("vacuumEvery", 0),
-        vacuumRetainVersions = p.int("vacuumRetainVersions", 8))
+        vacuumRetainVersions = p.int("vacuumRetainVersions", 8),
+        distCols = p.strList("distributionColumns"))
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
 

@@ -92,9 +92,33 @@ final class LakeTable(
     val keyCols: Seq[String],
     val numBuckets: Int,
     val deltaRatio: Double = 0.3,
-    val maxDeltaFiles: Int = 12) {
+    val maxDeltaFiles: Int = 12,
+    /** DISTRIBUTION key: the subset of `keyCols` the bucket routing hashes.
+      * Empty (the default) = the full primary key — maximum spread, a hot
+      * group's rows salt themselves across buckets by the rest of the key.
+      * A strict prefix/subset (e.g. `conv_id` under key `(conv_id,
+      * turn_idx)`) co-locates every row of a group in ONE bucket, so
+      * group-scoped reads ([[readGroup]]) and dirty-group incremental
+      * recomputes ([[Rollup.sync]]) prune to O(table/buckets) instead of
+      * scanning the table — the Iceberg `bucket(conv_id)` partition-spec
+      * analog. The trade is explicit: distribution on a group key
+      * concentrates a hot group's rows (and its merge/compaction work) in
+      * one bucket, so pick it when group locality pays for more than the
+      * lost spread, and size `numBuckets` for the hot group, not the mean.
+      * Like the key columns and bucket count it is a TABLE constant,
+      * recorded in every manifest and validated on open.
+      */
+    val distCols: Seq[String] = Nil) {
 
   import LakeTable._
+
+  require(distCols.forall(keyCols.contains),
+    s"distribution columns (${distCols.mkString(",")}) must be a subset of " +
+      s"the key columns (${keyCols.mkString(",")}) — the bucket must stay a " +
+      "pure function of the key or per-bucket LWW resolution breaks")
+
+  /** Effective distribution key: `distCols`, or the full key when unset. */
+  val distributionCols: Seq[String] = if (distCols.isEmpty) keyCols else distCols
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -103,8 +127,16 @@ final class LakeTable(
   private val snapDir = s"$root/_snapshots"
   private val pointer = s"$root/_current"
 
-  /** bucket of a row = pmod(hash(key...), numBuckets) */
-  private def bucketExpr = pmod(hash(keyCols.map(col): _*), lit(numBuckets))
+  /** bucket of a row = pmod(hash(distribution key...), numBuckets) */
+  private def bucketExpr = pmod(hash(distributionCols.map(col): _*), lit(numBuckets))
+
+  /** Driver-side bucket of one distribution-key value, computed with the
+    * SAME codegen'd `hash` expression the writer uses so pruning can never
+    * disagree with the layout.
+    */
+  private def bucketOf(distValues: Seq[Any]): Int = spark.range(1)
+    .select(pmod(hash(distValues.map(lit): _*), lit(numBuckets)).as("b"))
+    .head().getInt(0)
 
   /** Read-path LWW ordering: `_lsn` desc with a stable full-row hash as the
     * final tie-break, so a GENUINE lsn collision (e.g. a synthetic
@@ -134,11 +166,15 @@ final class LakeTable(
     val s = readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
     // layout guard: a handle opened with different keys/buckets would
     // relabel every row's bucket and corrupt compaction and point reads
-    if (s.keysMeta.nonEmpty)
-      require(s.keysMeta == keyCols && s.bucketsMeta == numBuckets,
+    if (s.keysMeta.nonEmpty) {
+      val storedDist = if (s.distMeta.isEmpty) s.keysMeta else s.distMeta
+      require(s.keysMeta == keyCols && s.bucketsMeta == numBuckets &&
+          storedDist == distributionCols,
         s"table layout mismatch: manifest has keys=${s.keysMeta.mkString(",")} " +
-          s"buckets=${s.bucketsMeta}, this handle was opened with " +
-          s"keys=${keyCols.mkString(",")} buckets=$numBuckets — use LakeTable.open")
+          s"buckets=${s.bucketsMeta} dist=${storedDist.mkString(",")}, this " +
+          s"handle was opened with keys=${keyCols.mkString(",")} " +
+          s"buckets=$numBuckets dist=${distributionCols.mkString(",")} — use LakeTable.open")
+    }
     s
   }
 
@@ -154,7 +190,10 @@ final class LakeTable(
     */
   private def commitSnapshot(s0: Snapshot): Unit = {
     val s = s0.copy(commitTs = System.currentTimeMillis(),
-      keysMeta = keyCols, bucketsMeta = numBuckets)
+      keysMeta = keyCols, bucketsMeta = numBuckets,
+      // written only when narrower than the key: full-key manifests stay
+      // byte-identical to pre-dist ones (old readers parse them unchanged)
+      distMeta = if (distributionCols == keyCols) Nil else distributionCols)
     fs.mkdirs(new Path(snapDir))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
@@ -370,15 +409,56 @@ final class LakeTable(
   def readKey(keyValues: Seq[Any]): DataFrame = {
     require(keyValues.length == keyCols.length,
       s"expected ${keyCols.length} key values (${keyCols.mkString(",")})")
-    val bucket = spark.range(1)
-      .select(pmod(hash(keyValues.map(lit): _*), lit(numBuckets)).as("b"))
-      .head().getInt(0)
+    val byCol = keyCols.zip(keyValues).toMap
+    val bucket = bucketOf(distributionCols.map(byCol))
     val cond = keyCols.zip(keyValues)
       .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
     resolved(currentSnapshot(), buckets = Some(Set(bucket)))
       .filter(cond)
       .drop(LsnCol, OpCol)
   }
+
+  /** Group lookup: resolve EVERY key sharing one distribution-key value —
+    * e.g. all turns of one conversation under `distCols = conv_id` — touching
+    * only that group's bucket. Only meaningful when `distCols` is narrower
+    * than the key (with full-key distribution a "group" is a single key and
+    * [[readKey]] is the right call).
+    */
+  def readGroup(distValues: Seq[Any]): DataFrame = {
+    require(distValues.length == distributionCols.length,
+      s"expected ${distributionCols.length} distribution values " +
+        s"(${distributionCols.mkString(",")})")
+    val cond = distributionCols.zip(distValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    resolved(currentSnapshot(), buckets = Some(Set(bucketOf(distValues))))
+      .filter(cond)
+      .drop(LsnCol, OpCol)
+  }
+
+  /** Current contents of a SUBSET of buckets — the building block for
+    * group-pruned incremental maintenance ([[Rollup.sync]] scopes its
+    * recompute scan to the buckets the change window touched). Rows outside
+    * `buckets` are absent from the result by layout construction, so a
+    * caller filtering on distribution-key values it hashed itself reads
+    * O(|buckets|/numBuckets) of the table.
+    */
+  def readBuckets(buckets: Set[Int]): DataFrame =
+    resolved(currentSnapshot(), buckets = Some(buckets)).drop(LsnCol, OpCol)
+
+  /** [[readBuckets]] pinned to snapshot `version` (time-travel variant). */
+  def readVersionBuckets(version: Long, buckets: Set[Int]): DataFrame = {
+    val p = new Path(s"$snapDir/snap-$version.txt")
+    require(fs.exists(p), s"snapshot version $version does not exist")
+    resolved(readSnapshot(fs, p, version), buckets = Some(buckets)).drop(LsnCol, OpCol)
+  }
+
+  /** Buckets the given distribution-key rows route to, computed with the
+    * writer's own bucket expression — driver-collected, bounded by
+    * `numBuckets`. `rows` must carry the distribution columns.
+    */
+  def bucketsFor(rows: DataFrame): Set[Int] =
+    rows.select(bucketExpr.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
 
   /** Merge-on-read resolution: one row per key (the max-`_lsn` winner),
     * tombstones dropped.
@@ -947,11 +1027,12 @@ final class LakeTable(
     require(newBuckets > 0, s"newBuckets=$newBuckets must be positive")
     val snap = currentSnapshot()
     require(snap.version >= 0, "nothing to rebucket: no committed snapshot")
-    val dst = new LakeTable(spark, dstRoot, keyCols, newBuckets, deltaRatio, maxDeltaFiles)
+    val dst = new LakeTable(spark, dstRoot, keyCols, newBuckets, deltaRatio,
+      maxDeltaFiles, distCols)
     require(dst.currentSnapshot().version < 0,
       s"rebucket destination $dstRoot already has committed snapshots")
     val resolvedAll = resolvedBucketed(snap, snap.files.map(_.bucket).toSet)
-      .withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(newBuckets)))
+      .withColumn(BucketCol, pmod(hash(distributionCols.map(col): _*), lit(newBuckets)))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val base = dst.publish(resolvedAll, s"$dstRoot/_staging-rb-$nonce", s"b0-$nonce", "b",
       newBuckets, reshuffle = true)
@@ -1077,6 +1158,11 @@ object LakeTable {
         */
       keysMeta: Seq[String] = Nil,
       bucketsMeta: Int = 0,
+      /** distribution-key columns when narrower than the key (see
+        * [[LakeTable.distCols]]); empty = full-key distribution (also the
+        * shape of every pre-dist manifest, which hashed the full key).
+        */
+      distMeta: Seq[String] = Nil,
       /** set on a rollback commit: this snapshot reverted the head to
         * `revertedFrom`, i.e. versions in (revertedFrom, thisVersion) are
         * no longer part of the table's history as seen by incremental
@@ -1120,8 +1206,9 @@ object LakeTable {
       bytesIn: Long = 0L)
 
   def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
-      deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12): LakeTable =
-    new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles)
+      deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12,
+      distCols: Seq[String] = Nil): LakeTable =
+    new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles, distCols)
 
   /** Open an EXISTING table with the layout recorded in its manifest —
     * the safe way to get a handle without knowing keys/buckets (ops CLIs,
@@ -1139,7 +1226,8 @@ object LakeTable {
     val s = readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
     require(s.keysMeta.nonEmpty,
       s"manifest at $root predates layout metadata — open with LakeTable.create and the known layout")
-    new LakeTable(spark, root, s.keysMeta, s.bucketsMeta, deltaRatio, maxDeltaFiles)
+    new LakeTable(spark, root, s.keysMeta, s.bucketsMeta, deltaRatio, maxDeltaFiles,
+      distCols = s.distMeta)
   }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.
@@ -1218,6 +1306,7 @@ object LakeTable {
     if (s.commitTs > 0L) sb.append("ts=").append(s.commitTs).append('\n')
     if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
+    if (s.distMeta.nonEmpty) sb.append("dist=").append(s.distMeta.mkString(",")).append('\n')
     if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
     if (s.lsnHigh >= 0) sb.append("lsnHigh=").append(s.lsnHigh).append('\n')
     if (s.revertedFrom >= 0) sb.append("revertedFrom=").append(s.revertedFrom).append('\n')
@@ -1245,6 +1334,7 @@ object LakeTable {
     var commitTs = 0L
     var keysMeta: Seq[String] = Nil
     var bucketsMeta = 0
+    var distMeta: Seq[String] = Nil
     var maxLsn = -1L
     var lsnHigh = -1L
     var revertedFrom = -1L
@@ -1262,6 +1352,7 @@ object LakeTable {
         case "ts" => commitTs = v.toLong
         case "keys" => keysMeta = v.split(',').toSeq
         case "buckets" => bucketsMeta = v.toInt
+        case "dist" => distMeta = v.split(',').toSeq
         case "maxLsn" => maxLsn = v.toLong
         case "lsnHigh" => lsnHigh = v.toLong
         case "revertedFrom" => revertedFrom = v.toLong
@@ -1290,8 +1381,8 @@ object LakeTable {
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, revertedFrom,
-      maxLsn, lsnHigh)
+      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, distMeta,
+      revertedFrom, maxLsn, lsnHigh)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

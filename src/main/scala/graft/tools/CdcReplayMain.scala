@@ -9,10 +9,13 @@ import graft.lake.LakeTable
 /** CLI driver for the CDC replay pipeline — the Spark-native analog of
   * `datax -job config.json` (go-datax `cmd/datax/main.go:52-55`).
   *
-  * Usage: CdcReplayMain <workDir> [nEvents] [cores] [numBuckets] [format]
+  * Usage: CdcReplayMain <workDir> [nEvents] [cores] [numBuckets] [format] [distCols]
   * `format` = parquet (default) | debezium | canal | maxwell — the envelope
   * formats generate the log as JSONL binlog envelopes and exercise the
   * decode tail (dead-lettering malformed lines under <workDir>/dlq-<format>).
+  * `distCols` = comma-separated distribution-key subset (e.g. `conv_id`)
+  * to bucket on a key prefix instead of the full key (group locality —
+  * see [[graft.lake.LakeTable.distCols]]).
   * Generates a deterministic change log under <workDir>/log-<format>
   * (unless it exists), replays it through the streaming MERGE into the
   * per-format lake (<workDir>/lake for parquet), and
@@ -26,6 +29,8 @@ object CdcReplayMain {
     val cores = if (args.length > 2) args(2).toInt else 8
     val buckets = if (args.length > 3) args(3).toInt else 16
     val format = if (args.length > 4) args(4) else "parquet"
+    val distCols: Seq[String] =
+      if (args.length > 5) args(5).split(',').toSeq else Nil
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -64,7 +69,8 @@ object CdcReplayMain {
     // per-format lake + checkpoint: replaying another wire format is a NEW
     // pipeline, not a resume of the parquet one's epochs
     val lakeDir = if (format == "parquet") s"$workDir/lake" else s"$workDir/lake-$format"
-    val table = LakeTable.create(spark, lakeDir, Model.keyCols, buckets)
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, buckets,
+      distCols = distCols)
     val t0 = System.nanoTime()
     val epochs = CdcPipeline.replayAll(spark, table,
       // 8 segment files per chunk -> 4 chunks per trigger

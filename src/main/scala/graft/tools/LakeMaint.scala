@@ -33,6 +33,11 @@ import graft.lake.LakeTable
   *                                 snapshot `since` (default: full history)
   *                                 as debezium|canal|maxwell JSONL — feeds
   *                                 any external binlog-envelope consumer
+  *   rollup <dstRoot> [group]   — incrementally refresh a per-group
+  *                                 aggregate table (turns/chars/tool calls/
+  *                                 last ts; default group conv_id) from the
+  *                                 committed change log — only groups
+  *                                 changed since the last refresh recompute
   *   tail <dstRoot>             — apply the committed change log to another
   *                                 lake table (manifest-driven catch-up;
   *                                 the watermark is the destination's
@@ -113,6 +118,18 @@ object LakeMaint {
         val s = dst.currentSnapshot()
         println(s"rebucketed -> ${args(2)} buckets=${args(3)} rows=${s.rows} " +
           s"writers=${s.epochs.map { case (w, e) => s"$w:$e" }.mkString(",")}")
+      case "rollup" =>
+        require(args.length >= 3, "rollup <dstRoot> [groupCol]")
+        // incrementally maintained per-group aggregate (Rollup scaladoc):
+        // the destination's epoch lineage is the watermark, so re-running
+        // this command refreshes only groups changed since the last run
+        val groupCol = if (args.length >= 4) args(3) else "conv_id"
+        val dst = LakeTable.create(spark, args(2), Seq(groupCol),
+          math.max(8, table.numBuckets / 4))
+        val st = graft.lake.Rollup.sync(table, dst, graft.lake.Rollup.transcriptAggs)
+        println(if (st.skipped) s"rollup ${args(2)} already at source head"
+          else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
+            s"groups physicalRows=${dst.currentSnapshot().rows}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         // committed-manifest-driven (NOT readStreamChanges): change windows

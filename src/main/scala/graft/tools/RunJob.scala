@@ -143,14 +143,14 @@ object RunJob {
 
   private def runCdcContent(spark: SparkSession, t: JobConfig.Translated,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
-    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain) = lw
+    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain, distCols) = lw
     val cdc = t.reader match {
       case c: JobConfig.CdcRead => c
       case other => throw new IllegalArgumentException(
         s"lakewriter requires cdcreader (got $other)") // translate() guards this
     }
     val root = rebasePath(root0, ov.rebase)
-    val table = openOrCreateLake(spark, root, keys, buckets)
+    val table = openOrCreateLake(spark, root, keys, buckets, distCols)
     val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
       logDir = rebasePath(cdc.logDir, ov.rebase),
       checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
@@ -187,7 +187,7 @@ object RunJob {
     * merging on the wrong key.
     */
   private def openOrCreateLake(spark: SparkSession, root: String,
-      keys: Seq[String], buckets: Int): graft.lake.LakeTable = {
+      keys: Seq[String], buckets: Int, distCols: Seq[String]): graft.lake.LakeTable = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/snap-0.txt"))
@@ -196,9 +196,14 @@ object RunJob {
       require(keys.isEmpty || keys == table.keyCols,
         s"lakewriter primaryKey ${keys.mkString(",")} contradicts the existing " +
           s"table's manifest layout ${table.keyCols.mkString(",")} at $root")
+      require(distCols.isEmpty || distCols == table.distributionCols,
+        s"lakewriter distributionColumns ${distCols.mkString(",")} contradicts " +
+          s"the existing table's manifest layout " +
+          s"${table.distributionCols.mkString(",")} at $root")
       table
     } else graft.lake.LakeTable.create(spark, root,
-      if (keys.nonEmpty) keys else graft.core.Model.keyCols, buckets)
+      if (keys.nonEmpty) keys else graft.core.Model.keyCols, buckets,
+      distCols = distCols)
   }
 
   def run(spark: SparkSession, spec: JobConfig.Spec,
@@ -234,9 +239,10 @@ object RunJob {
         }
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
-      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain) =>
+      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain, dist) =>
         s"lake-merge $root key=(${keys.mkString(",")}) buckets=$buckets " +
           s"writerId=$writerId" +
+          (if (dist.nonEmpty) s" dist=(${dist.mkString(",")})" else "") +
           (if (vacEvery > 0) s" vacuumEvery=$vacEvery retain=$vacRetain" else "")
     }
     val tr = if (t.transforms.isEmpty) "" else

@@ -375,11 +375,15 @@ class JobSpecSpec extends SparkSpec {
       "reader": {"name": "cdcreader", "parameter": {
         "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
       "writer": {"name": "lakewriter", "parameter": {
-        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4}}}]}}""")
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "distributionColumns": ["conv_id"]}}}]}}""")
     val res = RunJob.run(spark, spec).head
     assert(res.rowsWritten > 0L)
     assert(res.bytesWritten > 0L)
-    val got = LakeTable.open(spark, s"$work/lake").read()
+    val opened = LakeTable.open(spark, s"$work/lake")
+    // the JSON layout reached the manifest: bucketed on conv_id alone
+    assert(opened.distributionCols === Seq("conv_id"))
+    val got = opened.read()
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val want = Gen.expectedState(spark, cfg).toDF()
     assert(got.count() === want.count())

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Model
+import graft.lake.{LakeTable, Rollup}
+
+/** Incrementally maintained materialized aggregate ([[graft.lake.Rollup]]):
+  * every refresh must land the rollup table on exactly the state a full
+  * GROUP BY of the source's live rows would produce, while rewriting only
+  * the groups the change window touched.
+  */
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(op: String, lsn: Long, conv: String, turn: Int,
+      text: String = "x", tool: Option[String] = None): Model.ChangeEvent =
+    Model.ChangeEvent(op, lsn, new Timestamp(1704067200000L + lsn * 1000L),
+      conv, turn, Some("user"), Some(text), tool)
+
+  /** the independent oracle: full recompute over the source's live state */
+  private def fullRollup(src: LakeTable): DataFrame =
+    src.read().groupBy("conv_id").agg(Rollup.transcriptAggs.head,
+      Rollup.transcriptAggs.tail: _*)
+
+  private def assertRollupMatches(src: LakeTable, dst: LakeTable): Unit = {
+    val got = dst.read().select("conv_id", "n_turns", "n_chars", "n_tool_calls", "last_ts")
+    val want = fullRollup(src)
+      .select("conv_id", "n_turns", "n_chars", "n_tool_calls", "last_ts")
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert(diff === 0L, s"rollup state mismatch: $diff differing rows")
+  }
+
+  test("bootstrap, incremental refresh, and group deletion all converge to the full recompute") {
+    val src = LakeTable.create(spark, tmpDir("rsrc") + "/t", Model.keyCols, 4)
+    val dst = LakeTable.create(spark, tmpDir("rdst") + "/t", Seq("conv_id"), 2)
+
+    // epoch 0: three conversations
+    src.merge(Seq(
+      ev("I", 1, "a", 0), ev("I", 2, "a", 1, text = "longer text", tool = Some("calc")),
+      ev("I", 3, "b", 0), ev("I", 4, "b", 1), ev("I", 5, "b", 2),
+      ev("I", 6, "c", 0)).toDF(), epoch = 0L)
+    val boot = Rollup.sync(src, dst, Rollup.transcriptAggs)
+    assert(!boot.skipped)
+    assertRollupMatches(src, dst)
+    assert(dst.read().count() === 3L)
+
+    // already at head: refresh is a no-op
+    assert(Rollup.sync(src, dst, Rollup.transcriptAggs).skipped)
+
+    // epoch 1: update one turn of 'a', delete ALL of 'c' — 'b' untouched
+    src.merge(Seq(
+      ev("U", 7, "a", 0, text = "rewritten", tool = Some("python")),
+      ev("D", 8, "c", 0)).toDF(), epoch = 1L)
+    val incr = Rollup.sync(src, dst, Rollup.transcriptAggs)
+    assert(!incr.skipped)
+    // only the two dirty groups were rewritten (a refreshed + c deleted),
+    // not all three — the incremental contract
+    assert(incr.rowsApplied === 2L, s"expected 2 dirty groups, got ${incr.rowsApplied}")
+    assertRollupMatches(src, dst)
+    assert(dst.read().where(col("conv_id") === "c").count() === 0L,
+      "fully-deleted conversation must leave the rollup")
+    assert(dst.read().where(col("conv_id") === "a").select("n_tool_calls")
+      .head().getLong(0) === 2L)
+
+    // epoch 2: resurrect 'c' — the rollup's LWW must bring it back
+    src.merge(Seq(ev("I", 9, "c", 0), ev("I", 10, "c", 1)).toDF(), epoch = 2L)
+    Rollup.sync(src, dst, Rollup.transcriptAggs)
+    assertRollupMatches(src, dst)
+    assert(dst.read().where(col("conv_id") === "c").select("n_turns")
+      .head().getLong(0) === 2L)
+  }
+
+  test("a replayed sync epoch is skipped; a stale rollup catches up across several source commits") {
+    val src = LakeTable.create(spark, tmpDir("rsrc2") + "/t", Model.keyCols, 4)
+    val dst = LakeTable.create(spark, tmpDir("rdst2") + "/t", Seq("conv_id"), 2)
+
+    src.merge(Seq(ev("I", 1, "a", 0), ev("I", 2, "b", 0)).toDF(), epoch = 0L)
+    Rollup.sync(src, dst, Rollup.transcriptAggs)
+
+    // three further source commits BEFORE the next refresh: one window
+    // covers all of them (the catch-up path), including a's full deletion
+    src.merge(Seq(ev("U", 3, "a", 0, text = "v2")).toDF(), epoch = 1L)
+    src.merge(Seq(ev("I", 4, "b", 1)).toDF(), epoch = 2L)
+    src.merge(Seq(ev("D", 5, "a", 0)).toDF(), epoch = 3L)
+    val st = Rollup.sync(src, dst, Rollup.transcriptAggs)
+    assert(!st.skipped)
+    assertRollupMatches(src, dst)
+    assert(dst.read().count() === 1L) // only b survives
+
+    // replaying the same refresh (same source head) is exactly-once skipped
+    assert(Rollup.sync(src, dst, Rollup.transcriptAggs).skipped)
+  }
+}
