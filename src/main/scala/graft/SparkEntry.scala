@@ -544,6 +544,42 @@ object SparkEntry {
       SELECT user_id, event_type, value FROM live
       WHERE user_id = (SELECT min(user_id) FROM events)""")),
 
+    ("cdc_stats_prune", (s, dir) => {
+      // manifest-level FILE SKIPPING (LakeTable.readWhere + FileStats): the
+      // lake is backfilled in two key-range epochs so per-file footer
+      // bounds on user_id discriminate, then a key-range predicate scan
+      // skips the files whose bounds disprove it (physical skipping is
+      // asserted in StatsPruneSpec by hiding pruned files). Semantics are
+      // identical to read().filter — the oracle recomputes the
+      // LWW-with-deletes state with the same predicate in SQL.
+      import org.apache.spark.sql.functions.{lit => l}
+      val lakeRoot = stageOnce(s"statsprune-lake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-statsprune").toString + "/t"
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"))
+        val tab = graft.lake.LakeTable.create(s, p, Seq("user_id", "event_type"),
+          numBuckets = 8, deltaRatio = 1e9) // keep epochs as tight-bound files
+        tab.merge(ev.where(col("user_id") < 75), epoch = 0L)
+        tab.merge(ev.where(col("user_id") >= 75), epoch = 1L)
+        p
+      }
+      val tab = graft.lake.LakeTable.open(s, lakeRoot)
+      tab.readWhere(col("user_id") >= 100L && col("user_id") <= 120L)
+        .select(col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, round(value, 4) AS value_r FROM live
+      WHERE user_id >= 100 AND user_id <= 120""")),
+
     ("cdc_dedup_rate", (s, dir) => {
       val e = t(s, dir, "events")
       e.agg(

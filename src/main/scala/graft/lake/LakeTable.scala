@@ -134,8 +134,10 @@ final class LakeTable(
     * SAME codegen'd `hash` expression the writer uses so pruning can never
     * disagree with the layout.
     */
-  private def bucketOf(distValues: Seq[Any]): Int = spark.range(1)
-    .select(pmod(hash(distValues.map(lit): _*), lit(numBuckets)).as("b"))
+  private def bucketOf(distValues: Seq[Any]): Int = bucketOfCols(distValues.map(lit))
+
+  private def bucketOfCols(distLits: Seq[Column]): Int = spark.range(1)
+    .select(pmod(hash(distLits: _*), lit(numBuckets)).as("b"))
     .head().getInt(0)
 
   /** Read-path LWW ordering: `_lsn` desc with a stable full-row hash as the
@@ -435,6 +437,63 @@ final class LakeTable(
       .drop(LsnCol, OpCol)
   }
 
+  /** Predicate scan with MANIFEST-LEVEL FILE SKIPPING (the Iceberg/Delta
+    * data-skipping analog): conjuncts of `cond` that compare a KEY column
+    * against literals are evaluated against each file's footer-harvested
+    * min/max bounds recorded in the manifest, and files whose bounds
+    * disprove the predicate are dropped BEFORE Spark lists, opens, or
+    * schedules them — at 10⁴+ files the difference between "read the whole
+    * table" and "read the two files that can match". Equality on the full
+    * distribution key additionally pins the scan to one bucket (composes
+    * with [[readKey]]-style bucket pruning).
+    *
+    * Semantics are identical to `read().filter(cond)` for ANY predicate:
+    * unusable conjuncts (non-key columns, expressions, casts) simply prune
+    * nothing, and the full predicate is re-applied after LWW resolution.
+    * Pruning is sound ONLY because stats are limited to key columns — see
+    * [[FileStats]] for the immutability argument; a file skipped on key
+    * bounds holds no row (current, stale, or tombstone) of any matching
+    * key.
+    */
+  def readWhere(cond: Column): DataFrame = {
+    val s = currentSnapshot()
+    resolvedFiles(s, pruneFiles(s, cond)).filter(cond).drop(LsnCol, OpCol)
+  }
+
+  /** (kept files, total files) that [[readWhere]] would scan for `cond` —
+    * observability + test hook for physical-pruning assertions.
+    */
+  private[graft] def pruneCounts(cond: Column): (Int, Int) = {
+    val s = currentSnapshot()
+    (pruneFiles(s, cond).size, s.files.size)
+  }
+
+  private def pruneFiles(s: Snapshot, cond: Column): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    val schema = s.schema.getOrElse(return s.files)
+    val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      keyCols.flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
+    if (keyTypes.size != keyCols.length) return s.files
+    val cs = try {
+      FileStats.constraints(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond), keyTypes)
+    } catch { case scala.util.control.NonFatal(_) => return s.files }
+    if (cs.isEmpty) return s.files
+    // bucket pruning: equality on every distribution column (with the
+    // literal's type EXACTLY the column's — hash() of a narrower literal
+    // routes differently) pins the one bucket that can hold matching keys
+    val eqLits: Map[String, CLit] = cs.collect {
+      case FileStats.Range(c, "=", v, lt) if lt == keyTypes(c) => c -> CLit(v, lt)
+    }.toMap
+    val bucketed =
+      if (distributionCols.forall(eqLits.contains)) {
+        val b = bucketOfCols(distributionCols.map(c =>
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(eqLits(c))))
+        s.files.filter(_.bucket == b)
+      } else s.files
+    bucketed.filterNot(f => FileStats.provablyEmpty(f.stats, cs, keyTypes))
+  }
+
   /** Current contents of a SUBSET of buckets — the building block for
     * group-pruned incremental maintenance ([[Rollup.sync]] scopes its
     * recompute scan to the buckets the change window touched). Rows outside
@@ -476,6 +535,17 @@ final class LakeTable(
       case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
       case None => s.files
     }
+    resolvedFiles(s, files)
+  }
+
+  /** [[resolved]] over an explicit file subset. SOUNDNESS CONTRACT: the
+    * subset must contain, for every key the CALLER will keep after its own
+    * residual filtering, ALL of that key's files — otherwise the LWW window
+    * can crown a stale winner. Bucket pruning satisfies it (a key's rows
+    * live in one bucket); stats pruning on KEY-column predicates satisfies
+    * it (key columns are immutable per key — see [[FileStats]]).
+    */
+  private def resolvedFiles(s: Snapshot, files: Seq[FileEntry]): DataFrame = {
     val dirty: Set[Int] = files.filter(_.kind == "d").map(_.bucket).toSet
     // tombstone winners are RETAINED in base files (see compaction note), so
     // reads always filter them — including the no-delta fast path
@@ -771,11 +841,17 @@ final class LakeTable(
       parallelism: Int, reshuffle: Boolean = true): Seq[FileEntry] = {
     fs.delete(new Path(staging), true)
     val shaped = if (reshuffle) df.repartition(parallelism, col(BucketCol)) else df
-    shaped.write.partitionBy(BucketCol).parquet(staging)
+    // pin footer statistics untruncated (the parquet default, made explicit):
+    // file skipping proves emptiness from the recorded max — a truncated max
+    // understates the bound and would break the proof (see FileStats scaladoc)
+    shaped.write
+      .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
+      .partitionBy(BucketCol).parquet(staging)
     fs.mkdirs(new Path(dataDir))
-    // footer row counts in PARALLEL: with hundreds of buckets a serial
-    // driver loop over footers becomes the Amdahl bottleneck of the commit
-    // (it grows with bucket count while everything else parallelizes)
+    // footer row counts + key-column min/max in PARALLEL: with hundreds of
+    // buckets a serial driver loop over footers becomes the Amdahl
+    // bottleneck of the commit (it grows with bucket count while everything
+    // else parallelizes); stats ride the SAME footer read — zero extra I/O
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -787,9 +863,9 @@ final class LakeTable(
     } yield (bucket, n, f.getPath)
     val counted = Await.result(
       Future.traverse(candidates) { case (bucket, n, p) =>
-        Future((bucket, n, p, scala.concurrent.blocking(parquetRowCount(p))))
+        Future((bucket, n, p, scala.concurrent.blocking(parquetFooterMeta(p))))
       }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
-    val moved = counted.flatMap { case (bucket, n, src, fileRows) =>
+    val moved = counted.flatMap { case (bucket, n, src, (fileRows, colStats)) =>
       if (fileRows == 0) None // drop empty files
       else {
         val dest = s"$prefix-$bucket-$n.parquet"
@@ -799,18 +875,21 @@ final class LakeTable(
         if (fs.exists(destPath)) fs.delete(destPath, false)
         if (!fs.rename(src, destPath))
           throw new IllegalStateException(s"rename failed publishing $dest")
-        Some(FileEntry(bucket, dest, fileRows, kind))
+        Some(FileEntry(bucket, dest, fileRows, kind, colStats))
       }
     }
     fs.delete(new Path(staging), true)
     moved
   }
 
-  /** Row count from the parquet footer — metadata only, no data read. */
-  private def parquetRowCount(p: Path): Long = {
+  /** Row count + key-column min/max from the parquet footer — metadata
+    * only, no data read (see [[FileStats.fromFooter]]).
+    */
+  private def parquetFooterMeta(p: Path): (Long, Map[String, (String, String)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try (r.getRecordCount, FileStats.fromFooter(r.getFooter, keyCols))
+    finally r.close()
   }
 
   /** Per-epoch ingest metrics table, reconstructed from snapshot manifests
@@ -934,7 +1013,8 @@ final class LakeTable(
       writerId: String = DefaultWriter): MergeStats = {
     val snap = currentSnapshot()
     val tombLsn = nextSyntheticLsn(snap)
-    val victims = read().filter(cond).select(keyCols.map(col): _*)
+    // readWhere: key-column conjuncts in the predicate file-skip the scan
+    val victims = readWhere(cond).select(keyCols.map(col): _*)
     val st = merge(victims
         .withColumn("op", lit("D"))
         .withColumn("lsn", lit(tombLsn)),
@@ -955,7 +1035,7 @@ final class LakeTable(
     require(sets.keys.forall(k => !keyCols.contains(k)),
       s"updateWhere cannot change key columns (${sets.keys.filter(keyCols.contains).mkString(",")})")
     val newLsn = nextSyntheticLsn(snap)
-    val current = read().filter(cond)
+    val current = readWhere(cond)
     require(sets.keys.forall(current.columns.contains),
       s"unknown SET columns: ${sets.keys.filterNot(current.columns.contains).mkString(",")}")
     // all SET expressions evaluate against the OLD row simultaneously (SQL
@@ -1123,7 +1203,16 @@ object LakeTable {
   val OpCol = "_op"
   val DefaultWriter = "default"
 
-  final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String)
+  /** One data file in a snapshot. `stats` holds per-KEY-column min/max
+    * (canonical string encoding, see [[FileStats]]) harvested from the
+    * parquet footer at publish time — the Iceberg manifest-stats analog
+    * that lets scans skip whole files on key-column range predicates
+    * without opening them ([[LakeTable#readWhere]]). Empty for files
+    * published before stats collection (never pruned — conservative) and
+    * for columns whose footer stats were absent or unmappable.
+    */
+  final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String,
+      stats: Map[String, (String, String)] = Map.empty)
 
   final case class Snapshot(
       version: Long,
@@ -1298,7 +1387,7 @@ object LakeTable {
     StructType(rest ++ lsn)
   }
 
-  private[lake] def renderSnapshot(s: Snapshot): String = {
+  private[graft] def renderSnapshot(s: Snapshot): String = {
     val sb = new StringBuilder
     sb.append("version=").append(s.version).append('\n')
     sb.append("lastEpoch=").append(s.lastEpoch).append('\n')
@@ -1320,10 +1409,19 @@ object LakeTable {
         m.duplicatesDropped, m.deletes, m.affectedBuckets, m.tableRows,
         m.skewFactor, m.seconds, m.compactedBuckets, m.bytesIn).mkString(",")).append('\n')
     }
-    s.files.foreach(f => sb.append("file=").append(f.bucket).append('\t')
-      .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
-    s.addedDeltas.foreach(f => sb.append("delta=").append(f.bucket).append('\t')
-      .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n'))
+    def fileLine(tag: String, f: FileEntry): Unit = {
+      sb.append(tag).append('=').append(f.bucket).append('\t')
+        .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind)
+      // optional 5th field: col=min,max;... (values percent-encoded) — old
+      // stats-less entries stay byte-identical to pre-stats manifests
+      if (f.stats.nonEmpty)
+        sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"${FileStats.enc(c)}=${FileStats.enc(lo)},${FileStats.enc(hi)}"
+        }.mkString(";"))
+      sb.append('\n')
+    }
+    s.files.foreach(fileLine("file", _))
+    s.addedDeltas.foreach(fileLine("delta", _))
     sb.toString
   }
 
@@ -1357,12 +1455,8 @@ object LakeTable {
         case "lsnHigh" => lsnHigh = v.toLong
         case "revertedFrom" => revertedFrom = v.toLong
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
-        case "file" =>
-          val Array(b, path, r, kind) = v.split('\t')
-          files += FileEntry(b.toInt, path, r.toLong, kind)
-        case "delta" =>
-          val Array(b, path, r, kind) = v.split('\t')
-          addedDeltas += FileEntry(b.toInt, path, r.toLong, kind)
+        case "file" => files += parseFileEntry(v)
+        case "delta" => addedDeltas += parseFileEntry(v)
         case "wepoch" =>
           val Array(w, e) = v.split('\t')
           epochs += (w -> e.toLong)
@@ -1383,6 +1477,22 @@ object LakeTable {
     Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
       addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, distMeta,
       revertedFrom, maxLsn, lsnHigh)
+  }
+
+  /** Parse one `file=`/`delta=` manifest value: 4 tab fields pre-stats,
+    * 5th optional field = serialized per-column min/max.
+    */
+  private[graft] def parseFileEntry(v: String): FileEntry = {
+    val a = v.split('\t')
+    val stats: Map[String, (String, String)] =
+      if (a.length < 5 || a(4).isEmpty) Map.empty
+      else a(4).split(';').iterator.map { kv =>
+        val eq = kv.indexOf('=')
+        val c = FileStats.dec(kv.substring(0, eq))
+        val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
+        c -> (FileStats.dec(lo), FileStats.dec(hi))
+      }.toMap
+    FileEntry(a(0).toInt, a(1), a(2).toLong, a(3), stats)
   }
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {

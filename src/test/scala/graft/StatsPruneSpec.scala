@@ -1,0 +1,263 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.core.Model
+import graft.lake.{FileStats, LakeTable}
+
+/** Manifest-level file skipping ([[LakeTable.readWhere]], [[FileStats]]):
+  * key-column min/max bounds harvested from parquet footers at publish time
+  * prune whole files from predicate scans. Invariants under test: results
+  * are IDENTICAL to `read().filter` for any predicate (the residual filter
+  * defines semantics; pruning only ever drops provably-empty files); the
+  * pruning is PHYSICAL (skipped files can be made unreadable); LWW winner
+  * resolution survives pruning (key immutability argument); unusable
+  * predicates prune nothing; stats survive manifest round-trips, special
+  * characters, and compaction; pre-stats manifests parse and never prune.
+  */
+class StatsPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(op: String, lsn: Long, conv: String, turn: Int,
+      text: String = "x"): Model.ChangeEvent =
+    Model.ChangeEvent(op, lsn, new Timestamp(1704067200000L + lsn * 1000L),
+      conv, turn, Some("user"), Some(text), None)
+
+  private def hide(root: String, paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/data/$p"),
+        java.nio.file.Paths.get(s"$root/data/$p.hidden"))
+    }
+  private def unhide(root: String, paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/data/$p.hidden"),
+        java.nio.file.Paths.get(s"$root/data/$p"))
+    }
+
+  /** Three epochs with DISJOINT conv-id and turn ranges so per-file bounds
+    * discriminate: epoch 0 = c00–c09 × turns 0–4, epoch 1 = c10–c19 ×
+    * turns 100–104, epoch 2 = c20–c29 × turns 200–204. deltaRatio is set
+    * high so ratio-driven compaction doesn't fold the epochs into one
+    * wide-bound base per bucket (which is CORRECT lake behavior — merged
+    * files legitimately span the union of their inputs' bounds — but would
+    * leave nothing for these pruning assertions to discriminate).
+    */
+  private def threeEpochTable(root: String): LakeTable = {
+    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 4,
+      deltaRatio = 1e9)
+    (0 until 3).foreach { e =>
+      t.merge((0 until 10).flatMap { i =>
+        (0 until 5).map(k =>
+          ev("I", e * 1000L + i * 10 + k, f"c${e * 10 + i}%02d", e * 100 + k))
+      }.toDF(), epoch = e.toLong)
+    }
+    t
+  }
+
+  test("file entries carry key-column bounds from the parquet footer") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    val snap = t.currentSnapshot()
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { f =>
+      assert(f.stats.keySet == Set("conv_id", "turn_idx"), s"stats cols of ${f.path}")
+      val (cLo, cHi) = f.stats("conv_id")
+      assert(cLo <= cHi && cLo.startsWith("c"))
+    }
+    // manifests round-trip the stats
+    val reopened = LakeTable.open(spark, root)
+    assert(reopened.currentSnapshot().files.map(_.stats) == snap.files.map(_.stats))
+  }
+
+  test("readWhere equals read().filter and PHYSICALLY skips disproven files") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+
+    for (cond <- Seq(
+        col("conv_id") === "c15",
+        col("conv_id") >= "c20",
+        col("conv_id") < "c05" && col("turn_idx") <= 2,
+        col("turn_idx") > 150,
+        col("turn_idx").between(100, 104),
+        col("conv_id").isin("c01", "c02", "c25"),
+        lit("c15") === col("conv_id"), // literal on the left
+        col("turn_idx") >= 200L)) { // wider integral literal, still sound
+      val expected = t.read().filter(cond).orderBy("conv_id", "turn_idx").collect()
+      val got = t.readWhere(cond).orderBy("conv_id", "turn_idx").collect()
+      assert(got.toSeq == expected.toSeq, s"mismatch for $cond")
+      val (kept, total) = t.pruneCounts(cond)
+      assert(kept < total, s"no pruning for $cond ($kept/$total)")
+    }
+
+    // physical proof: files pruned for this predicate can be unreadable
+    val cond = col("conv_id") === "c15" && col("turn_idx") === 102
+    val snap = t.currentSnapshot()
+    val keptPaths = {
+      // recompute the kept set the same way readWhere does: everything else hidden
+      val expected = t.readWhere(cond).collect()
+      assert(expected.length == 1)
+      // hide files of epochs 0 and 2 (bounds exclude c15) — readWhere must not touch them
+      val prunable = snap.files.filter { f =>
+        val (lo, hi) = f.stats("conv_id")
+        "c15" < lo || "c15" > hi
+      }
+      assert(prunable.nonEmpty)
+      hide(root, prunable.map(_.path))
+      try {
+        assert(t.readWhere(cond).collect().toSeq == expected.toSeq)
+        intercept[Exception] { t.read().count() } // full scan DOES need them
+      } finally unhide(root, prunable.map(_.path))
+      snap.files.filterNot(prunable.contains).map(_.path)
+    }
+    assert(keptPaths.nonEmpty)
+  }
+
+  test("equality on the full distribution key pins one bucket") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    val cond = col("conv_id") === "c15" && col("turn_idx") === 102
+    val (kept, total) = t.pruneCounts(cond)
+    val snap = t.currentSnapshot()
+    val maxPerBucket = snap.files.groupBy(_.bucket).map(_._2.size).max
+    assert(kept <= maxPerBucket, s"kept $kept spans more than one bucket (total $total)")
+    assert(t.readWhere(cond).count() == 1)
+    // a TYPE-MISMATCHED key literal must not bucket-prune unsoundly (hash of
+    // an int literal routes differently than the long hash) — here turn_idx
+    // is Int, so a Long literal disables bucket pinning but stays correct
+    val condWide = col("conv_id") === "c15" && col("turn_idx") === 102L
+    assert(t.readWhere(condWide).count() == 1)
+  }
+
+  test("LWW winners survive pruning; predicates on mutable columns never prune") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    // update c05/2 (epoch-0 key) from a LATER epoch whose conv bounds still
+    // include c05, then delete c07/3
+    t.merge(Seq(
+      ev("U", 90000L, "c05", 2, text = "fresh"),
+      ev("D", 90001L, "c07", 3)).toDF(), epoch = 3L)
+
+    val got = t.readWhere(col("conv_id") === "c05" && col("turn_idx") === 2).collect()
+    assert(got.length == 1 && got.head.getAs[String]("text") == "fresh")
+    assert(t.readWhere(col("conv_id") === "c07" && col("turn_idx") === 3).isEmpty)
+
+    // 'text' is mutable: a stale row with text="x" for c05/2 still exists in
+    // the epoch-0 file, but its key's winner says "fresh" — the mutable
+    // column contributes NO constraints (no stats), the residual filter runs
+    // on resolved winners, and the stale row is invisible
+    val byText = col("text") === "x" && col("conv_id") === "c05"
+    assert(t.readWhere(byText).collect().toSet ==
+      t.read().filter(byText).collect().toSet)
+    assert(!t.readWhere(byText).collect().exists(_.getAs[Int]("turn_idx") == 2))
+  }
+
+  test("unusable conjuncts prune nothing but stay correct") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    for (cond <- Seq(
+        col("text") === "x", // non-key column
+        col("turn_idx") < 2.5, // fractional literal on int column: unsound to map
+        upper(col("conv_id")) === "C15", // expression around the column
+        col("conv_id").isNull)) {
+      val (kept, total) = t.pruneCounts(cond)
+      assert(kept == total, s"over-pruned for $cond")
+      assert(t.readWhere(cond).collect().toSet == t.read().filter(cond).collect().toSet)
+    }
+  }
+
+  test("stats survive compaction and rebucket; pre-stats entries never prune") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    t.compactAll()
+    val snap = t.currentSnapshot()
+    assert(snap.files.forall(_.kind == "b"))
+    assert(snap.files.forall(_.stats.nonEmpty), "compacted base files lost stats")
+    val cond = col("turn_idx") > 500 // outside every epoch's range
+    assert(t.readWhere(cond).isEmpty)
+    assert(t.pruneCounts(cond)._1 == 0, "all files disproven, none skipped")
+
+    val t2 = t.rebucketTo(tmpDir("sp") + "/t2", 8)
+    assert(t2.currentSnapshot().files.forall(_.stats.nonEmpty), "rebucket lost stats")
+
+    // a pre-stats manifest entry (no 5th field) parses and is never pruned
+    val line = "3\tb9-x-3-0.parquet\t42\tb"
+    val fe = LakeTable.parseFileEntry(line)
+    assert(fe.stats.isEmpty && fe.rows == 42L)
+    val cs = FileStats.constraints(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("turn_idx") > 500),
+      Map("turn_idx" -> IntegerType))
+    assert(cs.nonEmpty && !FileStats.provablyEmpty(fe.stats, cs, Map("turn_idx" -> IntegerType)))
+  }
+
+  test("manifest encoding round-trips separators and unicode in string bounds") {
+    for (s <- Seq("a,b;c=d%e\tf\ng", "plain", "", "É—𝄞 high plane", "%2C literal"))
+      assert(FileStats.dec(FileStats.enc(s)) == s, s"roundtrip of '$s'")
+    // a FileEntry with hostile bound values survives render→parse
+    val fe = LakeTable.FileEntry(1, "d0-1-0.parquet", 7, "d",
+      Map("conv_id" -> ("a,b=;%", "z\tz\nz")))
+    val snap = LakeTable.Snapshot(version = 0L, lastEpoch = 0L, schema = None,
+      rows = 7L, files = Seq(fe))
+    val rendered = LakeTable.renderSnapshot(snap)
+    val back = rendered.split('\n').find(_.startsWith("file=")).get.stripPrefix("file=")
+    assert(LakeTable.parseFileEntry(back) == fe)
+  }
+
+  test("string-bound comparison uses unsigned UTF-8 order, not UTF-16") {
+    // U+10000 (𐀀, surrogate pair) sorts ABOVE U+FFFD in UTF-8 byte order but
+    // BELOW it in Java String order — the classic divergence
+    val hi = new String(Character.toChars(0x10000))
+    val cs = FileStats.constraints(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k") > lit(hi)),
+      Map("k" -> StringType))
+    // file bounds [�, �]: in UTF-8 order max < U+10000 ⇒ skippable;
+    // UTF-16 order would wrongly keep it (and worse, wrongly skip the mirror case)
+    assert(FileStats.provablyEmpty(Map("k" -> ("�", "�")), cs,
+      Map("k" -> StringType)))
+    // mirror case: k > U+FFFD over a file holding only U+10000 — rows DO
+    // match in UTF-8 order, so the file must be kept; UTF-16 code-unit
+    // order (U+10000 < U+FFFD) would wrongly skip it
+    val cs2 = FileStats.constraints(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k") > lit("�")),
+      Map("k" -> StringType))
+    assert(!FileStats.provablyEmpty(Map("k" -> (hi, hi)), cs2, Map("k" -> StringType)),
+      "UTF-16 order would wrongly skip a file whose UTF-8-larger bound still admits rows")
+  }
+
+  test("deleteWhere and updateWhere route through the pruned scan") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    t.deleteWhere(col("conv_id") === "c15", epoch = 10L)
+    assert(t.read().filter(col("conv_id") === "c15").isEmpty)
+    t.updateWhere(col("conv_id") === "c25" && col("turn_idx") === 203,
+      Map("text" -> lit("redacted")), epoch = 11L)
+    val r = t.read().filter(col("conv_id") === "c25" && col("turn_idx") === 203).collect()
+    assert(r.length == 1 && r.head.getAs[String]("text") == "redacted")
+    assert(t.read().count() == 150 - 5 + 0) // 3 epochs × 50 − c15's 5 turns
+  }
+
+  test("long-key tables prune on wide integral bounds") {
+    val root = tmpDir("sp") + "/t"
+    val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 2,
+      deltaRatio = 1e9)
+    t.merge((0L until 100L).map(i => ("I", i, i, s"v$i")).toDF("op", "lsn", "id", "payload"),
+      epoch = 0L)
+    t.merge((1000000L until 1000100L).map(i => ("I", i, i, s"v$i"))
+      .toDF("op", "lsn", "id", "payload"), epoch = 1L)
+    val cond = col("id") >= 1000000L
+    assert(t.readWhere(cond).count() == 100)
+    val (kept, total) = t.pruneCounts(cond)
+    assert(kept < total)
+    // int literal against the long column widens soundly
+    assert(t.readWhere(col("id") < 50).count() == 50)
+    assert(t.pruneCounts(col("id") < 50)._1 < total)
+    val keyT = Map("id" -> LongType)
+    // beyond-2^53 guard only applies to double columns; longs compare exactly
+    val csBig = FileStats.constraints(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("id") > Long.MaxValue - 1),
+      keyT)
+    assert(FileStats.provablyEmpty(Map("id" -> ("0", "100")), csBig, keyT))
+  }
+}
