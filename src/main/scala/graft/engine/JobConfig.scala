@@ -170,7 +170,12 @@ object JobConfig {
       /** optional distribution-key subset (`distributionColumns`) — bucket
         * on a key prefix for group locality ([[graft.lake.LakeTable.distCols]])
         */
-      distCols: Seq[String] = Nil) extends WriterPlan
+      distCols: Seq[String] = Nil,
+      /** optional per-file row cap (`targetFileRows`) — published files
+        * slice into contiguous key ranges so footer-stat file skipping
+        * survives compaction ([[graft.lake.LakeTable.targetFileRows]])
+        */
+      targetFileRows: Option[Long] = None) extends WriterPlan
 
   final case class Translated(
       reader: ReaderPlan,
@@ -416,7 +421,8 @@ object JobConfig {
         writerId = p.str("writerId", graft.lake.LakeTable.DefaultWriter),
         vacuumEvery = p.int("vacuumEvery", 0),
         vacuumRetainVersions = p.int("vacuumRetainVersions", 8),
-        distCols = p.strList("distributionColumns"))
+        distCols = p.strList("distributionColumns"),
+        targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L))
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
 

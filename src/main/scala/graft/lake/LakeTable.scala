@@ -108,7 +108,21 @@ final class LakeTable(
       * Like the key columns and bucket count it is a TABLE constant,
       * recorded in every manifest and validated on open.
       */
-    val distCols: Seq[String] = Nil) {
+    val distCols: Seq[String] = Nil,
+    /** When set, every published file is capped at this many rows
+      * (`maxRecordsPerFile`). Because the delta and compaction writers
+      * already emit rows sorted by (`_bucket`, key...) — the LWW dedupe's
+      * single-exchange plan orders them for free — the slices are
+      * CONTIGUOUS KEY RANGES, so each file's footer min/max stay tight and
+      * [[readWhere]] keeps skipping files even after compaction folds a
+      * bucket (otherwise one wide-bound base file per bucket absorbs the
+      * whole key range and stats pruning degrades to bucket pruning — the
+      * sort-ordered-rewrite story Iceberg tables get from a sort order).
+      * Also bounds single-file size on big backfill epochs. Operational
+      * knob like `deltaRatio` (not persisted in the manifest); None = one
+      * file per bucket per write, the pre-slicing behavior.
+      */
+    val targetFileRows: Option[Long] = None) {
 
   import LakeTable._
 
@@ -840,13 +854,21 @@ final class LakeTable(
   private def publish(df: DataFrame, staging: String, prefix: String, kind: String,
       parallelism: Int, reshuffle: Boolean = true): Seq[FileEntry] = {
     fs.delete(new Path(staging), true)
-    val shaped = if (reshuffle) df.repartition(parallelism, col(BucketCol)) else df
+    val reparted = if (reshuffle) df.repartition(parallelism, col(BucketCol)) else df
+    // under file slicing a reshuffled input (rebucketTo) is additionally
+    // key-sorted within partitions so the slices are contiguous key ranges;
+    // the reshuffle=false paths arrive (bucket, key)-sorted already
+    val shaped =
+      if (reshuffle && targetFileRows.isDefined)
+        reparted.sortWithinPartitions((BucketCol +: keyCols).map(col): _*)
+      else reparted
     // pin footer statistics untruncated (the parquet default, made explicit):
     // file skipping proves emptiness from the recorded max — a truncated max
     // understates the bound and would break the proof (see FileStats scaladoc)
-    shaped.write
+    val writer = shaped.write
       .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
-      .partitionBy(BucketCol).parquet(staging)
+    targetFileRows.foreach(n => writer.option("maxRecordsPerFile", n.toString))
+    writer.partitionBy(BucketCol).parquet(staging)
     fs.mkdirs(new Path(dataDir))
     // footer row counts + key-column min/max in PARALLEL: with hundreds of
     // buckets a serial driver loop over footers becomes the Amdahl
@@ -1108,7 +1130,7 @@ final class LakeTable(
     val snap = currentSnapshot()
     require(snap.version >= 0, "nothing to rebucket: no committed snapshot")
     val dst = new LakeTable(spark, dstRoot, keyCols, newBuckets, deltaRatio,
-      maxDeltaFiles, distCols)
+      maxDeltaFiles, distCols, targetFileRows)
     require(dst.currentSnapshot().version < 0,
       s"rebucket destination $dstRoot already has committed snapshots")
     val resolvedAll = resolvedBucketed(snap, snap.files.map(_.bucket).toSet)
@@ -1296,8 +1318,9 @@ object LakeTable {
 
   def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
       deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12,
-      distCols: Seq[String] = Nil): LakeTable =
-    new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles, distCols)
+      distCols: Seq[String] = Nil, targetFileRows: Option[Long] = None): LakeTable =
+    new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles, distCols,
+      targetFileRows)
 
   /** Open an EXISTING table with the layout recorded in its manifest —
     * the safe way to get a handle without knowing keys/buckets (ops CLIs,
@@ -1305,7 +1328,8 @@ object LakeTable {
     * manifest (fall back to [[create]] with the known layout there).
     */
   def open(spark: SparkSession, root: String,
-      deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12): LakeTable = {
+      deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12,
+      targetFileRows: Option[Long] = None): LakeTable = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapDir = s"$root/_snapshots"
     val pointer = new Path(s"$root/_current")
@@ -1316,7 +1340,7 @@ object LakeTable {
     require(s.keysMeta.nonEmpty,
       s"manifest at $root predates layout metadata — open with LakeTable.create and the known layout")
     new LakeTable(spark, root, s.keysMeta, s.bucketsMeta, deltaRatio, maxDeltaFiles,
-      distCols = s.distMeta)
+      distCols = s.distMeta, targetFileRows = targetFileRows)
   }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.

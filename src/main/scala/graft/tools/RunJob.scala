@@ -143,14 +143,15 @@ object RunJob {
 
   private def runCdcContent(spark: SparkSession, t: JobConfig.Translated,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
-    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain, distCols) = lw
+    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain,
+      distCols, fileRows) = lw
     val cdc = t.reader match {
       case c: JobConfig.CdcRead => c
       case other => throw new IllegalArgumentException(
         s"lakewriter requires cdcreader (got $other)") // translate() guards this
     }
     val root = rebasePath(root0, ov.rebase)
-    val table = openOrCreateLake(spark, root, keys, buckets, distCols)
+    val table = openOrCreateLake(spark, root, keys, buckets, distCols, fileRows)
     val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
       logDir = rebasePath(cdc.logDir, ov.rebase),
       checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
@@ -187,12 +188,13 @@ object RunJob {
     * merging on the wrong key.
     */
   private def openOrCreateLake(spark: SparkSession, root: String,
-      keys: Seq[String], buckets: Int, distCols: Seq[String]): graft.lake.LakeTable = {
+      keys: Seq[String], buckets: Int, distCols: Seq[String],
+      targetFileRows: Option[Long] = None): graft.lake.LakeTable = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/snap-0.txt"))
     if (exists) {
-      val table = graft.lake.LakeTable.open(spark, root)
+      val table = graft.lake.LakeTable.open(spark, root, targetFileRows = targetFileRows)
       require(keys.isEmpty || keys == table.keyCols,
         s"lakewriter primaryKey ${keys.mkString(",")} contradicts the existing " +
           s"table's manifest layout ${table.keyCols.mkString(",")} at $root")
@@ -203,7 +205,7 @@ object RunJob {
       table
     } else graft.lake.LakeTable.create(spark, root,
       if (keys.nonEmpty) keys else graft.core.Model.keyCols, buckets,
-      distCols = distCols)
+      distCols = distCols, targetFileRows = targetFileRows)
   }
 
   def run(spark: SparkSession, spec: JobConfig.Spec,
@@ -239,11 +241,13 @@ object RunJob {
         }
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
-      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain, dist) =>
+      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain,
+          dist, fileRows) =>
         s"lake-merge $root key=(${keys.mkString(",")}) buckets=$buckets " +
           s"writerId=$writerId" +
           (if (dist.nonEmpty) s" dist=(${dist.mkString(",")})" else "") +
-          (if (vacEvery > 0) s" vacuumEvery=$vacEvery retain=$vacRetain" else "")
+          (if (vacEvery > 0) s" vacuumEvery=$vacEvery retain=$vacRetain" else "") +
+          fileRows.map(n => s" targetFileRows=$n").getOrElse("")
     }
     val tr = if (t.transforms.isEmpty) "" else
       s"\n  transform: ${t.transforms.map(_.getClass.getSimpleName).mkString(" → ")}"

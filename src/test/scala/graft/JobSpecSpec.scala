@@ -376,13 +376,16 @@ class JobSpecSpec extends SparkSpec {
         "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
       "writer": {"name": "lakewriter", "parameter": {
         "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
-        "distributionColumns": ["conv_id"]}}}]}}""")
+        "distributionColumns": ["conv_id"], "targetFileRows": 400}}}]}}""")
     val res = RunJob.run(spark, spec).head
     assert(res.rowsWritten > 0L)
     assert(res.bytesWritten > 0L)
     val opened = LakeTable.open(spark, s"$work/lake")
     // the JSON layout reached the manifest: bucketed on conv_id alone
     assert(opened.distributionCols === Seq("conv_id"))
+    // the JSON file-size knob reached publish: every file respects the cap
+    assert(opened.currentSnapshot().files.forall(_.rows <= 400L),
+      "targetFileRows from the JSON spec did not cap published files")
     val got = opened.read()
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val want = Gen.expectedState(spark, cfg).toDF()

@@ -238,6 +238,49 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.read().count() == 150 - 5 + 0) // 3 epochs × 50 − c15's 5 turns
   }
 
+  test("targetFileRows slices compacted buckets into contiguous key ranges that still prune") {
+    val root = tmpDir("sp") + "/t"
+    // default deltaRatio so every epoch TRIGGERS compaction — the case where
+    // un-sliced tables degrade to one wide-bound base per bucket
+    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
+      targetFileRows = Some(30L))
+    (0 until 3).foreach { e =>
+      t.merge((0 until 10).flatMap { i =>
+        (0 until 5).map(k =>
+          ev("I", e * 1000L + i * 10 + k, f"c${e * 10 + i}%02d", e * 100 + k))
+      }.toDF(), epoch = e.toLong)
+    }
+    t.compactAll()
+    val snap = t.currentSnapshot()
+    assert(snap.files.forall(_.kind == "b"))
+    assert(snap.files.forall(_.rows <= 30L), "a slice exceeded targetFileRows")
+    val perBucket = snap.files.groupBy(_.bucket).map(_._2.size)
+    assert(perBucket.exists(_ > 1), "compaction produced no slices")
+    // slices are sorted runs: within a bucket, conv_id ranges don't overlap
+    snap.files.groupBy(_.bucket).foreach { case (b, fs) =>
+      val ranges = fs.map(_.stats("conv_id")).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping slices in bucket $b")
+        case _ =>
+      }
+    }
+    // ... so a narrow key predicate keeps pruning even on the fully
+    // compacted table (the un-sliced layout would keep every file)
+    for (cond <- Seq(col("conv_id") === "c15", col("conv_id") >= "c25",
+        col("conv_id") < "c03")) {
+      val (kept, total) = t.pruneCounts(cond)
+      assert(kept < total, s"no post-compaction pruning for $cond ($kept/$total)")
+      assert(t.readWhere(cond).collect().toSet == t.read().filter(cond).collect().toSet)
+    }
+    // rebucket (the one reshuffling publish) also slices with sorted runs
+    val t2 = t.rebucketTo(tmpDir("sp") + "/t2", 4)
+    assert(t2.currentSnapshot().files.forall(_.rows <= 30L))
+    val (k2, n2) = t2.pruneCounts(col("conv_id") === "c15")
+    assert(k2 < n2, s"no pruning after rebucket ($k2/$n2)")
+    assert(t2.readWhere(col("conv_id") === "c15").count() ==
+      t.read().filter(col("conv_id") === "c15").count())
+  }
+
   test("long-key tables prune on wide integral bounds") {
     val root = tmpDir("sp") + "/t"
     val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 2,
