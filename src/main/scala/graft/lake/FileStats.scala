@@ -4,7 +4,7 @@ import org.apache.parquet.column.statistics.Statistics
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -168,13 +168,64 @@ private[graft] object FileStats {
   final case class Range(col: String, op: String, value: Any, litType: DataType) extends Constraint
   final case class InSet(col: String, values: Seq[(Any, DataType)]) extends Constraint
 
-  /** Split a predicate into conjuncts and keep the ones usable for file
-    * skipping: `keyCol (=|<|<=|>|>=|<=>|IN) literal(s)` with the column on
-    * either side, the column resolving case-insensitively to a key column
-    * of Catalyst type `keyTypes(col)`. Everything else is ignored here and
-    * enforced by the residual filter.
+  /** Compiled boolean skeleton of a predicate, evaluated per file against
+    * its bounds. Disproof composes: an AND is disproven when EITHER side
+    * is, an OR only when BOTH sides are, and an unsupported leaf (non-key
+    * column, expression, subquery) is NEVER disproven — so arbitrary
+    * predicates degrade gracefully toward "keep the file" and the residual
+    * filter defines semantics.
     */
-  def constraints(pred: Expression, keyTypes: Map[String, DataType]): Seq[Constraint] = {
+  sealed trait Pred
+  case object Unknown extends Pred
+  final case class Leaf(c: Constraint) extends Pred
+  final case class AndP(l: Pred, r: Pred) extends Pred
+  final case class OrP(l: Pred, r: Pred) extends Pred
+
+  /** True when `p` contains at least one usable constraint that could ever
+    * disprove anything (an OR with an Unknown side can't).
+    */
+  def usable(p: Pred): Boolean = p match {
+    case Unknown => false
+    case Leaf(_) => true
+    case AndP(l, r) => usable(l) || usable(r)
+    case OrP(l, r) => usable(l) && usable(r)
+  }
+
+  /** Constraints REQUIRED by every row matching `p` — the top-level AND
+    * path's leaves (an OR requires neither branch). These feed bucket
+    * pinning: equality on the full distribution key must hold for every
+    * matching row to pin the scan to one bucket.
+    */
+  def topConjuncts(p: Pred): Seq[Constraint] = p match {
+    case AndP(l, r) => topConjuncts(l) ++ topConjuncts(r)
+    case Leaf(c) => Seq(c)
+    case _ => Nil
+  }
+
+  /** True when file bounds `stats` PROVE no row of the file satisfies `p`. */
+  def disproven(stats: Map[String, (String, String)], p: Pred,
+      keyTypes: Map[String, DataType]): Boolean = p match {
+    case Unknown => false
+    case Leaf(c) => provablyEmpty(stats, Seq(c), keyTypes)
+    case AndP(l, r) => disproven(stats, l, keyTypes) || disproven(stats, r, keyTypes)
+    case OrP(l, r) => disproven(stats, l, keyTypes) && disproven(stats, r, keyTypes)
+  }
+
+  /** Conjunct view of [[compile]] — the usable top-level constraints.
+    * (Disjunctions are handled by [[disproven]] over the compiled tree;
+    * this flat view exists for conjunction-only callers and tests.)
+    */
+  def constraints(pred: Expression, keyTypes: Map[String, DataType]): Seq[Constraint] =
+    topConjuncts(compile(pred, keyTypes))
+
+  /** Compile a predicate into its skippability skeleton: supported leaves
+    * are `keyCol (=|<|<=|>|>=|<=>|IN) literal(s)` with the column on
+    * either side, the column resolving case-insensitively to a key column
+    * of Catalyst type `keyTypes(col)`; AND/OR structure is preserved;
+    * everything else becomes [[Unknown]] and is enforced only by the
+    * residual filter.
+    */
+  def compile(pred: Expression, keyTypes: Map[String, DataType]): Pred = {
     // Column→Expression conversion in Spark 4 yields UNRESOLVED function
     // nodes named after the SQL operator ('`>`('k, 5), 'and(...), 'in(...))
     // rather than the resolved Catalyst comparison classes; match both
@@ -187,11 +238,6 @@ private[graft] object FileStats {
           Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT), f.arguments))
         case _ => None
       }
-    }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case Fn("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
     }
     def attr(e: Expression): Option[String] = e match {
       case a: AttributeReference => keyTypes.keys.find(_.equalsIgnoreCase(a.name))
@@ -214,7 +260,7 @@ private[graft] object FileStats {
         val lits = vs.map(_.asInstanceOf[Literal]).map(l => (l.value, l.dataType))
         if (lits.exists(_._1 == null)) None else Some(InSet(c, lits))
       }
-    conjuncts(pred).flatMap {
+    def leaf(e: Expression): Option[Constraint] = e match {
       case EqualTo(a, l) => comparison("=", a, l)
       case EqualNullSafe(a, l) => comparison("=", a, l)
       case LessThan(a, l) => comparison("<", a, l)
@@ -230,6 +276,14 @@ private[graft] object FileStats {
       case Fn("in", args) if args.length >= 2 => inSet(args.head, args.tail)
       case _ => None
     }
+    def go(e: Expression): Pred = e match {
+      case And(l, r) => AndP(go(l), go(r))
+      case Fn("and", Seq(l, r)) => AndP(go(l), go(r))
+      case Or(l, r) => OrP(go(l), go(r))
+      case Fn("or", Seq(l, r)) => OrP(go(l), go(r))
+      case other => leaf(other).map(Leaf.apply).getOrElse(Unknown)
+    }
+    go(pred)
   }
 
   /** True when file bounds `stats` PROVE no row of the file satisfies every

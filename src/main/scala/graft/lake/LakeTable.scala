@@ -145,11 +145,10 @@ final class LakeTable(
   private def bucketExpr = pmod(hash(distributionCols.map(col): _*), lit(numBuckets))
 
   /** Driver-side bucket of one distribution-key value, computed with the
-    * SAME codegen'd `hash` expression the writer uses so pruning can never
-    * disagree with the layout.
+    * SAME codegen'd `hash` expression the writer uses (over literals of the
+    * stored column types — see pruneFiles' exact-type guard) so pruning can
+    * never disagree with the layout.
     */
-  private def bucketOf(distValues: Seq[Any]): Int = bucketOfCols(distValues.map(lit))
-
   private def bucketOfCols(distLits: Seq[Column]): Int = spark.range(1)
     .select(pmod(hash(distLits: _*), lit(numBuckets)).as("b"))
     .head().getInt(0)
@@ -425,13 +424,13 @@ final class LakeTable(
   def readKey(keyValues: Seq[Any]): DataFrame = {
     require(keyValues.length == keyCols.length,
       s"expected ${keyCols.length} key values (${keyCols.mkString(",")})")
-    val byCol = keyCols.zip(keyValues).toMap
-    val bucket = bucketOf(distributionCols.map(byCol))
-    val cond = keyCols.zip(keyValues)
-      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-    resolved(currentSnapshot(), buckets = Some(Set(bucket)))
-      .filter(cond)
-      .drop(LsnCol, OpCol)
+    // routed through readWhere: exact-typed key values pin the one bucket
+    // AND file-skip within it on footer bounds; a value whose runtime type
+    // differs from the stored column's falls back to a stats-pruned scan of
+    // every bucket — correct where hashing the mismatched literal directly
+    // would route to the WRONG bucket and silently return nothing
+    readWhere(keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
   }
 
   /** Group lookup: resolve EVERY key sharing one distribution-key value —
@@ -444,11 +443,10 @@ final class LakeTable(
     require(distValues.length == distributionCols.length,
       s"expected ${distributionCols.length} distribution values " +
         s"(${distributionCols.mkString(",")})")
-    val cond = distributionCols.zip(distValues)
-      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-    resolved(currentSnapshot(), buckets = Some(Set(bucketOf(distValues))))
-      .filter(cond)
-      .drop(LsnCol, OpCol)
+    // same routing as readKey: bucket pinning + in-bucket file skipping,
+    // with the type-mismatch fallback
+    readWhere(distributionCols.zip(distValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
   }
 
   /** Predicate scan with MANIFEST-LEVEL FILE SKIPPING (the Iceberg/Delta
@@ -488,15 +486,17 @@ final class LakeTable(
     val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
       keyCols.flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
     if (keyTypes.size != keyCols.length) return s.files
-    val cs = try {
-      FileStats.constraints(
+    val tree = try {
+      FileStats.compile(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond), keyTypes)
     } catch { case scala.util.control.NonFatal(_) => return s.files }
-    if (cs.isEmpty) return s.files
+    if (!FileStats.usable(tree)) return s.files
     // bucket pruning: equality on every distribution column (with the
     // literal's type EXACTLY the column's — hash() of a narrower literal
-    // routes differently) pins the one bucket that can hold matching keys
-    val eqLits: Map[String, CLit] = cs.collect {
+    // routes differently) pins the one bucket that can hold matching keys.
+    // Only constraints REQUIRED by every matching row count (top-level AND
+    // path — a disjunction's equality pins nothing).
+    val eqLits: Map[String, CLit] = FileStats.topConjuncts(tree).collect {
       case FileStats.Range(c, "=", v, lt) if lt == keyTypes(c) => c -> CLit(v, lt)
     }.toMap
     val bucketed =
@@ -505,7 +505,7 @@ final class LakeTable(
           org.apache.spark.sql.graftbridge.ColumnBridge.column(eqLits(c))))
         s.files.filter(_.bucket == b)
       } else s.files
-    bucketed.filterNot(f => FileStats.provablyEmpty(f.stats, cs, keyTypes))
+    bucketed.filterNot(f => FileStats.disproven(f.stats, tree, keyTypes))
   }
 
   /** Current contents of a SUBSET of buckets — the building block for

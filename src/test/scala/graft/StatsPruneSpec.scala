@@ -154,6 +154,30 @@ class StatsPruneSpec extends SparkSpec {
     assert(!t.readWhere(byText).collect().exists(_.getAs[Int]("turn_idx") == 2))
   }
 
+  test("disjunctions prune when BOTH branches are disproven, never otherwise") {
+    val root = tmpDir("sp") + "/t"
+    val t = threeEpochTable(root)
+    // both branches outside epoch 1's files [c10..c19] → those files skip
+    val or2 = col("conv_id") < "c05" || col("conv_id") >= "c25"
+    val (kept, total) = t.pruneCounts(or2)
+    assert(kept < total, s"no pruning for $or2 ($kept/$total)")
+    assert(t.readWhere(or2).collect().toSet == t.read().filter(or2).collect().toSet)
+    // one branch unknown (mutable column) poisons the OR: nothing prunes
+    val orU = col("conv_id") < "c05" || col("text") === "nope"
+    assert(t.pruneCounts(orU)._1 == total)
+    assert(t.readWhere(orU).collect().toSet == t.read().filter(orU).collect().toSet)
+    // OR nested under AND: the AND side still prunes independently
+    val mix = (col("conv_id") >= "c20") && (col("turn_idx") === 201 || col("turn_idx") === 203)
+    val (km, _) = t.pruneCounts(mix)
+    assert(km < total, s"no pruning for $mix")
+    assert(t.readWhere(mix).collect().toSet == t.read().filter(mix).collect().toSet)
+    // an OR's equality must NOT bucket-pin (neither branch is required):
+    // full-key equalities under OR keep every bucket's matching files
+    val orEq = (col("conv_id") === "c15" && col("turn_idx") === 102) ||
+      (col("conv_id") === "c25" && col("turn_idx") === 203)
+    assert(t.readWhere(orEq).count() == 2)
+  }
+
   test("unusable conjuncts prune nothing but stay correct") {
     val root = tmpDir("sp") + "/t"
     val t = threeEpochTable(root)
@@ -296,6 +320,13 @@ class StatsPruneSpec extends SparkSpec {
     // int literal against the long column widens soundly
     assert(t.readWhere(col("id") < 50).count() == 50)
     assert(t.pruneCounts(col("id") < 50)._1 < total)
+    // readKey with a TYPE-MISMATCHED value (Int against the Long column):
+    // hashing the int literal directly would route to the wrong bucket and
+    // silently return nothing — the readWhere routing falls back to a
+    // stats-pruned all-bucket scan and finds the row
+    val byKey = t.readKey(Seq(42)).collect()
+    assert(byKey.length == 1 && byKey.head.getAs[String]("payload") == "v42")
+    assert(t.readKey(Seq(42L)).collect().toSeq == byKey.toSeq)
     val keyT = Map("id" -> LongType)
     // beyond-2^53 guard only applies to double columns; longs compare exactly
     val csBig = FileStats.constraints(
