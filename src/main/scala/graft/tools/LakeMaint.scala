@@ -20,6 +20,10 @@ import graft.lake.LakeTable
   *   compact                    — fold ALL delta files into base files
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
+  *   where <pred> [limit]       — pruned predicate scan (readWhere): prints
+  *                                 how many files the manifest's key-column
+  *                                 bounds skipped, then the matching rows
+  *                                 (default 20)
   *   delete <sqlPredicate>      — tombstone all rows matching the SQL
   *                                 predicate (GDPR erasure / retention)
   *   set <pred> <col> <expr>    — rewrite one column for matching rows
@@ -88,6 +92,13 @@ object LakeMaint {
         val retain = if (args.length >= 3) args(2).toInt else 0
         val n = table.vacuum(retain)
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case "where" =>
+        require(args.length >= 3, "where <sqlPredicate> [limit]")
+        val cond = org.apache.spark.sql.functions.expr(args(2))
+        val (kept, total) = table.pruneCounts(cond)
+        println(s"scan: $kept of $total files after manifest-bounds skipping")
+        table.readWhere(cond)
+          .show(if (args.length >= 4) args(3).toInt else 20, truncate = false)
       case "delete" =>
         require(args.length >= 3, "delete <sqlPredicate>")
         val st = table.deleteWhere(org.apache.spark.sql.functions.expr(args(2)),
