@@ -208,7 +208,8 @@ final class LakeTable(
       keysMeta = keyCols, bucketsMeta = numBuckets,
       // written only when narrower than the key: full-key manifests stay
       // byte-identical to pre-dist ones (old readers parse them unchanged)
-      distMeta = if (distributionCols == keyCols) Nil else distributionCols)
+      distMeta = if (distributionCols == keyCols) Nil else distributionCols,
+      fileRowsMeta = targetFileRows.getOrElse(0L))
     fs.mkdirs(new Path(snapDir))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
@@ -467,17 +468,31 @@ final class LakeTable(
     * bounds holds no row (current, stale, or tombstone) of any matching
     * key.
     */
-  def readWhere(cond: Column): DataFrame = {
+  def readWhere(cond: Column): DataFrame = scanWhere(cond).df
+
+  /** One pruned scan plus its pruning report, all derived from a SINGLE
+    * snapshot — the counts describe exactly the scan in `df` even under
+    * concurrent commits. The residual filter runs AFTER the internal-column
+    * drop so `df` is column-for-column `read().filter(cond)`, including how
+    * a predicate naming `_lsn`/`_op` resolves (the analyzer's
+    * missing-reference resolution reaches through the drop in both).
+    */
+  final case class ScanReport(df: DataFrame, filesKept: Int, filesTotal: Int,
+      version: Long)
+
+  def scanWhere(cond: Column): ScanReport = {
     val s = currentSnapshot()
-    resolvedFiles(s, pruneFiles(s, cond)).filter(cond).drop(LsnCol, OpCol)
+    val kept = pruneFiles(s, cond)
+    ScanReport(resolvedFiles(s, kept).drop(LsnCol, OpCol).filter(cond),
+      kept.size, s.files.size, s.version)
   }
 
   /** (kept files, total files) that [[readWhere]] would scan for `cond` —
     * observability + test hook for physical-pruning assertions.
     */
   private[graft] def pruneCounts(cond: Column): (Int, Int) = {
-    val s = currentSnapshot()
-    (pruneFiles(s, cond).size, s.files.size)
+    val r = scanWhere(cond)
+    (r.filesKept, r.filesTotal)
   }
 
   private def pruneFiles(s: Snapshot, cond: Column): Seq[FileEntry] = {
@@ -1293,7 +1308,14 @@ object LakeTable {
         * already at that value. -1 for commits that added no rows
         * (compaction, rollback, GC) and in pre-tracking manifests.
         */
-      lsnHigh: Long = -1L) {
+      lsnHigh: Long = -1L,
+      /** recorded [[LakeTable.targetFileRows]] (0 = unset): persists the
+        * slicing layout so maintenance handles opened WITHOUT the knob
+        * ([[LakeTable.open]], ops CLIs) keep compacting into sliced,
+        * prunable files instead of silently collapsing each bucket into
+        * one wide-bound file.
+        */
+      fileRowsMeta: Long = 0L) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -1340,7 +1362,10 @@ object LakeTable {
     require(s.keysMeta.nonEmpty,
       s"manifest at $root predates layout metadata — open with LakeTable.create and the known layout")
     new LakeTable(spark, root, s.keysMeta, s.bucketsMeta, deltaRatio, maxDeltaFiles,
-      distCols = s.distMeta, targetFileRows = targetFileRows)
+      distCols = s.distMeta,
+      // the manifest's recorded slicing layout wins unless the caller
+      // overrides — ops handles keep compaction sliced (and prunable)
+      targetFileRows = targetFileRows.orElse(Some(s.fileRowsMeta).filter(_ > 0)))
   }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.
@@ -1420,6 +1445,7 @@ object LakeTable {
     if (s.keysMeta.nonEmpty) sb.append("keys=").append(s.keysMeta.mkString(",")).append('\n')
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
     if (s.distMeta.nonEmpty) sb.append("dist=").append(s.distMeta.mkString(",")).append('\n')
+    if (s.fileRowsMeta > 0) sb.append("fileRows=").append(s.fileRowsMeta).append('\n')
     if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
     if (s.lsnHigh >= 0) sb.append("lsnHigh=").append(s.lsnHigh).append('\n')
     if (s.revertedFrom >= 0) sb.append("revertedFrom=").append(s.revertedFrom).append('\n')
@@ -1433,24 +1459,35 @@ object LakeTable {
         m.duplicatesDropped, m.deletes, m.affectedBuckets, m.tableRows,
         m.skewFactor, m.seconds, m.compactedBuckets, m.bytesIn).mkString(",")).append('\n')
     }
-    def fileLine(tag: String, f: FileEntry): Unit = {
+    def fileLine(tag: String, f: FileEntry): Unit =
       sb.append(tag).append('=').append(f.bucket).append('\t')
-        .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind)
-      // optional 5th field: col=min,max;... (values percent-encoded) — old
-      // stats-less entries stay byte-identical to pre-stats manifests
-      if (f.stats.nonEmpty)
-        sb.append('\t').append(f.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-          s"${FileStats.enc(c)}=${FileStats.enc(lo)},${FileStats.enc(hi)}"
-        }.mkString(";"))
-      sb.append('\n')
-    }
+        .append(f.path).append('\t').append(f.rows).append('\t').append(f.kind).append('\n')
     s.files.foreach(fileLine("file", _))
     s.addedDeltas.foreach(fileLine("delta", _))
+    // per-file key-column bounds ride SEPARATE `fstats=` lines, NOT a 5th
+    // tab field on file=/delta=: the parser ignores unknown keys, so a
+    // pre-stats binary (whose file-line parser destructures exactly 4
+    // fields) keeps reading new manifests — replication/tailing across
+    // binary versions survives the format addition. Keyed by path (unique
+    // per snapshot; a delta listed in both files and addedDeltas gets one
+    // line).
+    val statsSeen = scala.collection.mutable.HashSet.empty[String]
+    (s.files.iterator ++ s.addedDeltas.iterator)
+      .filter(_.stats.nonEmpty).foreach { f =>
+        if (statsSeen.add(f.path))
+          sb.append("fstats=").append(FileStats.enc(f.path)).append('\t')
+            .append(f.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              s"${FileStats.enc(c)}=${FileStats.enc(lo)},${FileStats.enc(hi)}"
+            }.mkString(";")).append('\n')
+      }
     sb.toString
   }
 
-  private[lake] def readSnapshot(fs: FileSystem, p: Path, version: Long): Snapshot = {
-    val lines = readString(fs, p).split('\n').filter(_.nonEmpty)
+  private[lake] def readSnapshot(fs: FileSystem, p: Path, version: Long): Snapshot =
+    parseSnapshot(readString(fs, p), version)
+
+  private[graft] def parseSnapshot(text: String, version: Long): Snapshot = {
+    val lines = text.split('\n').filter(_.nonEmpty)
     var lastEpoch = -1L
     var rows = 0L
     var commitTs = 0L
@@ -1463,8 +1500,10 @@ object LakeTable {
     var schema: Option[StructType] = None
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
+    var fileRowsMeta = 0L
     val files = Seq.newBuilder[FileEntry]
     val addedDeltas = Seq.newBuilder[FileEntry]
+    val fstats = scala.collection.mutable.HashMap.empty[String, Map[String, (String, String)]]
     lines.foreach { ln =>
       val i = ln.indexOf('=')
       val (k, v) = (ln.substring(0, i), ln.substring(i + 1))
@@ -1481,6 +1520,10 @@ object LakeTable {
         case "schema" => schema = Some(DataType.fromJson(v).asInstanceOf[StructType])
         case "file" => files += parseFileEntry(v)
         case "delta" => addedDeltas += parseFileEntry(v)
+        case "fileRows" => fileRowsMeta = v.toLong
+        case "fstats" =>
+          val tab = v.indexOf('\t')
+          fstats += FileStats.dec(v.substring(0, tab)) -> parseStats(v.substring(tab + 1))
         case "wepoch" =>
           val Array(w, e) = v.split('\t')
           epochs += (w -> e.toLong)
@@ -1498,26 +1541,33 @@ object LakeTable {
     // pre-multi-writer manifests carry only lastEpoch — attribute it to the
     // default writer so existing tables keep their idempotence guard
     if (epochs.isEmpty && lastEpoch >= 0) epochs = Map(DefaultWriter -> lastEpoch)
-    Snapshot(version, lastEpoch, schema, rows, files.result(), stats,
-      addedDeltas.result(), epochs, commitTs, keysMeta, bucketsMeta, distMeta,
-      revertedFrom, maxLsn, lsnHigh)
+    def attach(fs: Seq[FileEntry]): Seq[FileEntry] =
+      if (fstats.isEmpty) fs
+      else fs.map(f => fstats.get(f.path).map(st => f.copy(stats = st)).getOrElse(f))
+    Snapshot(version, lastEpoch, schema, rows, attach(files.result()), stats,
+      attach(addedDeltas.result()), epochs, commitTs, keysMeta, bucketsMeta, distMeta,
+      revertedFrom, maxLsn, lsnHigh, fileRowsMeta = fileRowsMeta)
   }
 
-  /** Parse one `file=`/`delta=` manifest value: 4 tab fields pre-stats,
-    * 5th optional field = serialized per-column min/max.
+  /** Parse one `file=`/`delta=` manifest value: 4 tab fields (stats ride
+    * separate `fstats=` lines for old-parser compatibility; a 5th field
+    * from the short-lived interim format is still tolerated).
     */
   private[graft] def parseFileEntry(v: String): FileEntry = {
     val a = v.split('\t')
     val stats: Map[String, (String, String)] =
-      if (a.length < 5 || a(4).isEmpty) Map.empty
-      else a(4).split(';').iterator.map { kv =>
-        val eq = kv.indexOf('=')
-        val c = FileStats.dec(kv.substring(0, eq))
-        val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
-        c -> (FileStats.dec(lo), FileStats.dec(hi))
-      }.toMap
+      if (a.length < 5 || a(4).isEmpty) Map.empty else parseStats(a(4))
     FileEntry(a(0).toInt, a(1), a(2).toLong, a(3), stats)
   }
+
+  /** Parse a serialized bounds blob: `col=min,max;...`, percent-encoded. */
+  private def parseStats(blob: String): Map[String, (String, String)] =
+    blob.split(';').iterator.map { kv =>
+      val eq = kv.indexOf('=')
+      val c = FileStats.dec(kv.substring(0, eq))
+      val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
+      c -> (FileStats.dec(lo), FileStats.dec(hi))
+    }.toMap
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

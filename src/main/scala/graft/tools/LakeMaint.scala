@@ -94,11 +94,10 @@ object LakeMaint {
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
       case "where" =>
         require(args.length >= 3, "where <sqlPredicate> [limit]")
-        val cond = org.apache.spark.sql.functions.expr(args(2))
-        val (kept, total) = table.pruneCounts(cond)
-        println(s"scan: $kept of $total files after manifest-bounds skipping")
-        table.readWhere(cond)
-          .show(if (args.length >= 4) args(3).toInt else 20, truncate = false)
+        val r = table.scanWhere(org.apache.spark.sql.functions.expr(args(2)))
+        println(s"scan: ${r.filesKept} of ${r.filesTotal} files after " +
+          s"manifest-bounds skipping (snapshot v${r.version})")
+        r.df.show(if (args.length >= 4) args(3).toInt else 20, truncate = false)
       case "delete" =>
         require(args.length >= 3, "delete <sqlPredicate>")
         val st = table.deleteWhere(org.apache.spark.sql.functions.expr(args(2)),

@@ -190,6 +190,12 @@ class StatsPruneSpec extends SparkSpec {
       assert(kept == total, s"over-pruned for $cond")
       assert(t.readWhere(cond).collect().toSet == t.read().filter(cond).collect().toSet)
     }
+    // internal columns are dropped BEFORE the residual filter, so a
+    // predicate on _lsn resolves the same way read().filter's does (the
+    // analyzer's missing-reference resolution reaches through the drop in
+    // BOTH — equivalence, not rejection, is the contract)
+    val onLsn = col(LakeTable.LsnCol) > 999
+    assert(t.readWhere(onLsn).collect().toSet == t.read().filter(onLsn).collect().toSet)
   }
 
   test("stats survive compaction and rebucket; pre-stats entries never prune") {
@@ -219,14 +225,49 @@ class StatsPruneSpec extends SparkSpec {
   test("manifest encoding round-trips separators and unicode in string bounds") {
     for (s <- Seq("a,b;c=d%e\tf\ng", "plain", "", "É—𝄞 high plane", "%2C literal"))
       assert(FileStats.dec(FileStats.enc(s)) == s, s"roundtrip of '$s'")
-    // a FileEntry with hostile bound values survives render→parse
+    // a FileEntry with hostile bound values survives render→parse, and the
+    // file= line itself stays EXACTLY 4 tab fields — stats ride separate
+    // fstats= lines so a pre-stats binary's parser (which destructures 4
+    // fields and ignores unknown keys) keeps reading new manifests
     val fe = LakeTable.FileEntry(1, "d0-1-0.parquet", 7, "d",
       Map("conv_id" -> ("a,b=;%", "z\tz\nz")))
     val snap = LakeTable.Snapshot(version = 0L, lastEpoch = 0L, schema = None,
-      rows = 7L, files = Seq(fe))
+      rows = 7L, files = Seq(fe), addedDeltas = Seq(fe))
     val rendered = LakeTable.renderSnapshot(snap)
-    val back = rendered.split('\n').find(_.startsWith("file=")).get.stripPrefix("file=")
-    assert(LakeTable.parseFileEntry(back) == fe)
+    val fileLines = rendered.split('\n').filter(_.startsWith("file="))
+    assert(fileLines.length == 1 && fileLines.head.count(_ == '\t') == 3,
+      s"file= line must keep the 4-field pre-stats shape: ${fileLines.head}")
+    assert(rendered.split('\n').count(_.startsWith("fstats=")) == 1,
+      "one fstats= line per unique path (delta listed twice, stats once)")
+    val back = LakeTable.parseSnapshot(rendered, 0L)
+    assert(back.files == Seq(fe) && back.addedDeltas == Seq(fe))
+    // a pre-stats reader simulation: dropping the unknown fstats= lines
+    // still parses the same file list (with conservative empty stats)
+    val stripped = rendered.split('\n').filterNot(_.startsWith("fstats=")).mkString("\n")
+    val old = LakeTable.parseSnapshot(stripped, 0L)
+    assert(old.files == Seq(fe.copy(stats = Map.empty)))
+  }
+
+  test("targetFileRows persists in the manifest: maintenance handles keep slicing") {
+    val root = tmpDir("sp") + "/t"
+    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
+      targetFileRows = Some(30L))
+    (0 until 3).foreach { e =>
+      t.merge((0 until 10).flatMap { i =>
+        (0 until 5).map(k =>
+          ev("I", e * 1000L + i * 10 + k, f"c${e * 10 + i}%02d", e * 100 + k))
+      }.toDF(), epoch = e.toLong)
+    }
+    // reopen WITHOUT the knob (the ops-CLI path) and compact: the recorded
+    // layout must keep the rewrite sliced instead of collapsing each bucket
+    // into one wide-bound file
+    val reopened = LakeTable.open(spark, root)
+    assert(reopened.targetFileRows.contains(30L), "manifest did not carry fileRows")
+    reopened.compactAll()
+    val snap = reopened.currentSnapshot()
+    assert(snap.files.forall(_.kind == "b"))
+    assert(snap.files.forall(_.rows <= 30L), "reopened compaction lost slicing")
+    assert(reopened.pruneCounts(col("conv_id") === "c15")._1 < snap.files.size)
   }
 
   test("string-bound comparison uses unsigned UTF-8 order, not UTF-16") {
