@@ -152,7 +152,10 @@ object LakeMaint {
         // A destination previously fed by the file tail resyncs once via
         // the bootstrap path (current snapshot state, vacuum-proof) and
         // converges by LWW — never duplicates.
-        val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets)
+        // mirror the source's full layout (distribution key + slicing knob),
+        // not just keys/buckets, so the replica prunes like the original
+        val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets,
+          distCols = table.distCols, targetFileRows = table.targetFileRows)
         val applied = graft.lake.Replicate.follow(table, dst, writerId = "lake-tail",
           pollMillis = 500L, idleRounds = 2)
         println(s"tailed -> ${args(2)} physicalRows=${dst.currentSnapshot().rows} applied=$applied")
