@@ -135,7 +135,7 @@ object LakeMaint {
         // this command refreshes only groups changed since the last run
         val groupCol = if (args.length >= 4) args(3) else "conv_id"
         val dst = LakeTable.create(spark, args(2), Seq(groupCol),
-          math.max(8, table.numBuckets / 4))
+          math.max(8, table.numBuckets / 4), targetFileRows = table.targetFileRows)
         val st = graft.lake.Rollup.sync(table, dst, graft.lake.Rollup.transcriptAggs)
         println(if (st.skipped) s"rollup ${args(2)} already at source head"
           else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
