@@ -84,6 +84,23 @@ private[graft] object FileStats {
       sb.toString
     }
 
+  /** Serialize per-column bounds for a manifest `fstats=` line:
+    * `col=min,max;...`, percent-encoded, columns sorted for determinism.
+    * Inverse of [[decStats]].
+    */
+  def encStats(stats: Map[String, (String, String)]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"${enc(c)}=${enc(lo)},${enc(hi)}"
+    }.mkString(";")
+
+  def decStats(blob: String): Map[String, (String, String)] =
+    blob.split(';').iterator.map { kv =>
+      val eq = kv.indexOf('=')
+      val c = dec(kv.substring(0, eq))
+      val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
+      c -> (dec(lo), dec(hi))
+    }.toMap
+
   // ------------------------------------------------------- footer harvesting
 
   /** Min/max per requested column across all row groups of one footer.
@@ -206,7 +223,7 @@ private[graft] object FileStats {
   def disproven(stats: Map[String, (String, String)], p: Pred,
       keyTypes: Map[String, DataType]): Boolean = p match {
     case Unknown => false
-    case Leaf(c) => provablyEmpty(stats, Seq(c), keyTypes)
+    case Leaf(c) => disprovesLeaf(stats, c, keyTypes)
     case AndP(l, r) => disproven(stats, l, keyTypes) || disproven(stats, r, keyTypes)
     case OrP(l, r) => disproven(stats, l, keyTypes) && disproven(stats, r, keyTypes)
   }
@@ -293,7 +310,10 @@ private[graft] object FileStats {
     */
   def provablyEmpty(stats: Map[String, (String, String)],
       constraintsOnFile: Seq[Constraint], keyTypes: Map[String, DataType]): Boolean =
-    constraintsOnFile.exists { c =>
+    constraintsOnFile.exists(disprovesLeaf(stats, _, keyTypes))
+
+  private def disprovesLeaf(stats: Map[String, (String, String)],
+      c: Constraint, keyTypes: Map[String, DataType]): Boolean =
       stats.get(c.col) match {
         case None => false
         case Some((lo, hi)) =>
@@ -317,7 +337,6 @@ private[graft] object FileStats {
               }
           }
       }
-    }
 
   private val integralTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
 

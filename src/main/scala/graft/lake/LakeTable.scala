@@ -477,9 +477,6 @@ final class LakeTable(
     * a predicate naming `_lsn`/`_op` resolves (the analyzer's
     * missing-reference resolution reaches through the drop in both).
     */
-  final case class ScanReport(df: DataFrame, filesKept: Int, filesTotal: Int,
-      version: Long)
-
   def scanWhere(cond: Column): ScanReport = {
     val s = currentSnapshot()
     val kept = pruneFiles(s, cond)
@@ -497,13 +494,13 @@ final class LakeTable(
 
   private def pruneFiles(s: Snapshot, cond: Column): Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val schema = s.schema.getOrElse(return s.files)
     val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
       keyCols.flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
     if (keyTypes.size != keyCols.length) return s.files
     val tree = try {
-      FileStats.compile(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond), keyTypes)
+      FileStats.compile(ColumnBridge.expression(cond), keyTypes)
     } catch { case scala.util.control.NonFatal(_) => return s.files }
     if (!FileStats.usable(tree)) return s.files
     // bucket pruning: equality on every distribution column (with the
@@ -517,7 +514,7 @@ final class LakeTable(
     val bucketed =
       if (distributionCols.forall(eqLits.contains)) {
         val b = bucketOfCols(distributionCols.map(c =>
-          org.apache.spark.sql.graftbridge.ColumnBridge.column(eqLits(c))))
+          ColumnBridge.column(eqLits(c))))
         s.files.filter(_.bucket == b)
       } else s.files
     bucketed.filterNot(f => FileStats.disproven(f.stats, tree, keyTypes))
@@ -1251,6 +1248,12 @@ object LakeTable {
   final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String,
       stats: Map[String, (String, String)] = Map.empty)
 
+  /** Result of [[LakeTable#scanWhere]]: the pruned scan and the pruning
+    * counts, all from one snapshot (`version`).
+    */
+  final case class ScanReport(df: DataFrame, filesKept: Int, filesTotal: Int,
+      version: Long)
+
   final case class Snapshot(
       version: Long,
       lastEpoch: Long,
@@ -1476,9 +1479,7 @@ object LakeTable {
       .filter(_.stats.nonEmpty).foreach { f =>
         if (statsSeen.add(f.path))
           sb.append("fstats=").append(FileStats.enc(f.path)).append('\t')
-            .append(f.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-              s"${FileStats.enc(c)}=${FileStats.enc(lo)},${FileStats.enc(hi)}"
-            }.mkString(";")).append('\n')
+            .append(FileStats.encStats(f.stats)).append('\n')
       }
     sb.toString
   }
@@ -1523,7 +1524,8 @@ object LakeTable {
         case "fileRows" => fileRowsMeta = v.toLong
         case "fstats" =>
           val tab = v.indexOf('\t')
-          fstats += FileStats.dec(v.substring(0, tab)) -> parseStats(v.substring(tab + 1))
+          fstats += FileStats.dec(v.substring(0, tab)) ->
+            FileStats.decStats(v.substring(tab + 1))
         case "wepoch" =>
           val Array(w, e) = v.split('\t')
           epochs += (w -> e.toLong)
@@ -1556,18 +1558,9 @@ object LakeTable {
   private[graft] def parseFileEntry(v: String): FileEntry = {
     val a = v.split('\t')
     val stats: Map[String, (String, String)] =
-      if (a.length < 5 || a(4).isEmpty) Map.empty else parseStats(a(4))
+      if (a.length < 5 || a(4).isEmpty) Map.empty else FileStats.decStats(a(4))
     FileEntry(a(0).toInt, a(1), a(2).toLong, a(3), stats)
   }
-
-  /** Parse a serialized bounds blob: `col=min,max;...`, percent-encoded. */
-  private def parseStats(blob: String): Map[String, (String, String)] =
-    blob.split(';').iterator.map { kv =>
-      val eq = kv.indexOf('=')
-      val c = FileStats.dec(kv.substring(0, eq))
-      val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
-      c -> (FileStats.dec(lo), FileStats.dec(hi))
-    }.toMap
 
   private[lake] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

@@ -45,9 +45,7 @@ class StatsPruneSpec extends SparkSpec {
     * files legitimately span the union of their inputs' bounds — but would
     * leave nothing for these pruning assertions to discriminate).
     */
-  private def threeEpochTable(root: String): LakeTable = {
-    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 4,
-      deltaRatio = 1e9)
+  private def mergeThreeEpochs(t: LakeTable): LakeTable = {
     (0 until 3).foreach { e =>
       t.merge((0 until 10).flatMap { i =>
         (0 until 5).map(k =>
@@ -56,6 +54,10 @@ class StatsPruneSpec extends SparkSpec {
     }
     t
   }
+
+  private def threeEpochTable(root: String): LakeTable =
+    mergeThreeEpochs(LakeTable.create(spark, root, Model.keyCols, numBuckets = 4,
+      deltaRatio = 1e9))
 
   test("file entries carry key-column bounds from the parquet footer") {
     val root = tmpDir("sp") + "/t"
@@ -250,14 +252,8 @@ class StatsPruneSpec extends SparkSpec {
 
   test("targetFileRows persists in the manifest: maintenance handles keep slicing") {
     val root = tmpDir("sp") + "/t"
-    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
-      targetFileRows = Some(30L))
-    (0 until 3).foreach { e =>
-      t.merge((0 until 10).flatMap { i =>
-        (0 until 5).map(k =>
-          ev("I", e * 1000L + i * 10 + k, f"c${e * 10 + i}%02d", e * 100 + k))
-      }.toDF(), epoch = e.toLong)
-    }
+    mergeThreeEpochs(LakeTable.create(spark, root, Model.keyCols,
+      numBuckets = 2, targetFileRows = Some(30L)))
     // reopen WITHOUT the knob (the ops-CLI path) and compact: the recorded
     // layout must keep the rewrite sliced instead of collapsing each bucket
     // into one wide-bound file
@@ -307,14 +303,8 @@ class StatsPruneSpec extends SparkSpec {
     val root = tmpDir("sp") + "/t"
     // default deltaRatio so every epoch TRIGGERS compaction — the case where
     // un-sliced tables degrade to one wide-bound base per bucket
-    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
-      targetFileRows = Some(30L))
-    (0 until 3).foreach { e =>
-      t.merge((0 until 10).flatMap { i =>
-        (0 until 5).map(k =>
-          ev("I", e * 1000L + i * 10 + k, f"c${e * 10 + i}%02d", e * 100 + k))
-      }.toDF(), epoch = e.toLong)
-    }
+    val t = mergeThreeEpochs(LakeTable.create(spark, root, Model.keyCols,
+      numBuckets = 2, targetFileRows = Some(30L)))
     t.compactAll()
     val snap = t.currentSnapshot()
     assert(snap.files.forall(_.kind == "b"))
