@@ -71,9 +71,15 @@ object EsBulk {
       struct(fields: _*)
     }
 
+    // metadata lines ALWAYS drop null fields (`{"index":{"_id":null}}` is a
+    // bulk-item error) — explicit here so the session-level
+    // spark.sql.jsonGenerator.ignoreNullFields default cannot leak in;
+    // cfg.writeNull only governs the DOCUMENT body below
+    val metaOpts = Map("ignoreNullFields" -> "true")
     val actionLine = to_json(struct(metaStruct(withId = cfg.idCol.nonEmpty,
-      forUpdate = cfg.actionType == "update").as(cfg.actionType)))
-    val deleteLine = to_json(struct(metaStruct(withId = true, forUpdate = false).as("delete")))
+      forUpdate = cfg.actionType == "update").as(cfg.actionType)), metaOpts)
+    val deleteLine = to_json(
+      struct(metaStruct(withId = true, forUpdate = false).as("delete")), metaOpts)
 
     val docStruct = struct(payload.map(col): _*)
     val jsonOpts = Map("ignoreNullFields" -> (!cfg.writeNull).toString)

@@ -43,6 +43,34 @@ object Jdbc {
   def querySqlOptions(url: String, querySql: String): Map[String, String] =
     Map("url" -> url, "query" -> querySql)
 
+  /** Inclusive equal-width range predicates from a probed MIN/MAX — the
+    * reference's numeric splitPk plan (`mysql_reader.go:214-255`): step =
+    * ceil((max-min)/n), range i = `[min+i·step, min+(i+1)·step-1]`, and the
+    * LAST range absorbs the remainder (its end forced to max). Every
+    * predicate is sargable — a B-tree source serves each task as one index
+    * range scan, where the hash fallback's `CRC32(pk) % N = i` forces N full
+    * scans. Unlike the reference, the first predicate also catches NULL-pk
+    * rows (`OR pk IS NULL` — the reference's ranges silently drop them;
+    * Spark's native partitionColumn reader makes the same first-partition
+    * choice), so the N-way read is row-complete vs a single-task read.
+    * Fractional/decimal bounds floor/ceil to integers first: the widened
+    * inclusive ranges still cover every fractional value in between.
+    */
+  def rangePredicates(quotedPk: String, min: BigDecimal, max: BigDecimal,
+      n: Int): Array[String] = {
+    require(n > 0)
+    val lo = min.setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+    val hi = max.setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+    val step = ((hi - lo + n - 1) / n).max(BigInt(1))
+    val preds = Array.tabulate(n) { i =>
+      val a = lo + step * i
+      val b = if (i == n - 1) hi else lo + step * (i + 1) - 1
+      s"$quotedPk >= $a AND $quotedPk <= $b"
+    }
+    preds(0) = s"(${preds(0)}) OR $quotedPk IS NULL"
+    preds
+  }
+
   /** Per-task hash-split predicates — MySQL dialect (`CRC32(pk) % N = i`). */
   def hashPredicatesMysql(splitPk: String, n: Int): Array[String] =
     Array.tabulate(n)(i => s"CRC32(`$splitPk`) % $n = $i")

@@ -64,6 +64,105 @@ object JdbcExec {
     if (exact.nonEmpty) exact else folded
   }
 
+  /** Outcome of the runtime split probe ([[probeSplit]]). */
+  sealed trait SplitPlan
+  object SplitPlan {
+    /** Sargable per-task predicates probed from live source data. */
+    final case class Probed(predicates: Seq[String]) extends SplitPlan
+    /** Empty or all-NULL splitPk — read as one task (`mysql_reader.go:112-121`). */
+    case object SingleTask extends SplitPlan
+    /** Probe inconclusive (unsampleable type / too few distinct values) —
+      * keep the dialect's static hash predicates (`mysql_reader.go:432-444`).
+      */
+    case object UseHash extends SplitPlan
+  }
+
+  /** Runtime split probe — the reference's Split phase (`mysql_reader.go:
+    * 97-136`, `calculateSplitRanges:138-163`): connect to the source, detect
+    * the splitPk's type from the MIN/MAX result metadata, and emit SARGABLE
+    * per-task predicates (N disjoint index range scans) in place of the
+    * static hash fallback's N full table scans. Numeric → equal-width
+    * inclusive ranges (`calculateNumericSplitRanges:214-255`); text →
+    * `DISTINCT ... ORDER BY` boundary sample of 10·n values
+    * (`calculateTextDictionarySplitRanges:279-383`; bounded portably via
+    * `Statement.setMaxRows` instead of per-dialect LIMIT syntax);
+    * insufficient sample or a non-splittable type (dates, blobs) → hash;
+    * empty/all-NULL table → a single task.
+    *
+    * Two graft deviations, both row-completeness fixes: the first predicate
+    * catches NULL pks (the reference's ranges drop them), and text ranges
+    * are HALF-OPEN (`>= lo AND < hi`) — the reference's
+    * `buildTextDictionaryCondition` (`mysql_reader.go:707-723`) emits
+    * `<= end`, reading each boundary row twice.
+    *
+    * `tableExpr` is the translated dbtable expression — a bare table or the
+    * `(SELECT ... WHERE ...) graft_q` pushdown subquery, so the probe sees
+    * exactly the rows the scan will (the reference folds `where` into its
+    * probe queries the same way, `:215-218`).
+    */
+  def probeSplit(url: String, props: Map[String, String], dialect: Dialect,
+      tableExpr: String, splitPk: String, n: Int): SplitPlan = {
+    import java.sql.Types._
+    require(n > 1, s"probeSplit needs n > 1 (got $n)")
+    val qpk = dialect.quote(splitPk)
+    val conn = connect(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($qpk), MAX($qpk) FROM $tableExpr")
+        try {
+          val sqlType = rs.getMetaData.getColumnType(1)
+          if (!rs.next()) return SplitPlan.SingleTask
+          sqlType match {
+            case TINYINT | SMALLINT | INTEGER | BIGINT | NUMERIC | DECIMAL |
+                FLOAT | REAL | DOUBLE =>
+              val mn = rs.getBigDecimal(1)
+              val mx = rs.getBigDecimal(2)
+              if (mn == null || mx == null) SplitPlan.SingleTask
+              else SplitPlan.Probed(Jdbc.rangePredicates(
+                qpk, BigDecimal(mn), BigDecimal(mx), n).toSeq)
+            case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR =>
+              if (rs.getString(1) == null) SplitPlan.SingleTask
+              else textBoundaries(conn, qpk, tableExpr, n) match {
+                case Some(bounds) =>
+                  val preds = Jdbc.dictionaryPredicates(qpk, bounds)
+                  preds(0) = s"(${preds(0)}) OR $qpk IS NULL"
+                  SplitPlan.Probed(preds.toSeq)
+                case None => SplitPlan.UseHash
+              }
+            case _ => SplitPlan.UseHash
+          }
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Sorted-distinct boundary sample for the text dictionary split: the
+    * 10·n smallest distinct values, boundaries at every (size/n)-th — the
+    * reference's sampling rule (`mysql_reader.go:304-345`). Fewer distinct
+    * values than tasks ⇒ None (hash fallback, `:335-337`).
+    */
+  private def textBoundaries(conn: Connection, qpk: String, tableExpr: String,
+      n: Int): Option[Seq[String]] = {
+    val st = conn.createStatement()
+    try {
+      st.setMaxRows(n * 10)
+      val rs = st.executeQuery(s"SELECT DISTINCT $qpk FROM $tableExpr ORDER BY $qpk")
+      val values = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        while (rs.next()) {
+          val v = rs.getString(1)
+          if (v != null) values += v
+        }
+      } finally rs.close()
+      if (values.length < n) None
+      else {
+        val step = values.length / n
+        Some((1 until n).map(i => values(i * step)).toSeq)
+      }
+    } finally st.close()
+  }
+
   private def connect(url: String, props: Map[String, String]): Connection = {
     val p = new Properties()
     props.filter { case (k, v) => (k == "user" || k == "password") && v.nonEmpty }
@@ -125,6 +224,17 @@ object JdbcExec {
           }
           val stmt = conn.prepareStatement(sql)
           try {
+            // null binding: setObject(i, null) is rejected by some drivers
+            // (older Oracle thin needs setNull with a type code) — resolve
+            // parameter types once per statement, degrade to Types.NULL when
+            // the driver can't describe its parameters
+            val paramTypes: Array[Int] =
+              try {
+                val md = stmt.getParameterMetaData
+                Array.tabulate(cols.length)(i => md.getParameterType(i + 1))
+              } catch {
+                case _: Exception => Array.fill(cols.length)(java.sql.Types.NULL)
+              }
             conn.setAutoCommit(false)
             it.grouped(bs).foreach { batch =>
               var attempt = 0
@@ -139,7 +249,9 @@ object JdbcExec {
                   batch.foreach { row =>
                     var i = 0
                     while (i < cols.length) {
-                      stmt.setObject(i + 1, row.get(i))
+                      val v = row.get(i)
+                      if (v == null) stmt.setNull(i + 1, paramTypes(i))
+                      else stmt.setObject(i + 1, v)
                       i += 1
                     }
                     stmt.addBatch()

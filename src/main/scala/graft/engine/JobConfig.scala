@@ -128,14 +128,19 @@ object JobConfig {
   final case class StreamRead(cols: Seq[SyntheticSource.ColumnGen], perSlice: Long,
       slices: Int) extends ReaderPlan
   /** RDBMS readers: Spark JDBC options + optional split predicates. `table`
-    * is a dbtable EXPRESSION (possibly a pushdown subquery). Numeric splitPk
-    * MIN/MAX range probing needs a live connection, so the static translation
-    * emits the dialect's hash-split predicates instead — the same disjoint
-    * complete cover, no runtime probe (`mysql_reader.go:432-444`).
+    * is a dbtable EXPRESSION (possibly a pushdown subquery). `predicates` is
+    * the STATIC plan — the dialect's hash-split cover, computable without a
+    * live connection (what `--dry-run` shows, `mysql_reader.go:432-444`).
+    * When `splitPk` is set, the runner upgrades it at execution time via the
+    * reference's Split probe ([[JdbcExec.probeSplit]]): MIN/MAX → sargable
+    * range predicates for numeric keys, a sorted-distinct boundary sample
+    * for text keys — N index range scans instead of the hash cover's N full
+    * table scans on the source.
     */
   final case class JdbcRead(dialect: Dialect, url: String, table: String,
       predicates: Seq[String], session: Seq[String],
-      props: Map[String, String]) extends ReaderPlan
+      props: Map[String, String], splitPk: String = "",
+      splitN: Int = 1) extends ReaderPlan
   /** cdcreader (graft-native extension — the reference has no streaming
     * reader; its closest analog is restarting a batch job on a schedule):
     * tail a binlog/WAL-shaped change-event log directory through
@@ -271,6 +276,12 @@ object JobConfig {
       // A column may instead carry a constant `value`, or an `index` that
       // the reference coerces to a string key (`jsonfile_reader.go:
       // 1042-1058`); a column with none of the three is an error there too.
+      // inferMode="datax" opts into the reference's SAMPLING schema
+      // inference ([[JsonInfer]]): a column with NO explicit type then
+      // stays blank for the inference merge to fill (the reference's
+      // mergeInferredColumns rule); otherwise absent types default to
+      // string as before.
+      val inferDatax = p.str("inferMode") == "datax"
       val cols = p.get("column") match {
         case Some(n) if n.isArray && n.elements().asScala.forall(_.isTextual) => Nil // ["*"]
         case _ => p.listConf("column").map { c =>
@@ -280,14 +291,16 @@ object JobConfig {
             else ""
           require(name.nonEmpty || c.has("value"),
             "jsonfilereader column must have 'name', 'index' or 'value'")
-          SyncJob.ColumnSpec(index = -1, colType = c.str("type", "string"),
+          SyncJob.ColumnSpec(index = -1,
+            colType = if (inferDatax) c.str("type") else c.str("type", "string"),
             format = goDateFormat(c.str("format")),
             name = name,
             value = c.get("value").map(v => if (v.isTextual) v.asText else v.toString).orNull)
         }
       }
       FileRead(SyncJob.Source(format = "json-auto", path = p.pathList("path").mkString(","),
-        columns = cols))
+        columns = cols,
+        options = if (inferDatax) Map("inferMode" -> "datax") else Map.empty))
 
     case "hdfsreader" =>
       val fmt = p.str("fileType", "text").toLowerCase match {
@@ -352,7 +365,8 @@ object JobConfig {
       JdbcRead(dialect, url, tableExpr, predicates,
         session = p.strList("session"),
         props = Map("user" -> p.str("username"), "password" -> p.str("password"),
-          "fetchsize" -> p.int("fetchSize", dialect.defaultFetchSize).toString))
+          "fetchsize" -> p.int("fetchSize", dialect.defaultFetchSize).toString),
+        splitPk = splitPk, splitN = channel)
 
     case other => throw new UnsupportedPlugin(other, "unknown reader plugin")
   }
@@ -481,11 +495,24 @@ object JobConfig {
     */
   def goDateFormat(go: String): String = {
     if (go.isEmpty || !go.exists(_.isDigit)) return go
-    Seq(
-      "2006" -> "yyyy", ".000" -> ".SSS", "Z07:00" -> "XXX", "-07:00" -> "xxx",
+    // longest-first where tokens nest (".000000" before ".000", "January"
+    // before "Jan", "Monday" before "Mon", "Z0700" before "-0700"/"07")
+    val mapped = Seq(
+      "2006" -> "yyyy", ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS",
+      ".000" -> ".SSS", ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS",
+      ".999" -> ".SSS", "Z07:00" -> "XXX", "-07:00" -> "xxx",
+      "Z0700" -> "XX", "-0700" -> "xx",
       "15" -> "HH", "01" -> "MM", "02" -> "dd", "03" -> "hh", "04" -> "mm",
-      "05" -> "ss", "06" -> "yy", "PM" -> "a", "Jan" -> "MMM", "Mon" -> "EEE",
+      "05" -> "ss", "06" -> "yy", "PM" -> "a", "January" -> "MMMM",
+      "Jan" -> "MMM", "Monday" -> "EEEE", "Mon" -> "EEE",
       "MST" -> "zzz", "T" -> "'T'"
     ).foldLeft(go) { case (s, (g, j)) => s.replace(g, j) }
+    // a Go token outside the map (e.g. day-of-year "002") survives as a
+    // digit-bearing fragment that compiles to an INVALID java pattern and
+    // would throw at parse time on every row — validate at translate time
+    // and degrade to "" (the reader's DateFallbackFormats chain), the same
+    // path an unparseable VALUE takes
+    try { java.time.format.DateTimeFormatter.ofPattern(mapped); mapped }
+    catch { case _: IllegalArgumentException => "" }
   }
 }

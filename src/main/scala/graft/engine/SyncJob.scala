@@ -120,7 +120,16 @@ object SyncJob {
 
   final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
 
-  def read(spark: SparkSession, src: Source): DataFrame = {
+  def read(spark: SparkSession, src0: Source): DataFrame = {
+    // inferMode=datax: resolve the typed projection with the reference's
+    // SAMPLING inference rule before reading (see [[JsonInfer]]) — fills
+    // `["*"]` configs with the full inferred column set and user columns
+    // whose `type` was left blank
+    val src =
+      if (src0.options.get("inferMode").contains("datax") &&
+          Set("json", "jsonl", "json-auto")(src0.format))
+        src0.copy(columns = JsonInfer.mergeColumns(spark, src0))
+      else src0
     // `path` may be a ','-joined list (the reference's path params accept
     // lists, `txtfile_reader.go:56-69`); globs pass through to the scan
     val paths = src.path.split(",").toSeq
@@ -132,7 +141,10 @@ object SyncJob {
       case "jsonl" => spark.read.options(src.options).json(paths: _*)
       case "json" => spark.read.option("multiLine", "true").options(src.options).json(paths: _*)
       case "json-auto" => // sniff `[` vs `{`: jsonfile_reader.go:378-400
-        return read(spark, src.copy(format = sniffJsonFormat(spark, paths.head)))
+        // inference already ran above — drop the flag so the recursion
+        // doesn't sample the files a second time
+        return read(spark, src.copy(format = sniffJsonFormat(spark, paths.head),
+          options = src.options - "inferMode"))
       case "parquet" => spark.read.options(src.options).parquet(paths: _*)
       // hdfsreader fileType ORC (`hdfs_reader.go:221-229` names TEXT/ORC/
       // PARQUET; only TEXT is implemented there — Spark gives ORC for free)
@@ -220,8 +232,12 @@ object SyncJob {
       val converted: Column = sp.colType match {
         // try_cast: malformed input ⇒ null ⇒ the reference's 0/false default
         // (strconv fallbacks, txtfile_reader.go:440-459) — ANSI-mode safe
+        // the double hop matches the reference's jsonfile long conversion
+        // (`jsonfile_reader.go:1109-1110`: int64(float64) — "2.0" ⇒ 2,
+        // fractionals truncate toward zero), then the strconv 0 default
         case "long" => when(nn.isNull, lit(null).cast("long"))
-          .otherwise(coalesce(nn.try_cast("long"), lit(0L)))
+          .otherwise(coalesce(nn.try_cast("long"),
+            nn.try_cast("double").try_cast("long"), lit(0L)))
         case "double" => when(nn.isNull, lit(null).cast("double"))
           .otherwise(coalesce(nn.try_cast("double"), lit(0.0)))
         case "boolean" | "bool" => when(nn.isNull, lit(null).cast("boolean"))
@@ -396,11 +412,32 @@ object SyncJob {
     val parent = Option(target.getParent).getOrElse(new Path("."))
     fs.mkdirs(parent)
     val sentinel = new Path(parent, s".${target.getName}.nonconflict")
-    try fs.create(sentinel, false).close()
-    catch {
+    try {
+      // stamp the claimant so a later collision can name who holds the
+      // claim — and a crashed job's leftover claim is distinguishable from
+      // a live writer by its age
+      val out = fs.create(sentinel, false)
+      try out.write(
+        (s"claimant=${java.net.InetAddress.getLocalHost.getHostName}:" +
+          s"pid=${ProcessHandle.current().pid()} " +
+          s"claimedAt=${java.time.Instant.now()}\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
       case e: java.io.IOException =>
+        val detail = try {
+          val st = fs.getFileStatus(sentinel)
+          val ageMin = (System.currentTimeMillis() - st.getModificationTime) / 60000L
+          val claim = try {
+            val in = fs.open(sentinel)
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              "UTF-8").trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "unreadable" }
+          s"held for ${ageMin} min by [$claim] — if that job crashed without " +
+            s"cleanup, delete $sentinel to release the claim"
+        } catch { case _: java.io.IOException => s"claim at $sentinel" }
         throw new IllegalStateException(
-          s"nonConflict: another job is writing $target (sentinel $sentinel)", e)
+          s"nonConflict: another job is writing $target ($detail)", e)
     }
     sentinel
   }

@@ -19,17 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * predicates on key columns and drops whole files whose bounds disprove
   * them — before Spark ever lists, opens, or schedules them.
   *
-  * WHY KEY COLUMNS ONLY — LWW soundness: merge-on-read resolves each key's
-  * winner with a window over all of the key's rows. Skipping a file on a
-  * MUTABLE column's bounds could hide a key's newest version while an older
-  * version (with a different value for that column) survives in a kept file
-  * and wins the window — a silently stale read. Key columns are immutable
-  * per key (every version of a key carries identical key values), so a
-  * file whose key bounds disprove the predicate contains NO row of any
-  * matching key, and for every matching key ALL of its rows — including
-  * tombstones — are in kept files. Rows of non-matching keys that happen to
-  * survive a partially-pruned window are removed by re-applying the full
-  * predicate after resolution.
+  * WHY KEY COLUMNS ONLY (for files in DIRTY buckets) — LWW soundness:
+  * merge-on-read resolves each key's winner with a window over all of the
+  * key's rows. Skipping a file on a MUTABLE column's bounds could hide a
+  * key's newest version while an older version (with a different value for
+  * that column) survives in a kept file and wins the window — a silently
+  * stale read. Key columns are immutable per key (every version of a key
+  * carries identical key values), so a file whose key bounds disprove the
+  * predicate contains NO row of any matching key, and for every matching
+  * key ALL of its rows — including tombstones — are in kept files. Rows of
+  * non-matching keys that happen to survive a partially-pruned window are
+  * removed by re-applying the full predicate after resolution.
+  *
+  * CLEAN-BUCKET LEMMA — why ANY column's bounds prune soundly in a bucket
+  * with no delta files: compaction writes exactly one physical row per key
+  * into the bucket's base files (the LWW winner, tombstone winners
+  * included), and a key's rows can never live outside its hash bucket. So
+  * in a clean bucket there IS no competing version a skip could hide: every
+  * stored row is final, the read path is a plain scan + residual filter
+  * (no resolution window), and dropping a file whose bounds disprove the
+  * predicate removes only rows the residual filter would reject. The
+  * moment a delta lands in the bucket this lemma stops applying — pruning
+  * reverts to key columns only for that bucket until the next compaction.
+  * Accordingly the harvest records ALL mappable top-level columns for BASE
+  * files (the compaction rewrite has every footer open anyway) and key
+  * columns only for delta files; the prune gate checks bucket cleanliness
+  * per scan against the live snapshot. This is what makes the most common
+  * transcript scan — a `ts` range window — file-skip on a mostly-compacted
+  * table without touching the key-immutability argument.
   *
   * CONSERVATISM: a file is skipped only when harvested bounds PROVE no row
   * can match. Files without stats (pre-stats manifests, footer stats absent
@@ -113,6 +130,19 @@ private[graft] object FileStats {
     val blocks = footer.getBlocks.asScala.toSeq
     if (blocks.isEmpty) return Map.empty
     statCols.flatMap(c => harvest(blocks, c).map(c -> _)).toMap
+  }
+
+  /** Every top-level primitive column of the footer's schema except
+    * `exclude` — the stat-column set for CLEAN-bucket (base-file) harvesting,
+    * where bounds on ANY column prune soundly (see the clean-bucket lemma in
+    * the object scaladoc). Nested/repeated fields are skipped (harvest only
+    * maps single-segment paths).
+    */
+  def allStatCols(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      exclude: Set[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .filter(_.isPrimitive).map(_.getName).filterNot(exclude)
   }
 
   private def harvest(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
@@ -366,7 +396,14 @@ private[graft] object FileStats {
           case n: Number if integralTypes(lt) || lt == FloatType || lt == DoubleType => n.doubleValue
           case _ => return None
         }
-        Some(java.lang.Double.compare(d, bound.toDouble))
+        // ±0.0 normalizes (`+ 0.0` maps -0.0 → 0.0) on BOTH sides: Spark
+        // treats -0.0 = 0.0 as TRUE, but Double.compare orders -0.0 < 0.0 —
+        // and a bound of 0.0 written by a parquet implementation that does
+        // not widen min to -0.0 would otherwise wrongly skip a `= -0.0`
+        // predicate. NaN: Double.compare orders NaN largest, which matches
+        // BOTH Spark's ordering and parquet-mr's writer-side stats ordering
+        // (the assumption the whole float branch rests on).
+        Some(java.lang.Double.compare(d + 0.0d, bound.toDouble + 0.0d))
       case StringType if lt == StringType =>
         val l = v match {
           case u: UTF8String => u

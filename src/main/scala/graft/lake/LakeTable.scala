@@ -461,12 +461,16 @@ final class LakeTable(
     * with [[readKey]]-style bucket pruning).
     *
     * Semantics are identical to `read().filter(cond)` for ANY predicate:
-    * unusable conjuncts (non-key columns, expressions, casts) simply prune
-    * nothing, and the full predicate is re-applied after LWW resolution.
-    * Pruning is sound ONLY because stats are limited to key columns — see
-    * [[FileStats]] for the immutability argument; a file skipped on key
-    * bounds holds no row (current, stale, or tombstone) of any matching
-    * key.
+    * unusable conjuncts (expressions, casts, unstatted columns) simply
+    * prune nothing, and the full predicate is re-applied after LWW
+    * resolution. Sound pruning comes in two tiers: KEY-column bounds apply
+    * to every file (immutability argument — a file skipped on key bounds
+    * holds no row, current, stale, or tombstone, of any matching key), and
+    * in buckets with no delta files ANY column's bounds apply (clean-bucket
+    * lemma: compaction left one final row per key, so there is no competing
+    * version a skip could hide). See [[FileStats]] for both proofs. The
+    * practical upshot: a bare `ts` range window file-skips a
+    * mostly-compacted transcript table even though `ts` is mutable.
     */
   def readWhere(cond: Column): DataFrame = scanWhere(cond).df
 
@@ -499,10 +503,20 @@ final class LakeTable(
     val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
       keyCols.flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
     if (keyTypes.size != keyCols.length) return s.files
-    val tree = try {
-      FileStats.compile(ColumnBridge.expression(cond), keyTypes)
+    // two constraint trees over the SAME predicate: the key-column tree
+    // applies to every file (key immutability argument); the all-column
+    // tree only to files in clean buckets (clean-bucket lemma). A predicate
+    // with no usable key conjunct (e.g. a bare ts window) still payload-
+    // prunes compacted buckets through the full tree.
+    val allTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      schema.fields.filterNot(f =>
+          f.name == LsnCol || f.name == OpCol || f.name == BucketCol)
+        .map(f => f.name -> f.dataType).toMap
+    val (tree, fullTree) = try {
+      val e = ColumnBridge.expression(cond)
+      (FileStats.compile(e, keyTypes), FileStats.compile(e, allTypes))
     } catch { case scala.util.control.NonFatal(_) => return s.files }
-    if (!FileStats.usable(tree)) return s.files
+    if (!FileStats.usable(tree) && !FileStats.usable(fullTree)) return s.files
     // bucket pruning: equality on every distribution column (with the
     // literal's type EXACTLY the column's — hash() of a narrower literal
     // routes differently) pins the one bucket that can hold matching keys.
@@ -517,7 +531,16 @@ final class LakeTable(
           ColumnBridge.column(eqLits(c))))
         s.files.filter(_.bucket == b)
       } else s.files
-    bucketed.filterNot(f => FileStats.disproven(f.stats, tree, keyTypes))
+    // clean-bucket payload pruning (FileStats clean-bucket lemma): files of
+    // buckets with NO delta files in this snapshot may additionally be
+    // disproven on ANY column's bounds — compaction left exactly one final
+    // row per key there, so a skip can't hide a competing version.
+    // Cleanliness is judged against the snapshot's FULL file list, never
+    // the pruned subset (a key-pruned delta still makes its bucket dirty).
+    val dirtyBuckets: Set[Int] = s.files.filter(_.kind == "d").map(_.bucket).toSet
+    bucketed.filterNot(f =>
+      FileStats.disproven(f.stats, tree, keyTypes) ||
+        (!dirtyBuckets(f.bucket) && FileStats.disproven(f.stats, fullTree, allTypes)))
   }
 
   /** Current contents of a SUBSET of buckets — the building block for
@@ -880,7 +903,17 @@ final class LakeTable(
     val writer = shaped.write
       .option("parquet.statistics.truncate.length", Int.MaxValue.toString)
     targetFileRows.foreach(n => writer.option("maxRecordsPerFile", n.toString))
-    writer.partitionBy(BucketCol).parquet(staging)
+    // timestamps must land as annotated INT64 micros for this write:
+    // Spark's legacy parquet default (INT96) records NO footer min/max at
+    // all (parquet-mr disables INT96 stats — their byte order is wrong),
+    // which would silently drop every timestamp column from file skipping,
+    // key or payload. There is no per-write option for this conf, so it is
+    // pinned around the staging write only (depth-counted — concurrent
+    // merges on one session can't leave the session flipped), never leaking
+    // into the caller's own writes.
+    LakeTable.withMicrosTimestamps(spark) {
+      writer.partitionBy(BucketCol).parquet(staging)
+    }
     fs.mkdirs(new Path(dataDir))
     // footer row counts + key-column min/max in PARALLEL: with hundreds of
     // buckets a serial driver loop over footers becomes the Amdahl
@@ -897,7 +930,12 @@ final class LakeTable(
     } yield (bucket, n, f.getPath)
     val counted = Await.result(
       Future.traverse(candidates) { case (bucket, n, p) =>
-        Future((bucket, n, p, scala.concurrent.blocking(parquetFooterMeta(p))))
+        // base files harvest ALL mappable columns (clean-bucket pruning,
+        // FileStats clean-bucket lemma); delta files stay key-only — their
+        // payload bounds could never be used soundly (a delta makes its
+        // bucket dirty by definition)
+        Future((bucket, n, p,
+          scala.concurrent.blocking(parquetFooterMeta(p, allCols = kind == "b"))))
       }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
     val moved = counted.flatMap { case (bucket, n, src, (fileRows, colStats)) =>
       if (fileRows == 0) None // drop empty files
@@ -916,14 +954,21 @@ final class LakeTable(
     moved
   }
 
-  /** Row count + key-column min/max from the parquet footer — metadata
-    * only, no data read (see [[FileStats.fromFooter]]).
+  /** Row count + column min/max from the parquet footer — metadata only,
+    * no data read (see [[FileStats.fromFooter]]). `allCols` harvests every
+    * mappable top-level column except the internal ones readers drop
+    * (base-file publishes); default is key columns only (delta publishes).
     */
-  private def parquetFooterMeta(p: Path): (Long, Map[String, (String, String)]) = {
+  private def parquetFooterMeta(p: Path,
+      allCols: Boolean = false): (Long, Map[String, (String, String)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try (r.getRecordCount, FileStats.fromFooter(r.getFooter, keyCols))
-    finally r.close()
+    try {
+      val cols =
+        if (allCols) FileStats.allStatCols(r.getFooter, Set(LsnCol, OpCol, BucketCol))
+        else keyCols
+      (r.getRecordCount, FileStats.fromFooter(r.getFooter, cols))
+    } finally r.close()
   }
 
   /** Per-epoch ingest metrics table, reconstructed from snapshot manifests
@@ -1235,15 +1280,43 @@ object LakeTable {
   val LsnCol = "_lsn"
   val BucketCol = "_bucket"
   val OpCol = "_op"
+
+  /** Scoped TIMESTAMP_MICROS pin for lake staging writes (see the publish
+    * comment). Depth-counted per session so overlapping publishes restore
+    * the caller's value exactly once, when the LAST one finishes; a publish
+    * that observes the flag mid-flip can at worst write INT96 and lose ts
+    * stats for its files — conservative (never pruned), not unsound.
+    */
+  private val microsPinDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.atomic.AtomicInteger]()
+  private val microsPinPrior =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Option[String]]()
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val depth = microsPinDepth.computeIfAbsent(spark,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    if (depth.getAndIncrement() == 0)
+      microsPinPrior.put(spark, spark.conf.getOption(key))
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally if (depth.decrementAndGet() == 0)
+      microsPinPrior.remove(spark) match {
+        case Some(v) => spark.conf.set(key, v)
+        case _ => spark.conf.unset(key)
+      }
+  }
   val DefaultWriter = "default"
 
-  /** One data file in a snapshot. `stats` holds per-KEY-column min/max
+  /** One data file in a snapshot. `stats` holds per-column min/max
     * (canonical string encoding, see [[FileStats]]) harvested from the
     * parquet footer at publish time — the Iceberg manifest-stats analog
-    * that lets scans skip whole files on key-column range predicates
-    * without opening them ([[LakeTable#readWhere]]). Empty for files
-    * published before stats collection (never pruned — conservative) and
-    * for columns whose footer stats were absent or unmappable.
+    * that lets scans skip whole files on range predicates without opening
+    * them ([[LakeTable#readWhere]]). Delta files record KEY columns only
+    * (the only bounds usable in a dirty bucket); base files record every
+    * mappable column (clean-bucket pruning — see the FileStats clean-bucket
+    * lemma). Empty for files published before stats collection (never
+    * pruned — conservative) and for columns whose footer stats were absent
+    * or unmappable.
     */
   final case class FileEntry(bucket: Int, path: String, rows: Long, kind: String,
       stats: Map[String, (String, String)] = Map.empty)

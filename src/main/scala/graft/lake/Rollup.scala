@@ -86,7 +86,22 @@ object Rollup {
             val bs = src.bucketsFor(dirty)
             toVersion.map(v => src.readVersionBuckets(v, bs))
               .getOrElse(src.readBuckets(bs))
-          } else toVersion.map(src.readVersion).getOrElse(src.read())
+          } else {
+            // the cost trade documented in the object scaladoc, surfaced at
+            // run time: a non-aligned layout forces an O(table) live scan
+            // per refresh
+            val snap = src.currentSnapshot()
+            org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+              s"rollup refresh of ${dst.root}: source distribution key " +
+                s"(${src.distributionCols.mkString(",")}) is not a subset of " +
+                s"the group columns (${groupCols.mkString(",")}), so the " +
+                s"recompute scans the FULL live table (${snap.rows} rows, " +
+                s"${snap.files.length} files) every sync; lay the source out " +
+                s"with distributionColumns = groupCols for O(dirty-bucket) " +
+                s"refreshes, or keep additive aggregates folded from the " +
+                s"change window")
+            toVersion.map(src.readVersion).getOrElse(src.read())
+          }
         val agg = live.join(dirty, groupCols, "left_semi")
           .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         val gone = dirty.join(agg.select(groupCols.map(col): _*), groupCols, "left_anti")

@@ -243,33 +243,35 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 16,
-      /** RELIABLE checkpoint dir: when set, each round checkpoints to this
-        * (HDFS-visible) directory via `df.checkpoint()` instead of
-        * `localCheckpoint()`. localCheckpoint stores blocks on executors —
-        * an executor lost mid-iteration kills the job because the truncated
-        * lineage cannot be recomputed; at 100 TB-scale iteration times
-        * that is a reliability cliff one extra write per round avoids.
+      /** RELIABLE checkpoint dir: when set, each round materializes to this
+        * (HDFS-visible) directory as a parquet write + re-read — the same
+        * lineage truncation and fault tolerance as `df.checkpoint()` without
+        * touching the SparkContext-GLOBAL checkpoint directory (flipping
+        * `sc.setCheckpointDir` would race any concurrent job that also
+        * checkpoints, and could never be restored to unset). Without it,
+        * `localCheckpoint()` stores blocks on executors — an executor lost
+        * mid-iteration kills the job because the truncated lineage cannot
+        * be recomputed; at 100 TB-scale iteration times that is a
+        * reliability cliff one extra write per round avoids.
         * Rounds ping-pong between two subdirectories, each deleted just
         * before reuse, so on-disk state is bounded at ≤2 label-set copies
-        * instead of one per round held until application exit (Spark's
-        * checkpoint cleaner is off by default). The session's previous
-        * checkpoint dir is restored on exit; the returned frame reads from
-        * `<dir>/cc-*`, so delete the dir only when done with the result.
+        * instead of one per round held until application exit. The
+        * returned frame reads from `<dir>/cc-*`, so delete the dir only
+        * when done with the result.
         */
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
-    val origCpDir = sc.getCheckpointDir
     var round = 0
     def save(df: DataFrame): DataFrame = checkpointDir match {
       case Some(dir) =>
         // the subdir being (re)written holds only the round-(k-2)
-        // checkpoint, unreferenced once round k-1 materialized
+        // state, unreferenced once round k-1 materialized
         val sub = new org.apache.hadoop.fs.Path(s"$dir/cc-${round % 2}")
         sub.getFileSystem(sc.hadoopConfiguration).delete(sub, true)
-        sc.setCheckpointDir(sub.toString)
         round += 1
-        df.checkpoint()
+        df.write.parquet(sub.toString)
+        spark.read.parquet(sub.toString)
       case None => df.localCheckpoint()
     }
     val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
@@ -305,10 +307,7 @@ object Dedup {
       }
       require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
       labels
-    } finally {
-      e.unpersist()
-      if (checkpointDir.isDefined) origCpDir.foreach(sc.setCheckpointDir)
-    }
+    } finally e.unpersist()
   }
 
   /** Every document with its near-dup cluster id (= min doc_id of its

@@ -54,13 +54,33 @@ object RunJob {
         SyncJob.read(spark, src.copy(path = paths))
       case JobConfig.StreamRead(cols, perSlice, slices) =>
         SyntheticSource.generate(spark, cols, perSlice, slices)
-      case JobConfig.JdbcRead(dialect, url, table, predicates, session, props) =>
+      case JobConfig.JdbcRead(dialect, url, table, predicates, session, props,
+          splitPk, splitN) =>
         val opts = dialect.readerOptions(url, table, session) ++
           props.filter(_._2.nonEmpty)
-        if (predicates.nonEmpty) {
+        // Split-probe upgrade (the reference's Split phase, the one place
+        // that needs a live connection): replace the static hash cover —
+        // each predicate an unindexable full scan at the source — with
+        // sargable range predicates. A failed probe degrades to the static
+        // plan like the reference's fallback-to-single-task
+        // (`mysql_reader.go:112-121`), never fails the job.
+        val effective: Seq[String] =
+          if (splitPk.isEmpty || splitN <= 1) predicates
+          else try JdbcExec.probeSplit(url, props, dialect, table, splitPk, splitN) match {
+            case JdbcExec.SplitPlan.Probed(p) => p
+            case JdbcExec.SplitPlan.SingleTask => Nil
+            case JdbcExec.SplitPlan.UseHash => predicates
+          } catch {
+            case e: Exception =>
+              org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+                s"splitPk probe on $table failed (${e.getMessage}); " +
+                  s"falling back to the static split plan")
+              predicates
+          }
+        if (effective.nonEmpty) {
           val p = new java.util.Properties()
           opts.foreach { case (k, v) => p.setProperty(k, v) }
-          spark.read.jdbc(opts("url"), table, predicates.toArray, p)
+          spark.read.jdbc(opts("url"), table, effective.toArray, p)
         } else spark.read.format("jdbc").options(opts).load()
       case _: JobConfig.CdcRead => throw new IllegalArgumentException(
         "cdcreader is a streaming tail, not a batch input — it pairs with lakewriter")
@@ -216,9 +236,12 @@ object RunJob {
     val r = t.reader match {
       case JobConfig.FileRead(src) => s"file[${src.format}] ${src.path}"
       case JobConfig.StreamRead(cols, n, s) => s"stream ${cols.length} cols × $n rows × $s slices"
-      case JobConfig.JdbcRead(d, url, table, preds, _, _) =>
+      case JobConfig.JdbcRead(d, url, table, preds, _, _, splitPk, splitN) =>
         s"jdbc[${d.name}] $url $table" +
-          (if (preds.nonEmpty) s" split=${preds.length}: ${preds.head} ..." else "")
+          (if (splitPk.nonEmpty && splitN > 1)
+             s" splitPk=$splitPk×$splitN (range/dictionary probe at run time;" +
+               s" static fallback${if (preds.nonEmpty) s": ${preds.head} ..." else ": single task"})"
+           else if (preds.nonEmpty) s" split=${preds.length}: ${preds.head} ..." else "")
       case JobConfig.CdcRead(dir, fmt, ckpt, mft, cont, interval, dlq, tool) =>
         s"cdc-tail[$fmt] $dir ckpt=$ckpt maxFilesPerTrigger=$mft " +
           s"mode=${if (cont) "continuous" else "availableNow"}" +

@@ -247,6 +247,58 @@ class EngineSpec extends SparkSpec {
     assert(lines.select("n").orderBy("id").collect().map(_.getString(0)).toSeq === Seq("c", "d"))
   }
 
+  test("inferMode=datax applies the reference's sampling inference where Spark's differs") {
+    val dir = tmpDir("jsoninfer")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/src"))
+    // three fields where the two inference rules DISAGREE:
+    //  - amount: every value an integral-valued NUMBER, one spelled 2.0 —
+    //    Spark infers double; the reference counts 2.0 as int (≥80% ⇒ long)
+    //  - created_at: date-shaped strings under a date-keyword name — Spark
+    //    infers string; the reference's date sniff says date
+    //  - score: 4 ints + 1 string (80% int) — Spark infers string; the
+    //    reference says long (the string later try_casts to the 0 default)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/src/part-0.jsonl"),
+      ("""{"id": 1, "amount": 1, "created_at": "2023-01-01 00:00:01", "score": 10}""" + "\n" +
+       """{"id": 2, "amount": 2.0, "created_at": "2023-01-02 00:00:02", "score": 20}""" + "\n" +
+       """{"id": 3, "amount": 3, "created_at": "2023-01-03 00:00:03", "score": 30}""" + "\n" +
+       """{"id": 4, "amount": 4, "created_at": "2023-01-04 00:00:04", "score": 40}""" + "\n" +
+       """{"id": 5, "amount": 5, "created_at": "2023-01-05 00:00:05", "score": "n/a"}""" + "\n")
+        .getBytes("UTF-8"))
+
+    val native = SyncJob.read(spark, Source("json-auto", s"$dir/src"))
+    assert(native.schema("amount").dataType.typeName === "double")
+    assert(native.schema("created_at").dataType.typeName === "string")
+    assert(native.schema("score").dataType.typeName === "string")
+
+    // ["*"] config shape: the full inferred projection, first-seen order
+    val inferred = SyncJob.read(spark, Source("json-auto", s"$dir/src",
+      options = Map("inferMode" -> "datax")))
+    assert(inferred.columns.toSeq === Seq("id", "amount", "created_at", "score"))
+    assert(inferred.schema("id").dataType.typeName === "long")
+    assert(inferred.schema("amount").dataType.typeName === "long")
+    assert(inferred.schema("created_at").dataType.typeName === "timestamp")
+    assert(inferred.schema("score").dataType.typeName === "long")
+    val r5 = inferred.filter(col("id") === 5).head()
+    assert(r5.getAs[Long]("score") === 0L) // strconv fallback default
+    assert(inferred.filter(col("created_at").isNull).count() === 0)
+
+    // merge rule through the CONFIG surface: a column with no type takes
+    // the inferred one; an explicit type always wins (jsonfile_reader.go:
+    // 741-768)
+    val spec = graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "jsonfilereader", "parameter": {
+        "path": "$dir/src", "inferMode": "datax",
+        "column": [{"name": "id"}, {"name": "amount", "type": "string"},
+                   {"name": "created_at"}]}},
+      "writer": {"name": "streamwriter", "parameter": {}}}]}}""")
+    val plan = graft.engine.JobConfig.translate(spec).head.reader
+      .asInstanceOf[graft.engine.JobConfig.FileRead]
+    val merged = SyncJob.read(spark, plan.src)
+    assert(merged.schema("id").dataType.typeName === "long") // inferred fill
+    assert(merged.schema("amount").dataType.typeName === "string") // user type wins
+    assert(merged.schema("created_at").dataType.typeName === "timestamp")
+  }
+
   test("dual flush thresholds bound output files by rows AND bytes") {
     val dir = tmpDir("flush")
     // ~48 logical bytes/row (8 + 40); byte bound 300 => ~6 rows/file wins

@@ -45,6 +45,25 @@ class EsBulkSpec extends SparkSpec {
         """{"id":2,"name":"bob","age":null}""")
   }
 
+  test("metadata lines drop null fields regardless of the session jsonGenerator default") {
+    // a session configured with ignoreNullFields=false must not leak
+    // {"_id":null} into action metadata (ES rejects the bulk item) — only
+    // the DOCUMENT body follows writeNull
+    val prior = spark.conf.getOption("spark.sql.jsonGenerator.ignoreNullFields")
+    spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "false")
+    try {
+      val lines = EsBulk.payloadLines(docs.filter($"id" === 2),
+        EsBulk.Config(index = "i", actionType = "create", writeNull = true))
+        .as[String].collect()
+      assert(lines.head ===
+        """{"create":{"_index":"i"}}""" + "\n" +
+          """{"id":2,"name":"bob","age":null}""")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", v)
+      case None => spark.conf.unset("spark.sql.jsonGenerator.ignoreNullFields")
+    }
+  }
+
   test("update wraps doc_as_upsert and never carries version") {
     val lines = EsBulk.payloadLines(docs.filter($"id" === 1),
       EsBulk.Config(index = "i", actionType = "update", idCol = Some("id"),

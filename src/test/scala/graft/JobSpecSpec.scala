@@ -36,6 +36,17 @@ class JobSpecSpec extends SparkSpec {
     assert(JobConfig.goDateFormat("yyyy-MM-dd") === "yyyy-MM-dd")
     assert(JobConfig.goDateFormat("yyyy-MM-dd HH:mm:ss") === "yyyy-MM-dd HH:mm:ss")
     assert(JobConfig.goDateFormat("") === "")
+    // the long-form Go tokens: numeric zones, optional-fraction, full names
+    assert(JobConfig.goDateFormat("2006-01-02T15:04:05.999Z07:00")
+      === "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    assert(JobConfig.goDateFormat("2006-01-02 15:04:05 -0700") === "yyyy-MM-dd HH:mm:ss xx")
+    assert(JobConfig.goDateFormat("2006-01-02T15:04:05Z0700") === "yyyy-MM-dd'T'HH:mm:ssXX")
+    assert(JobConfig.goDateFormat("Monday, January 02 2006") === "EEEE, MMMM dd yyyy")
+    assert(JobConfig.goDateFormat("15:04:05.000000") === "HH:mm:ss.SSSSSS")
+    // an untranslatable fragment that compiles into an INVALID java pattern
+    // degrades to "" (the reader's default format chain) instead of
+    // throwing on every row at parse time
+    assert(JobConfig.goDateFormat("2006-01-02 b3") === "")
   }
 
   test("jsonfile columns accept value constants and index keys like the reference") {
@@ -327,6 +338,28 @@ class JobSpecSpec extends SparkSpec {
     finally conn.close()
   }
 
+  test("jdbc write path binds NULL payload values via setNull with the parameter's type") {
+    val url = "jdbc:derby:memory:graftnulls;create=true"
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      "CREATE TABLE T (ID BIGINT PRIMARY KEY, S VARCHAR(32), D DOUBLE, TS TIMESTAMP)"))
+    val rows = Seq(
+      (1L, Some("a"), Some(1.5), Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, None, None, None), // every nullable column NULL
+      (3L, Some("c"), None, Some(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))))
+    val df = rows.toDF("ID", "S", "D", "TS")
+    // Sqlite dialect against Derby: insert (scenario-4) — the shared bind loop
+    assert(JdbcExec.write(df, Dialect.Sqlite, url, "T", writeMode = "insert") === 3L)
+    // update/replace route through the same bind loop with PK discovery
+    val df2 = Seq((4L, Some("filled"), Option.empty[Double],
+      Option.empty[java.sql.Timestamp])).toDF("ID", "S", "D", "TS")
+    assert(JdbcExec.write(df2, Dialect.Sqlite, url, "T", writeMode = "update") === 1L)
+    val back = spark.read.jdbc(url, "T", new java.util.Properties())
+    assert(back.count() === 4L) // sqlite 'update' is scenario-4 plain INSERT
+    assert(back.filter($"S".isNull).count() === 1L)
+    assert(back.filter($"D".isNull).count() === 3L)
+    assert(back.filter($"TS".isNull).count() === 2L)
+  }
+
   test("jdbc sink through the job runner: a full config against Derby") {
     val url = "jdbc:derby:memory:graftdb2;create=true"
     val spec = JobConfig.parse(s"""{
@@ -363,6 +396,89 @@ class JobSpecSpec extends SparkSpec {
     assert(res.rowsWritten === 3L)
     val back = spark.read.parquet(s"$fix/out")
     assert(back.select(sum($"id")).head.getLong(0) === 9L) // 2+3+4
+  }
+
+  // ---------------------------------------------------- runtime split probe
+
+  test("splitPk probe: numeric key becomes sargable range predicates (Derby)") {
+    val url = "jdbc:derby:memory:graftsplit1;create=true"
+    JdbcExec.execStatements(url, Map.empty,
+      "CREATE TABLE NUMS (ID BIGINT, V VARCHAR(16))" +:
+        (1 to 100).grouped(50).map(g =>
+          s"INSERT INTO NUMS VALUES ${g.map(i => s"($i,'v')").mkString(",")}").toSeq :+
+        "INSERT INTO NUMS VALUES (NULL,'n1'), (NULL,'n2'), (NULL,'n3')")
+    val plan = JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "NUMS", "ID", 4)
+    // mysql_reader.go:214-255: step = ceil((100-1)/4) = 25, inclusive
+    // contiguous ranges, last end forced to max; graft adds the NULL
+    // catch-all to the first predicate (row-completeness)
+    val preds = plan.asInstanceOf[JdbcExec.SplitPlan.Probed].predicates
+    assert(preds === Seq(
+      "(\"ID\" >= 1 AND \"ID\" <= 25) OR \"ID\" IS NULL",
+      "\"ID\" >= 26 AND \"ID\" <= 50",
+      "\"ID\" >= 51 AND \"ID\" <= 75",
+      "\"ID\" >= 76 AND \"ID\" <= 100"))
+    // the probed plan is row-complete: a 4-way read sees every row a
+    // single-task read sees, INCLUDING the NULL-pk rows the reference drops
+    val spec = JobConfig.parse(s"""{
+      "job": {"setting": {"speed": {"channel": 4}}, "content": [{
+        "reader": {"name": "sqlitereader", "parameter": {"splitPk": "ID",
+          "connection": [{"jdbcUrl": "$url", "table": ["NUMS"]}]}},
+        "writer": {"name": "streamwriter", "parameter": {}}}]}}""")
+    val t = JobConfig.translate(spec).head
+    val df = RunJob.buildInput(spark, t.reader, RunJob.Overrides())
+    assert(df.rdd.getNumPartitions === 4) // one task per probed range
+    assert(df.count() === 103L)
+    val single = spark.read.jdbc(url, "NUMS", new java.util.Properties())
+    assert(df.select(sum($"ID")).head.getLong(0) === single.select(sum($"ID")).head.getLong(0))
+  }
+
+  test("splitPk probe: text key samples sorted-distinct boundaries (Derby)") {
+    val url = "jdbc:derby:memory:graftsplit2;create=true"
+    JdbcExec.execStatements(url, Map.empty,
+      "CREATE TABLE DOCS (K VARCHAR(8), N INT)" +:
+        (0 until 40).map(i => f"INSERT INTO DOCS VALUES ('k$i%02d', $i)"))
+    val plan = JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "DOCS", "K", 4)
+    // mysql_reader.go:304-345: sample DISTINCT ORDER BY (≤10·n values),
+    // boundary every (size/n)-th → k10/k20/k30; graft's ranges are
+    // half-open (the reference's `<= end` reads boundary rows twice)
+    val preds = plan.asInstanceOf[JdbcExec.SplitPlan.Probed].predicates
+    assert(preds === Seq(
+      "(\"K\" < 'k10') OR \"K\" IS NULL",
+      "\"K\" >= 'k10' AND \"K\" < 'k20'",
+      "\"K\" >= 'k20' AND \"K\" < 'k30'",
+      "\"K\" >= 'k30'"))
+    val p = new java.util.Properties()
+    val df = spark.read.jdbc(url, "DOCS", preds.toArray, p)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 40L) // disjoint complete cover, no double reads
+  }
+
+  test("splitPk probe fallbacks: all-NULL → single task, thin text → hash, dates → hash") {
+    val url = "jdbc:derby:memory:graftsplit3;create=true"
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      "CREATE TABLE EMPTYT (ID BIGINT)",
+      "CREATE TABLE NULLT (ID BIGINT)", "INSERT INTO NULLT VALUES (NULL), (NULL)",
+      "CREATE TABLE THIN (K VARCHAR(4))", "INSERT INTO THIN VALUES ('a'), ('b')",
+      "CREATE TABLE DATED (D DATE)",
+      "INSERT INTO DATED VALUES (DATE('2023-01-01'))"))
+    import JdbcExec.SplitPlan._
+    assert(JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "EMPTYT", "ID", 4) === SingleTask)
+    assert(JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "NULLT", "ID", 4) === SingleTask)
+    // 2 distinct values cannot bound 4 ranges (mysql_reader.go:335-337)
+    assert(JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "THIN", "K", 4) === UseHash)
+    // non-numeric non-text types have no probe strategy in the reference
+    assert(JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, "DATED", "D", 4) === UseHash)
+    // the probe respects the translated pushdown subquery (where folded in,
+    // mysql_reader.go:215-218): bounds come from the filtered rows only
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      "CREATE TABLE WIDE (ID BIGINT)",
+      "INSERT INTO WIDE VALUES (1),(2),(3),(50),(60),(70),(80),(1000)"))
+    val sub = "(SELECT \"ID\" FROM WIDE WHERE \"ID\" < 100) graft_q"
+    val preds = JdbcExec.probeSplit(url, Map.empty, Dialect.Sqlite, sub, "ID", 2)
+      .asInstanceOf[JdbcExec.SplitPlan.Probed].predicates
+    assert(preds === Seq(
+      "(\"ID\" >= 1 AND \"ID\" <= 40) OR \"ID\" IS NULL", // step = ceil(79/2)
+      "\"ID\" >= 41 AND \"ID\" <= 80"))
   }
 
   // ------------------------------------------------------- cdc streaming pair

@@ -94,4 +94,48 @@ class RollupSpec extends SparkSpec {
     // replaying the same refresh (same source head) is exactly-once skipped
     assert(Rollup.sync(src, dst, Rollup.transcriptAggs).skipped)
   }
+
+  test("the O(table) full-scan fallback is warned at sync time only on a non-aligned layout") {
+    // capture graft.lake.Rollup's WARN stream through a log4j2 core appender
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "rollup-warn-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val core = org.apache.logging.log4j.LogManager.getLogger(Rollup.getClass)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    core.addAppender(appender)
+    try {
+      // non-aligned: src distributed on the full key (conv_id, turn_idx),
+      // rollup grouped on conv_id alone ⇒ incremental refresh must warn
+      val src = LakeTable.create(spark, tmpDir("rwarn-src") + "/t", Model.keyCols, 4)
+      val dst = LakeTable.create(spark, tmpDir("rwarn-dst") + "/t", Seq("conv_id"), 2)
+      src.merge(Seq(ev("I", 1, "a", 0), ev("I", 2, "b", 0)).toDF(), epoch = 0L)
+      Rollup.sync(src, dst, Rollup.transcriptAggs) // bootstrap: no fallback path
+      assert(captured.isEmpty, "bootstrap must not warn")
+      src.merge(Seq(ev("U", 3, "a", 0, text = "v2")).toDF(), epoch = 1L)
+      Rollup.sync(src, dst, Rollup.transcriptAggs)
+      assert(captured.size === 1, s"expected exactly one fallback warn, got $captured")
+      assert(captured.get(0).contains("scans the FULL live table"))
+      assert(captured.get(0).contains("distributionColumns = groupCols"))
+
+      // aligned: distCols = (conv_id) ⊆ groupCols ⇒ bucket-pruned, silent
+      captured.clear()
+      val src2 = LakeTable.create(spark, tmpDir("rwarn-src2") + "/t", Model.keyCols, 4,
+        distCols = Seq("conv_id"))
+      val dst2 = LakeTable.create(spark, tmpDir("rwarn-dst2") + "/t", Seq("conv_id"), 2)
+      src2.merge(Seq(ev("I", 1, "a", 0), ev("I", 2, "b", 0)).toDF(), epoch = 0L)
+      Rollup.sync(src2, dst2, Rollup.transcriptAggs)
+      src2.merge(Seq(ev("U", 3, "a", 0, text = "v2")).toDF(), epoch = 1L)
+      Rollup.sync(src2, dst2, Rollup.transcriptAggs)
+      assert(captured.isEmpty, s"aligned layout must not warn, got $captured")
+      assertRollupMatches(src2, dst2)
+    } finally {
+      core.removeAppender(appender)
+      appender.stop()
+    }
+  }
 }

@@ -65,10 +65,20 @@ class StatsPruneSpec extends SparkSpec {
     val snap = t.currentSnapshot()
     assert(snap.files.nonEmpty)
     snap.files.foreach { f =>
-      assert(f.stats.keySet == Set("conv_id", "turn_idx"), s"stats cols of ${f.path}")
+      // tiered harvest: every file carries key bounds; BASE files add all
+      // mappable payload columns (clean-bucket pruning), DELTA files stay
+      // key-only (their payload bounds could never be used soundly)
+      if (f.kind == "b")
+        assert(Set("conv_id", "turn_idx", "ts", "role", "text").subsetOf(f.stats.keySet),
+          s"stats cols of base ${f.path}: ${f.stats.keySet}")
+      else
+        assert(f.stats.keySet == Set("conv_id", "turn_idx"),
+          s"stats cols of delta ${f.path}: ${f.stats.keySet}")
       val (cLo, cHi) = f.stats("conv_id")
       assert(cLo <= cHi && cLo.startsWith("c"))
     }
+    assert(snap.files.exists(_.kind == "b") && snap.files.exists(_.kind == "d"),
+      "fixture should exercise both harvest tiers")
     // manifests round-trip the stats
     val reopened = LakeTable.open(spark, root)
     assert(reopened.currentSnapshot().files.map(_.stats) == snap.files.map(_.stats))
@@ -154,6 +164,68 @@ class StatsPruneSpec extends SparkSpec {
     assert(t.readWhere(byText).collect().toSet ==
       t.read().filter(byText).collect().toSet)
     assert(!t.readWhere(byText).collect().exists(_.getAs[Int]("turn_idx") == 2))
+  }
+
+  test("clean buckets prune on ANY column: a ts window skips compacted files physically") {
+    val root = tmpDir("sp") + "/t"
+    val t = mergeThreeEpochs(LakeTable.create(spark, root, Model.keyCols, numBuckets = 4,
+      deltaRatio = 1e9, targetFileRows = Some(20L)))
+    t.compactAll()
+    val snap = t.currentSnapshot()
+    assert(snap.files.forall(_.kind == "b"))
+    // base files harvested ALL mappable columns, not just the key
+    assert(snap.files.forall(f => f.stats.contains("ts") && f.stats.contains("role")),
+      s"payload bounds missing: ${snap.files.map(_.stats.keySet).distinct}")
+    // ts is MUTABLE — but with every bucket clean the lemma applies, and the
+    // epoch-keyed ts ranges correlate with the sliced key ranges, so bounds
+    // discriminate. Epoch-2 rows start at lsn 2000 ⇒ ts >= base + 2000 s.
+    val cut = new Timestamp(1704067200000L + 2000L * 1000L)
+    val cond = col("ts") >= cut
+    val expected = t.read().filter(cond).orderBy("conv_id", "turn_idx").collect()
+    assert(expected.nonEmpty)
+    assert(t.readWhere(cond).orderBy("conv_id", "turn_idx").collect().toSeq
+      === expected.toSeq)
+    val (kept, total) = t.pruneCounts(cond)
+    assert(kept < total, s"ts window pruned nothing ($kept/$total)")
+    // physical proof: every file whose ts bounds end before the cut
+    // (canonical encoding: micros as decimal longs) can be made unreadable
+    val cutMicros = (1704067200000L + 2000L * 1000L) * 1000L
+    val prunable = snap.files.filter(_.stats("ts")._2.toLong < cutMicros)
+    assert(prunable.nonEmpty)
+    hide(root, prunable.map(_.path))
+    try {
+      assert(t.readWhere(cond).orderBy("conv_id", "turn_idx").collect().toSeq
+        === expected.toSeq)
+      intercept[Exception] { t.read().count() } // the full scan DOES need them
+    } finally unhide(root, prunable.map(_.path))
+  }
+
+  test("a delta disables payload pruning for its bucket: stale duplicates cannot resurrect") {
+    // the exact hazard the clean-bucket lemma's gate exists for: base holds
+    // every key's true winner (role='tool', high lsn); an at-least-once
+    // redelivery lands an OLDER duplicate with role='user' as a delta.
+    // Unsound payload pruning would skip the base on role bounds
+    // ([tool,tool] disproves ='user'), leaving the stale delta row to win
+    // the window and resurface — the gate keeps the base because the
+    // bucket is dirty.
+    val root = tmpDir("sp") + "/t"
+    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 1,
+      deltaRatio = 1e9)
+    t.merge((0 until 20).map(i =>
+      Model.ChangeEvent("I", 1000L + i, new Timestamp(1704067200000L + i * 1000L),
+        f"c$i%02d", 0, Some("tool"), Some("x"), None)).toDF(), epoch = 0L)
+    t.compactAll()
+    t.merge(Seq(Model.ChangeEvent("I", 5L, new Timestamp(1704067200000L),
+      "c05", 0, Some("user"), Some("stale"), None)).toDF(), epoch = 1L)
+    val cond = col("role") === "user"
+    assert(t.read().filter(cond).isEmpty) // every winner has role='tool'
+    assert(t.readWhere(cond).isEmpty,
+      "payload pruning in a dirty bucket resurrected a stale duplicate")
+    // compaction folds the duplicate away; the lemma applies again and the
+    // same predicate now disproves EVERY file
+    t.compactAll()
+    assert(t.readWhere(cond).isEmpty)
+    assert(t.pruneCounts(cond)._1 === 0, "clean-bucket role bounds should skip all files")
   }
 
   test("disjunctions prune when BOTH branches are disproven, never otherwise") {
