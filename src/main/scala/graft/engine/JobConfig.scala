@@ -151,6 +151,19 @@ object JobConfig {
   final case class CdcRead(logDir: String, format: String, checkpoint: String,
       maxFilesPerTrigger: Int, continuous: Boolean, triggerInterval: Option[String],
       dlqDir: Option[String], toolColumn: Boolean) extends ReaderPlan
+  /** lakereader (graft-native extension): a committed lake table as a
+    * source. Paired with `lakewriter` it runs the incremental lake→lake
+    * machinery from the JSON surface — [[graft.lake.Replicate.sync]] (one
+    * catch-up merge of every source commit past the destination's epoch
+    * watermark), or [[graft.lake.Rollup.sync]] when `aggregations` are
+    * configured (the destination's `primaryKey` are the GROUP columns).
+    * Paired with any other writer it exports the table's current resolved
+    * state as an ordinary batch source (transform chains apply as usual).
+    * `toVersion` pins replication/rollup to a source snapshot (time travel).
+    */
+  final case class LakeRead(root: String,
+      aggregations: Seq[(String, String)] = Nil,
+      toVersion: Option[Long] = None) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -194,6 +207,7 @@ object JobConfig {
     val writer = translateWriter(c.writerName, c.writer)
     // the streaming pair is all-or-nothing: change events only make sense
     // MERGE-applied by key, and the lake sink only accepts change events
+    // (or a lakereader's replication/rollup window)
     (reader, writer) match {
       case (_: CdcRead, _: LakeWrite) =>
         require(c.transforms.isEmpty,
@@ -201,8 +215,18 @@ object JobConfig {
             "applied verbatim (transform downstream of the lake table instead)")
       case (_: CdcRead, _) => throw new IllegalArgumentException(
         s"cdcreader must pair with lakewriter (got ${c.writerName})")
+      case (lr: LakeRead, _: LakeWrite) =>
+        require(c.transforms.isEmpty,
+          "lakereader→lakewriter content takes no transformer chain — the " +
+            "change window is applied verbatim (transform downstream, or " +
+            "export through a file/jdbc writer instead)")
+      case (lr: LakeRead, _) =>
+        require(lr.aggregations.isEmpty,
+          s"lakereader aggregations need a lakewriter destination (the " +
+            s"rollup is an incrementally-maintained lake table; got " +
+            s"${c.writerName})")
       case (_, _: LakeWrite) => throw new IllegalArgumentException(
-        s"lakewriter must pair with cdcreader (got ${c.readerName})")
+        s"lakewriter must pair with cdcreader or lakereader (got ${c.readerName})")
       case _ => ()
     }
     Translated(
@@ -333,6 +357,18 @@ object JobConfig {
         triggerInterval = Some(p.str("triggerInterval")).filter(_.nonEmpty),
         dlqDir = Some(p.str("dlqPath")).filter(_.nonEmpty),
         toolColumn = p.bool("toolColumn", default = true))
+
+    case "lakereader" =>
+      val root = p.str("path")
+      require(root.nonEmpty, "lakereader: path (the lake table root) is required")
+      val aggs = p.listConf("aggregations").map { a =>
+        val (n, e) = (a.str("name"), a.str("expr"))
+        require(n.nonEmpty && e.nonEmpty,
+          "lakereader aggregation entries need both 'name' and 'expr'")
+        (n, e)
+      }
+      LakeRead(root, aggs,
+        toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L))
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 

@@ -179,19 +179,48 @@ object Ivf {
       .limit(topK)
   }
 
+  /** Anchor-side multi-probe assignment: each row exploded to its `nProbe`
+    * nearest cells (dot desc, cell asc — the same order [[nearestCells]]
+    * uses). Bounded blow-up: the anchor side grows ×nProbe while candidates
+    * stay in their single home cell, so join work scales linearly in p and
+    * no pair can appear twice (a candidate lives in exactly one cell).
+    */
+  private def probeCells(emb: DataFrame, model: Model, vecCol: String,
+      nProbe: Int): DataFrame = {
+    // struct(-dot, cell) sorts ascending = dot desc with cell-asc ties
+    val entries = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-vec.dot(col(vecCol), typedLit(c))).as("nd"), lit(i).as("c"))
+    }: _*)
+    emb.withColumn("_cell",
+      explode(transform(slice(array_sort(entries), 1, nProbe),
+        x => x.getField("c"))))
+  }
+
   /** All-queries ANN top-k (kNN join over the IVF cells): candidates share a
-    * cell with the anchor (nProbe=1 join form — the scalable bulk shape;
-    * higher recall comes from more/larger cells or LSH in [[Similarity]]).
-    * Reads the materialized index when given a path, so the join's both
-    * sides are already cell-partitioned files.
+    * cell with the anchor. `nProbe = 1` is the classic bulk shape; a small
+    * `nProbe > 1` explodes each ANCHOR to its nProbe nearest cells (multi-
+    * probe), recovering the near-boundary neighbors a single cell misses at
+    * a bounded ×nProbe cost on the anchor side only — the candidate side
+    * stays one home cell per vector, so results never duplicate and recall
+    * is monotone in p (PipelineSpec pins the p=1 vs p=2 curve). Reads the
+    * materialized index when given a path, so the join's both sides are
+    * already cell-partitioned files.
     */
   def knnJoin(emb: DataFrame, model: Model, topK: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"nProbe=$nProbe must be in [1, k=${model.k}]")
     val a = assignCell(emb, model, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"),
         vec.norm(col(vecCol)).as("nrm"))
+    val anchors =
+      if (nProbe == 1) a
+      else probeCells(emb, model, vecCol, nProbe)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("_cell"),
+          vec.norm(col(vecCol)).as("nrm"))
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)
-    a.as("x").join(a.as("y"), Seq("_cell"))
+    anchors.as("x").join(a.as("y"), Seq("_cell"))
       .filter(col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         // rounded BEFORE ranking — cross-engine-stable tie-break

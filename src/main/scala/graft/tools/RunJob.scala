@@ -82,16 +82,63 @@ object RunJob {
           opts.foreach { case (k, v) => p.setProperty(k, v) }
           spark.read.jdbc(opts("url"), table, effective.toArray, p)
         } else spark.read.format("jdbc").options(opts).load()
+      case JobConfig.LakeRead(root, _, toVersion) =>
+        // snapshot export: the table's resolved state (optionally pinned to
+        // a version) as an ordinary batch input — lake→file/jdbc/stream jobs
+        val table = graft.lake.LakeTable.open(spark, rebasePath(root, ov.rebase))
+        toVersion.map(table.readVersion).getOrElse(table.read())
       case _: JobConfig.CdcRead => throw new IllegalArgumentException(
         "cdcreader is a streaming tail, not a batch input — it pairs with lakewriter")
     })
 
   def runContent(spark: SparkSession, t: JobConfig.Translated,
-      ov: Overrides = Overrides()): SyncJob.JobResult = t.writer match {
+      ov: Overrides = Overrides()): SyncJob.JobResult = (t.reader, t.writer) match {
+    // lake→lake: replication catch-up or rollup refresh, one epoch-guarded
+    // merge — never through buildInput (the window math IS the job)
+    case (lr: JobConfig.LakeRead, lw: JobConfig.LakeWrite) =>
+      runLakePair(spark, lr, lw, ov)
     // the streaming pair never goes through buildInput — the change log is
     // tailed by the pipeline's own readStream, not materialized as a batch
-    case lw: JobConfig.LakeWrite => runCdcContent(spark, t, lw, ov)
+    case (_, lw: JobConfig.LakeWrite) => runCdcContent(spark, t, lw, ov)
     case _ => runBatchContent(spark, t, ov)
+  }
+
+  /** lakereader→lakewriter content: [[graft.lake.Replicate.sync]] (no
+    * aggregations — a lake→lake catch-up that converges the destination to
+    * the source state in one epoch-guarded merge) or
+    * [[graft.lake.Rollup.sync]] (aggregations configured — the destination
+    * is an incrementally-maintained rollup grouped by its primaryKey).
+    * Replays are exactly-once by the same watermark the programmatic APIs
+    * use: the destination's per-writer epoch lineage.
+    */
+  private def runLakePair(spark: SparkSession, lr: JobConfig.LakeRead,
+      lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
+    val src = graft.lake.LakeTable.open(spark, rebasePath(lr.root, ov.rebase))
+    val rollup = lr.aggregations.nonEmpty
+    if (rollup) require(lw.keyCols.nonEmpty,
+      "lakewriter primaryKey is required for a rollup destination (the group columns)")
+    val dst = openOrCreateLake(spark, rebasePath(lw.root, ov.rebase),
+      keys = if (lw.keyCols.nonEmpty) lw.keyCols else src.keyCols,
+      buckets = lw.buckets, distCols = lw.distCols, targetFileRows = lw.targetFileRows)
+    // the ingest-default writerId would cross the replication watermark with
+    // the table's own ingest epochs (different epoch spaces) — scope it by
+    // role unless the config names one explicitly
+    val wid =
+      if (lw.writerId != graft.lake.LakeTable.DefaultWriter) lw.writerId
+      else if (rollup) "rollup" else "replication"
+    val st =
+      if (rollup) {
+        val aggs = lr.aggregations.map { case (n, e) =>
+          org.apache.spark.sql.functions.expr(e).as(n)
+        }
+        graft.lake.Rollup.sync(src, dst, aggs, writerId = wid, toVersion = lr.toVersion)
+      } else {
+        require(lr.toVersion.isEmpty,
+          "toVersion pinning is a rollup feature — replication always tracks the head")
+        graft.lake.Replicate.sync(src, dst, writerId = wid)
+      }
+    SyncJob.JobResult(rowsWritten = st.rowsApplied, rowsBad = 0L,
+      seconds = st.seconds, bytesWritten = st.bytesIn)
   }
 
   private def runBatchContent(spark: SparkSession, t: JobConfig.Translated,
@@ -242,6 +289,12 @@ object RunJob {
              s" splitPk=$splitPk×$splitN (range/dictionary probe at run time;" +
                s" static fallback${if (preds.nonEmpty) s": ${preds.head} ..." else ": single task"})"
            else if (preds.nonEmpty) s" split=${preds.length}: ${preds.head} ..." else "")
+      case JobConfig.LakeRead(root, aggs, toVersion) =>
+        s"lake $root " +
+          (if (aggs.nonEmpty)
+             s"rollup[${aggs.map { case (n, e) => s"$n=$e" }.mkString(", ")}]"
+           else "replicate/export") +
+          toVersion.map(v => s" @v$v").getOrElse("")
       case JobConfig.CdcRead(dir, fmt, ckpt, mft, cont, interval, dlq, tool) =>
         s"cdc-tail[$fmt] $dir ckpt=$ckpt maxFilesPerTrigger=$mft " +
           s"mode=${if (cont) "continuous" else "availableNow"}" +

@@ -481,6 +481,99 @@ class JobSpecSpec extends SparkSpec {
       "\"ID\" >= 41 AND \"ID\" <= 80"))
   }
 
+  // ----------------------------------------------------------- lakereader
+
+  test("lakereader→lakewriter config: replication converges to source state, replay applies 0") {
+    val work = tmpDir("lakerepl")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 4)
+    def ev(op: String, lsn: Long, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some(text), None)
+    src.merge(Seq(ev("I", 1, "a", 0, "v1"), ev("I", 2, "b", 0, "v1"),
+      ev("I", 3, "c", 0, "v1")).toDF(), epoch = 0L)
+    src.merge(Seq(ev("U", 4, "a", 0, "v2"), ev("D", 5, "b", 0, "")).toDF(), epoch = 1L)
+
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src"}},
+      "writer": {"name": "lakewriter", "parameter": {"path": "$work/dst"}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten > 0L)
+    val dst = LakeTable.open(spark, s"$work/dst")
+    assert(dst.keyCols === Model.keyCols) // fresh dst took the source's keys
+    def state(t: LakeTable) = t.read().select("conv_id", "turn_idx", "text").collect().toSet
+    assert(state(dst) === state(src))
+    // replay: the same config applies nothing (epoch watermark)
+    assert(RunJob.run(spark, spec).head.rowsWritten === 0L)
+    // more source commits, re-run: converges again (incremental window)
+    src.merge(Seq(ev("I", 6, "d", 0, "v1"), ev("U", 7, "c", 0, "v3")).toDF(), epoch = 2L)
+    assert(RunJob.run(spark, spec).head.rowsWritten > 0L)
+    assert(state(LakeTable.open(spark, s"$work/dst")) === state(src))
+  }
+
+  test("lakereader rollup config matches the programmatic Rollup.sync output") {
+    val work = tmpDir("lakeroll")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 4)
+    def ev(op: String, lsn: Long, conv: String, turn: Int) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some("x" * (turn + 1)), None)
+    src.merge((0 until 30).map(i => ev("I", i.toLong, s"c${i % 5}", i / 5)).toDF(), epoch = 0L)
+    src.merge(Seq(ev("D", 100, "c0", 0), ev("U", 101, "c1", 1)).toDF(), epoch = 1L)
+
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+        "aggregations": [{"name": "n_turns", "expr": "count(1)"},
+                         {"name": "n_chars", "expr": "sum(length(text))"},
+                         {"name": "last_ts", "expr": "max(ts)"}]}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/dst", "primaryKey": ["conv_id"], "buckets": 2}}}]}}""")
+    RunJob.run(spark, spec)
+
+    // oracle: the programmatic rollup into a SEPARATE destination
+    val progDst = LakeTable.create(spark, s"$work/prog", Seq("conv_id"), 2)
+    graft.lake.Rollup.sync(src, progDst, Seq(count(lit(1)).as("n_turns"),
+      sum(length($"text")).as("n_chars"), max($"ts").as("last_ts")))
+    val got = LakeTable.open(spark, s"$work/dst").read()
+      .select("conv_id", "n_turns", "n_chars", "last_ts").collect().toSet
+    val want = progDst.read()
+      .select("conv_id", "n_turns", "n_chars", "last_ts").collect().toSet
+    assert(got === want)
+    // incremental: more changes, re-run refreshes only dirty groups but
+    // still matches a from-scratch recompute
+    src.merge(Seq(ev("I", 102, "c9", 0)).toDF(), epoch = 2L)
+    RunJob.run(spark, spec)
+    val want2 = src.read().groupBy("conv_id").agg(count(lit(1)).as("n_turns"),
+        sum(length($"text")).as("n_chars"), max($"ts").as("last_ts"))
+      .collect().toSet
+    val got2 = LakeTable.open(spark, s"$work/dst").read()
+      .select("conv_id", "n_turns", "n_chars", "last_ts").collect().toSet
+    assert(got2 === want2)
+  }
+
+  test("lakereader with a file writer exports the resolved state; aggregations without lakewriter fail") {
+    val work = tmpDir("lakeexp")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 2)
+    def ev(op: String, lsn: Long, conv: String, turn: Int) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some("t"), None)
+    src.merge(Seq(ev("I", 1, "a", 0), ev("I", 2, "b", 0), ev("D", 3, "b", 0)).toDF(),
+      epoch = 0L)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src"}},
+      "writer": {"name": "hdfswriter", "parameter": {
+        "path": "$work/out", "fileName": "exp", "fileType": "parquet",
+        "writeMode": "truncate"}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten === 1L) // b was tombstoned
+    assert(spark.read.parquet(s"$work/out/exp").count() === 1L)
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "aggregations": [{"name": "n", "expr": "count(1)"}]}},
+        "writer": {"name": "streamwriter", "parameter": {}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("lakewriter destination"))
+  }
+
   // ------------------------------------------------------- cdc streaming pair
 
   test("cdcreader+lakewriter config: availableNow drain reaches the LWW state, replay is a no-op") {

@@ -215,6 +215,25 @@ class PipelineSpec extends SparkSpec {
     // knn-join form returns k rows per anchor within cells
     val kj = Ivf.knnJoin(emb, model, topK = 3)
     assert(kj.groupBy("a").count().agg(max("count")).collect()(0).getLong(0) <= 3L)
+
+    // multi-probe kNN join: p=2 anchors also scan their 2nd-nearest cell,
+    // recovering the near-boundary neighbors a single cell misses; the
+    // candidate side stays one home cell per vector so pairs never duplicate
+    val truthAll = Similarity.knnJoinBrute(emb, k = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    def recallOf(p: Int): Double = {
+      val pairs = Ivf.knnJoin(emb, model, topK = 3, nProbe = p)
+        .select("a", "b").as[(Long, Long)].collect()
+      assert(pairs.length === pairs.toSet.size, s"duplicate pairs at nProbe=$p")
+      truthAll.intersect(pairs.toSet).size.toDouble / truthAll.size
+    }
+    val r1 = recallOf(1)
+    val r2 = recallOf(2)
+    assert(r2 > r1, f"multi-probe did not improve recall: p=1 $r1%.3f vs p=2 $r2%.3f")
+    assert(r2 >= 0.5, f"p=2 recall $r2%.3f below floor")
+    // full probe degenerates to brute force within the join's k
+    val rk = recallOf(model.k)
+    assert(rk >= 0.999, f"nProbe=k recall $rk%.3f — full probe must be exact")
   }
 
   test("multimodal: batched stub decode preserves schema, locality and determinism") {
