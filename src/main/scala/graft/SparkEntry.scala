@@ -30,6 +30,29 @@ object SparkEntry {
   private def stageOnce[T <: AnyRef](key: String)(build: => T): T =
     staged.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
+  /** Shared staged fixture for the lake→lake queries (rollup, replicate):
+    * the events log as a 2-epoch change stream merged into a lake table
+    * keyed (user_id, event_type) — op derived from event_id, even lsns in
+    * epoch 0, odd in epoch 1. Returns (root, version of the epoch-0 cut).
+    */
+  private def stagedEventsLake(s: SparkSession, dir: String): (String, Long) =
+    stageOnce(s"events-lake:$dir") {
+      import org.apache.spark.sql.functions.{lit => l}
+      val p = java.nio.file.Files.createTempDirectory("graft-events-lake").toString
+      val ev = t(s, dir, "events").select(
+        when(col("event_id") % 7 === 0, l("D"))
+          .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+        col("event_id").as("lsn"),
+        col("user_id"), col("event_type"),
+        col("value"), col("event_id").as("src_lsn"))
+      val src = graft.lake.LakeTable.create(s, s"$p/src",
+        Seq("user_id", "event_type"), numBuckets = 8)
+      src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+      val cut = src.currentSnapshot().version
+      src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+      (s"$p/src", cut)
+    }
+
   /** Flagship query on sf=0.001: last-writer-wins CDC state of the events
     * log keyed by (user_id, event_type) — the merge stage's core semantics.
     */
@@ -475,21 +498,7 @@ object SparkEntry {
       // rollup recomputed from scratch over the LWW-with-deletes state in
       // SQL.
       import org.apache.spark.sql.functions.{lit => l}
-      val (srcRoot, cutVersion) = stageOnce(s"rollup-src:$dir") {
-        val p = java.nio.file.Files.createTempDirectory("graft-rollup-src").toString
-        val ev = t(s, dir, "events").select(
-          when(col("event_id") % 7 === 0, l("D"))
-            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
-          col("event_id").as("lsn"),
-          col("user_id"), col("event_type"),
-          col("value"), col("event_id").as("src_lsn"))
-        val src = graft.lake.LakeTable.create(s, s"$p/src",
-          Seq("user_id", "event_type"), numBuckets = 8)
-        src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
-        val cut = src.currentSnapshot().version
-        src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
-        (s"$p/src", cut)
-      }
+      val (srcRoot, cutVersion) = stagedEventsLake(s, dir)
       val src = graft.lake.LakeTable.open(s, srcRoot)
       val aggs = Seq(count(l(1)).as("n_live"), max(col("src_lsn")).as("last_lsn"),
         max(round(col("value"), 4)).as("max_value_r"))
@@ -517,6 +526,34 @@ object SparkEntry {
       SELECT user_id, count(*)::BIGINT AS n_live, max(lsn)::BIGINT AS last_lsn,
              max(round(value, 4)) AS max_value_r
       FROM live GROUP BY user_id""")),
+
+    ("cdc_replicate", (s, dir) => {
+      // lake→lake replication through the JSON job surface (lakereader →
+      // lakewriter, RunJob → Replicate.sync): the destination converges to
+      // the source's LWW-with-deletes state in one epoch-guarded catch-up;
+      // a re-run applies 0 rows. Oracle = the same live state recomputed
+      // from scratch in SQL. The staged part is the shared 2-epoch source
+      // lake; the timed work is the replication job + the state read.
+      val (srcRoot, _) = stagedEventsLake(s, dir)
+      val dstRoot = stageOnce(s"replicate-dst:$dir") {
+        java.nio.file.Files.createTempDirectory("graft-replicate-dst").toString + "/dst"
+      }
+      val spec = graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$srcRoot"}},
+        "writer": {"name": "lakewriter", "parameter": {"path": "$dstRoot"}}}]}}""")
+      graft.tools.RunJob.run(s, spec)
+      graft.lake.LakeTable.open(s, dstRoot).read()
+        .select(col("user_id"), col("event_type"), col("src_lsn").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
     ("cdc_group_read", (s, dir) => {
       // distribution-key layout (LakeTable.distCols): the lake is bucketed

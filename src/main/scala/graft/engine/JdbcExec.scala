@@ -87,7 +87,12 @@ object JdbcExec {
     * (`calculateTextDictionarySplitRanges:279-383`; bounded portably via
     * `Statement.setMaxRows` instead of per-dialect LIMIT syntax);
     * insufficient sample or a non-splittable type (dates, blobs) → hash;
-    * empty/all-NULL table → a single task.
+    * empty/all-NULL table → a single task. The reference's intermediate
+    * OFFSET/LIMIT fallback (`calculateOffsetSplitRanges:386-429`) is
+    * deliberately not probed: per-task `ORDER BY pk LIMIT l OFFSET o`
+    * clauses cannot ride Spark's predicate array, and OFFSET is itself a
+    * scan-and-discard on most engines — the hash cover reads the same
+    * bytes without the N sorts.
     *
     * Two graft deviations, both row-completeness fixes: the first predicate
     * catches NULL pks (the reference's ranges drop them), and text ranges

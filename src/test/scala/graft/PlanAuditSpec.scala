@@ -98,6 +98,17 @@ class PlanAuditSpec extends SparkSpec {
       s"simhash pairs must band-join, not cross-join:\n$plan")
   }
 
+  test("multi-probe IVF kNN join stays an equi-join on _cell — no cartesian") {
+    import graft.pipeline.Ivf
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Ivf.train(emb, k = 8, iters = 1)
+    val plan = planOf(Ivf.knnJoin(emb, model, topK = 3, nProbe = 2))
+    // the anchor explode must not degrade the cell join to a cross product
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe knnJoin must hash/merge-join on _cell:\n$plan")
+    assert(plan.contains("Generate"), s"anchors should explode probed cells:\n$plan")
+  }
+
   test("vec_dot is codegen-compatible (no CodegenFallback in similarity scan)") {
     val df = SparkEntry.queries("sim_topk")(spark, sfDir)
     val plan = planOf(df)
