@@ -555,6 +555,53 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
+    ("cdc_follow_stream", (s, dir) => {
+      // streaming followers (CdcPipeline.Follower): the events log becomes
+      // a transcript-shaped change log tailed by the streaming MERGE with a
+      // per-conversation ROLLUP follower attached — after every committed
+      // epoch the follower syncs inside the same micro-batch, so the rollup
+      // tracks ingest with ≤1-epoch lag. Oracle = the rollup recomputed
+      // from scratch over the LWW-with-deletes state in SQL. The log write
+      // and table creation stage once; a re-run resumes at end-of-log
+      // (exactly-once no-op), so the result is stable.
+      import org.apache.spark.sql.functions.{lit => l}
+      val (roots, src, roll) = stageOnce(s"follow-stream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-follow").toString
+        t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"), col("ts"),
+          concat(l("c"), col("user_id").cast("string")).as("conv_id"),
+          (col("event_id") % 997).cast("int").as("turn_idx"),
+          col("event_type").as("role"), col("props").as("text"),
+          when(col("event_id") % 5 === 0, col("event_type")).as("tool"))
+          .repartition(4).write.parquet(s"$p/log")
+        (p,
+          graft.lake.LakeTable.create(s, s"$p/src", Seq("conv_id", "turn_idx"),
+            numBuckets = 8),
+          graft.lake.LakeTable.create(s, s"$p/roll", Seq("conv_id"), numBuckets = 4))
+      }
+      graft.engine.cdc.CdcPipeline.replayAll(s, src,
+        graft.engine.cdc.CdcPipeline.CdcConfig(s"$roots/log", s"$roots/cp",
+          maxFilesPerTrigger = 2,
+          followers = Seq(graft.engine.cdc.CdcPipeline.RollupFollower(
+            roll, graft.lake.Rollup.transcriptAggs))))
+      roll.read().select("conv_id", "n_turns", "n_chars", "n_tool_calls", "last_ts")
+    }, Some("""
+      WITH e AS (SELECT 'c' || user_id AS conv_id, (event_id % 997)::INT AS turn_idx,
+                        event_type AS role, props AS text,
+                        CASE WHEN event_id % 5 = 0 THEN event_type END AS tool,
+                        ts, event_id AS lsn,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT conv_id, count(*)::BIGINT AS n_turns, sum(length(text))::BIGINT AS n_chars,
+             count(tool)::BIGINT AS n_tool_calls, max(ts) AS last_ts
+      FROM live GROUP BY conv_id""")),
+
     ("cdc_group_read", (s, dir) => {
       // distribution-key layout (LakeTable.distCols): the lake is bucketed
       // on user_id ALONE under key (user_id, event_type) — the Iceberg

@@ -163,7 +163,14 @@ object JobConfig {
     */
   final case class LakeRead(root: String,
       aggregations: Seq[(String, String)] = Nil,
-      toVersion: Option[Long] = None) extends ReaderPlan
+      toVersion: Option[Long] = None,
+      /** export-only SQL predicate — served by the manifest's stats-pruned
+        * scan ([[graft.lake.LakeTable.readWhere]]), so a selective filter
+        * skips whole files before Spark lists them
+        */
+      where: Option[String] = None,
+      /** export-only projection (`column`, other readers' param name) */
+      columns: Seq[String] = Nil) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -193,7 +200,21 @@ object JobConfig {
         * slice into contiguous key ranges so footer-stat file skipping
         * survives compaction ([[graft.lake.LakeTable.targetFileRows]])
         */
-      targetFileRows: Option[Long] = None) extends WriterPlan
+      targetFileRows: Option[Long] = None,
+      /** downstream tables co-maintained per streaming epoch (`followers`)
+        * — replicas (no aggregations) or rollups (aggregations set, the
+        * follower's `primaryKey` are the group columns); see
+        * [[graft.engine.cdc.CdcPipeline.Follower]]
+        */
+      followers: Seq[FollowerSpec] = Nil) extends WriterPlan
+
+  /** one `followers` entry on a lakewriter (the streaming analog of a
+    * standalone lakereader→lakewriter job, sharing its config shape)
+    */
+  final case class FollowerSpec(root: String,
+      keyCols: Seq[String], buckets: Int, distCols: Seq[String],
+      targetFileRows: Option[Long], writerId: String,
+      aggregations: Seq[(String, String)])
 
   final case class Translated(
       reader: ReaderPlan,
@@ -215,11 +236,18 @@ object JobConfig {
             "applied verbatim (transform downstream of the lake table instead)")
       case (_: CdcRead, _) => throw new IllegalArgumentException(
         s"cdcreader must pair with lakewriter (got ${c.writerName})")
-      case (lr: LakeRead, _: LakeWrite) =>
+      case (lr: LakeRead, lw: LakeWrite) =>
         require(c.transforms.isEmpty,
           "lakereader→lakewriter content takes no transformer chain — the " +
             "change window is applied verbatim (transform downstream, or " +
             "export through a file/jdbc writer instead)")
+        require(lw.followers.isEmpty,
+          "followers are a streaming (cdcreader→lakewriter) feature — for a " +
+            "batch lake→lake chain, run one lakereader job per destination")
+        require(lr.where.isEmpty && lr.columns.isEmpty,
+          "lakereader where/column are export features — replication and " +
+            "rollups consume the change window verbatim (a filtered replica " +
+            "would silently diverge from the source)")
       case (lr: LakeRead, _) =>
         require(lr.aggregations.isEmpty,
           s"lakereader aggregations need a lakewriter destination (the " +
@@ -368,7 +396,9 @@ object JobConfig {
         (n, e)
       }
       LakeRead(root, aggs,
-        toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L))
+        toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L),
+        where = Some(p.str("where")).filter(_.nonEmpty),
+        columns = p.strList("column").filterNot(_ == "*"))
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 
@@ -472,7 +502,26 @@ object JobConfig {
         vacuumEvery = p.int("vacuumEvery", 0),
         vacuumRetainVersions = p.int("vacuumRetainVersions", 8),
         distCols = p.strList("distributionColumns"),
-        targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L))
+        targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L),
+        followers = p.listConf("followers").map { f =>
+          val froot = f.str("path")
+          require(froot.nonEmpty, "lakewriter follower: path is required")
+          val aggs = f.listConf("aggregations").map { a =>
+            val (n, e) = (a.str("name"), a.str("expr"))
+            require(n.nonEmpty && e.nonEmpty,
+              "follower aggregation entries need both 'name' and 'expr'")
+            (n, e)
+          }
+          val keys = f.strList("primaryKey")
+          require(aggs.isEmpty || keys.nonEmpty,
+            "a rollup follower needs primaryKey (the group columns)")
+          FollowerSpec(froot, keys,
+            buckets = f.int("buckets", 32),
+            distCols = f.strList("distributionColumns"),
+            targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
+            writerId = f.str("writerId"),
+            aggregations = aggs)
+        })
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
 

@@ -33,6 +33,37 @@ object CdcPipeline {
   /** passthrough column carrying the verbatim envelope line to the DLQ */
   private val RawCol = "_raw_envelope"
 
+  /** A downstream lake table co-maintained WITH the stream: after every
+    * committed ingest epoch the follower syncs from the source's change
+    * log, inside the same `foreachBatch` — so follower lag is bounded by
+    * one micro-batch and a periodic source vacuum can never reclaim a
+    * delta window the follower still needs (syncs run before the vacuum
+    * step each epoch). Exactly-once falls out of the follower machinery
+    * itself: [[graft.lake.Replicate.sync]]/[[graft.lake.Rollup.sync]]
+    * watermark on the DESTINATION's per-writer epoch lineage, so an epoch
+    * replayed after a crash re-syncs as a no-op.
+    *
+    * Scale shape: each sync is O(changes in the window) for a replica and
+    * O(dirty buckets) for a layout-aligned rollup — batch-sized, never
+    * table-sized — but it serializes with ingest inside the micro-batch.
+    * When follower freshness may lag ingest instead, run
+    * [[graft.lake.Replicate.follow]] (or `lakereader` jobs on a schedule)
+    * out-of-band against the same tables; the watermark semantics are
+    * identical.
+    */
+  sealed trait Follower
+  /** full-fidelity replica: `dst` converges to the source's LWW state
+    * (deletes included) after every epoch
+    */
+  final case class ReplicaFollower(dst: LakeTable,
+      writerId: String = "replication") extends Follower
+  /** incrementally-maintained rollup: `dst.keyCols` are the group columns,
+    * `aggs` the named aggregate expressions (see [[graft.lake.Rollup.sync]])
+    */
+  final case class RollupFollower(dst: LakeTable,
+      aggs: Seq[org.apache.spark.sql.Column],
+      writerId: String = "rollup") extends Follower
+
   final case class CdcConfig(
       logDir: String,
       checkpointDir: String,
@@ -76,7 +107,11 @@ object CdcPipeline {
         * `starrocks_writer.go:27-31` flushInterval default 300 s, alongside
         * rows/bytes). None ⇒ Spark's as-fast-as-possible default trigger.
         */
-      triggerInterval: Option[String] = None)
+      triggerInterval: Option[String] = None,
+      /** downstream tables co-maintained per epoch (replicas / rollups);
+        * see [[Follower]] for the freshness/cost trade
+        */
+      followers: Seq[Follower] = Nil)
 
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
@@ -145,6 +180,12 @@ object CdcPipeline {
         }
         table.merge(batch, epoch, cfg.writerId)
         if (cfg.dlqDir.isDefined && isEnvelope) batch0.unpersist()
+        // followers sync BEFORE the vacuum step so a reclaimed delta window
+        // can never be one a follower still needs (lag stays ≤ 1 epoch)
+        cfg.followers.foreach {
+          case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
+          case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
+        }
         if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
           table.vacuum(cfg.vacuumRetainVersions)
         if (dbg) System.err.println(

@@ -82,11 +82,23 @@ object RunJob {
           opts.foreach { case (k, v) => p.setProperty(k, v) }
           spark.read.jdbc(opts("url"), table, effective.toArray, p)
         } else spark.read.format("jdbc").options(opts).load()
-      case JobConfig.LakeRead(root, _, toVersion) =>
+      case lr: JobConfig.LakeRead =>
         // snapshot export: the table's resolved state (optionally pinned to
-        // a version) as an ordinary batch input — lake→file/jdbc/stream jobs
-        val table = graft.lake.LakeTable.open(spark, rebasePath(root, ov.rebase))
-        toVersion.map(table.readVersion).getOrElse(table.read())
+        // a version) as an ordinary batch input — lake→file/jdbc/stream
+        // jobs. A `where` on the HEAD version goes through the manifest's
+        // stats-pruned scan (file skipping); a pinned version filters the
+        // snapshot read (pruning metadata describes the head only).
+        val table = graft.lake.LakeTable.open(spark, rebasePath(lr.root, ov.rebase))
+        val base = (lr.where, lr.toVersion) match {
+          case (Some(w), None) =>
+            table.readWhere(org.apache.spark.sql.functions.expr(w))
+          case (Some(w), Some(v)) =>
+            table.readVersion(v).filter(org.apache.spark.sql.functions.expr(w))
+          case (None, Some(v)) => table.readVersion(v)
+          case (None, None) => table.read()
+        }
+        if (lr.columns.isEmpty) base
+        else base.select(lr.columns.map(org.apache.spark.sql.functions.col): _*)
       case _: JobConfig.CdcRead => throw new IllegalArgumentException(
         "cdcreader is a streaming tail, not a batch input — it pairs with lakewriter")
     })
@@ -210,27 +222,44 @@ object RunJob {
 
   private def runCdcContent(spark: SparkSession, t: JobConfig.Translated,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
-    val JobConfig.LakeWrite(root0, keys, buckets, writerId, vacEvery, vacRetain,
-      distCols, fileRows) = lw
     val cdc = t.reader match {
       case c: JobConfig.CdcRead => c
       case other => throw new IllegalArgumentException(
         s"lakewriter requires cdcreader (got $other)") // translate() guards this
     }
-    val root = rebasePath(root0, ov.rebase)
-    val table = openOrCreateLake(spark, root, keys, buckets, distCols, fileRows)
+    val root = rebasePath(lw.root, ov.rebase)
+    val table = openOrCreateLake(spark, root, lw.keyCols, lw.buckets,
+      lw.distCols, lw.targetFileRows)
+    // followers: same open-or-create + role-scoped writerId defaults as a
+    // standalone lakereader→lakewriter job (runLakePair), attached per epoch
+    val followers = lw.followers.map { f =>
+      val rollup = f.aggregations.nonEmpty
+      val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),
+        keys = if (f.keyCols.nonEmpty) f.keyCols else table.keyCols,
+        buckets = f.buckets, distCols = f.distCols,
+        targetFileRows = f.targetFileRows)
+      val wid = if (f.writerId.nonEmpty) f.writerId
+        else if (rollup) "rollup" else "replication"
+      if (rollup) {
+        val aggs = f.aggregations.map { case (n, e) =>
+          org.apache.spark.sql.functions.expr(e).as(n)
+        }
+        graft.engine.cdc.CdcPipeline.RollupFollower(dst, aggs, wid)
+      } else graft.engine.cdc.CdcPipeline.ReplicaFollower(dst, wid)
+    }
     val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
       logDir = rebasePath(cdc.logDir, ov.rebase),
       checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
       maxFilesPerTrigger = cdc.maxFilesPerTrigger,
       availableNow = !cdc.continuous,
       toolColumn = cdc.toolColumn,
-      vacuumEvery = vacEvery,
-      vacuumRetainVersions = vacRetain,
-      writerId = writerId,
+      vacuumEvery = lw.vacuumEvery,
+      vacuumRetainVersions = lw.vacuumRetainVersions,
+      writerId = lw.writerId,
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
-      triggerInterval = cdc.triggerInterval)
+      triggerInterval = cdc.triggerInterval,
+      followers = followers)
     // job stats are the manifest-stat delta across the run: two cheap
     // metadata reads, no table scan (the 100 TB-safe way to count)
     def statTotals(): (Long, Long) = {
@@ -289,12 +318,14 @@ object RunJob {
              s" splitPk=$splitPk×$splitN (range/dictionary probe at run time;" +
                s" static fallback${if (preds.nonEmpty) s": ${preds.head} ..." else ": single task"})"
            else if (preds.nonEmpty) s" split=${preds.length}: ${preds.head} ..." else "")
-      case JobConfig.LakeRead(root, aggs, toVersion) =>
-        s"lake $root " +
-          (if (aggs.nonEmpty)
-             s"rollup[${aggs.map { case (n, e) => s"$n=$e" }.mkString(", ")}]"
+      case lr: JobConfig.LakeRead =>
+        s"lake ${lr.root} " +
+          (if (lr.aggregations.nonEmpty)
+             s"rollup[${lr.aggregations.map { case (n, e) => s"$n=$e" }.mkString(", ")}]"
            else "replicate/export") +
-          toVersion.map(v => s" @v$v").getOrElse("")
+          lr.toVersion.map(v => s" @v$v").getOrElse("") +
+          lr.where.map(w => s" where[$w]").getOrElse("") +
+          (if (lr.columns.nonEmpty) s" cols=(${lr.columns.mkString(",")})" else "")
       case JobConfig.CdcRead(dir, fmt, ckpt, mft, cont, interval, dlq, tool) =>
         s"cdc-tail[$fmt] $dir ckpt=$ckpt maxFilesPerTrigger=$mft " +
           s"mode=${if (cont) "continuous" else "availableNow"}" +
@@ -317,13 +348,18 @@ object RunJob {
         }
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
-      case JobConfig.LakeWrite(root, keys, buckets, writerId, vacEvery, vacRetain,
-          dist, fileRows) =>
-        s"lake-merge $root key=(${keys.mkString(",")}) buckets=$buckets " +
-          s"writerId=$writerId" +
-          (if (dist.nonEmpty) s" dist=(${dist.mkString(",")})" else "") +
-          (if (vacEvery > 0) s" vacuumEvery=$vacEvery retain=$vacRetain" else "") +
-          fileRows.map(n => s" targetFileRows=$n").getOrElse("")
+      case lw: JobConfig.LakeWrite =>
+        s"lake-merge ${lw.root} key=(${lw.keyCols.mkString(",")}) " +
+          s"buckets=${lw.buckets} writerId=${lw.writerId}" +
+          (if (lw.distCols.nonEmpty) s" dist=(${lw.distCols.mkString(",")})" else "") +
+          (if (lw.vacuumEvery > 0)
+            s" vacuumEvery=${lw.vacuumEvery} retain=${lw.vacuumRetainVersions}" else "") +
+          lw.targetFileRows.map(n => s" targetFileRows=$n").getOrElse("") +
+          lw.followers.map(f => "\n    follower: " +
+            (if (f.aggregations.isEmpty) s"replica ${f.root}"
+             else s"rollup ${f.root} group=(${f.keyCols.mkString(",")}) " +
+               f.aggregations.map { case (n, e) => s"$n=$e" }.mkString(","))
+          ).mkString
     }
     val tr = if (t.transforms.isEmpty) "" else
       s"\n  transform: ${t.transforms.map(_.getClass.getSimpleName).mkString(" → ")}"

@@ -102,6 +102,51 @@ class CdcReplaySpec extends SparkSpec {
     assertStateMatches(table, cfg)
   }
 
+  test("streaming followers: replica and rollup co-maintained per epoch, resume-safe") {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val logDir = tmpDir("cdclog-f")
+    val cp = tmpDir("cp-f")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 10)
+
+    val table = LakeTable.create(spark, tmpDir("lake-f"), Model.keyCols, numBuckets = 8)
+    val replica = LakeTable.create(spark, tmpDir("replica-f"), Model.keyCols, numBuckets = 4)
+    // rollup grouped on the lake's distribution key → dirty-bucket refreshes
+    val rollup = LakeTable.create(spark, tmpDir("rollup-f"), Seq("conv_id"), numBuckets = 4)
+    val aggs = graft.lake.Rollup.transcriptAggs
+    // aggressive vacuum alongside: followers sync before the vacuum step
+    // each epoch, so retention can never reclaim a window they still need
+    val cdcCfg = CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 3,
+      vacuumEvery = 2, vacuumRetainVersions = 2,
+      followers = Seq(CdcPipeline.ReplicaFollower(replica),
+        CdcPipeline.RollupFollower(rollup, aggs)))
+
+    // phase 1: stop mid-stream — follower watermarks must survive the crash
+    val q = CdcPipeline.start(spark, table, cdcCfg.copy(availableNow = false))
+    var waited = 0
+    while (table.currentSnapshot().lastEpoch < 1 && waited < 600) {
+      Thread.sleep(100); waited += 1
+    }
+    q.stop()
+    q.awaitTermination()
+    // phase 2: resume from the same checkpoint to completion
+    CdcPipeline.replayAll(spark, table, cdcCfg)
+
+    assertStateMatches(table, cfg)
+    assertStateMatches(replica, cfg)
+    // the rollup equals a from-scratch recompute over the final state
+    val cols = Seq("conv_id", "n_turns", "n_chars", "n_tool_calls", "last_ts")
+    val got = rollup.read().select(cols.head, cols.tail: _*)
+    val want = table.read().groupBy("conv_id").agg(aggs.head, aggs.tail: _*)
+      .select(cols.head, cols.tail: _*)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L,
+      "rollup diverged from the from-scratch aggregate")
+    // follower lag is zero at end-of-log: both are synced to the source head
+    val head = table.currentSnapshot().version
+    assert(replica.currentSnapshot().lastEpochFor("replication") === head)
+    assert(rollup.currentSnapshot().lastEpochFor("rollup") === head)
+  }
+
   test("replayed epoch is skipped idempotently (batch API)") {
     import spark.implicits._
     val cfg = Gen.GenConfig(nEvents = 2000L, nConvs = 50L, partitions = 4)

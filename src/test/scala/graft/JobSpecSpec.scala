@@ -574,6 +574,39 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("lakewriter destination"))
   }
 
+  test("lakereader export with where/column: filtered projection, filter file-skips") {
+    val work = tmpDir("lakeexpw")
+    // targetFileRows slices each bucket's publish into contiguous key
+    // ranges, so the key-bounds pruner has files it can actually drop
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 2,
+      targetFileRows = Some(8L))
+    def ev(lsn: Long, conv: String, turn: Int) =
+      Model.ChangeEvent("I", lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some(s"t$lsn"), None)
+    src.merge((0 until 40).map(i => ev(i.toLong, f"c$i%03d", 0)).toDF(), epoch = 0L)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+        "where": "conv_id >= 'c030'", "column": ["conv_id", "text"]}},
+      "writer": {"name": "hdfswriter", "parameter": {
+        "path": "$work/out", "fileName": "exp", "fileType": "parquet",
+        "writeMode": "truncate"}}}]}}""")
+    assert(RunJob.run(spark, spec).head.rowsWritten === 10L)
+    val out = spark.read.parquet(s"$work/out/exp")
+    assert(out.columns.toSeq === Seq("conv_id", "text"))
+    assert(out.count() === 10L)
+    // the predicate reached the manifest pruner: strictly fewer files scanned
+    val (kept, total) = src.pruneCounts(col("conv_id") >= "c030")
+    assert(total > 1 && kept < total, s"no file skip: kept $kept of $total")
+    // filtered replication is rejected at translate time (silent divergence)
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "where": "turn_idx = 0"}},
+        "writer": {"name": "lakewriter", "parameter": {"path": "$work/d"}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("export"))
+  }
+
   // ------------------------------------------------------- cdc streaming pair
 
   test("cdcreader+lakewriter config: availableNow drain reaches the LWW state, replay is a no-op") {
@@ -605,6 +638,43 @@ class JobSpecSpec extends SparkSpec {
     // JSON entry point, not just the programmatic API)
     val res2 = RunJob.run(spark, spec).head
     assert(res2.rowsWritten === 0L)
+  }
+
+  test("lakewriter followers: replica and rollup ride the streaming job from JSON") {
+    val cfg = Gen.GenConfig(nEvents = 6000L, nConvs = 80L, partitions = 4)
+    val work = tmpDir("cdcjob-f")
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 4)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "followers": [
+          {"path": "$work/replica", "buckets": 2},
+          {"path": "$work/roll", "primaryKey": ["conv_id"], "buckets": 2,
+           "aggregations": [{"name": "n_turns", "expr": "count(1)"},
+                            {"name": "last_ts", "expr": "max(ts)"}]}
+        ]}}}]}}""")
+    RunJob.run(spark, spec)
+    val want = Gen.expectedState(spark, cfg).toDF()
+    // replica (keys inherited from the ingest table) reaches the LWW state
+    val gotR = LakeTable.open(spark, s"$work/replica").read()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(gotR.exceptAll(want).count() + want.exceptAll(gotR).count() === 0L)
+    // rollup equals the from-scratch aggregate of the final state
+    val gotA = LakeTable.open(spark, s"$work/roll").read()
+      .select("conv_id", "n_turns", "last_ts")
+    val wantA = want.groupBy("conv_id")
+      .agg(expr("count(1)").as("n_turns"), expr("max(ts)").as("last_ts"))
+    assert(gotA.exceptAll(wantA).count() + wantA.exceptAll(gotA).count() === 0L)
+    // followers on a batch lake→lake chain are rejected at translate time
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/lake"}},
+        "writer": {"name": "lakewriter", "parameter": {
+          "path": "$work/d2", "followers": [{"path": "$work/d3"}]}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("streaming"))
   }
 
   test("cdcreader envelope format: debezium JSONL tail with a DLQ through the job runner") {
