@@ -555,6 +555,103 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
+    ("cdc_changefeed", (s, dir) => {
+      // CDC-out wire round trip through the JSON surface: the staged source
+      // lake's bootstrap change set (LWW state, tombstones included) exports
+      // as a Debezium JSONL feed (lakereader fromVersion=-1 → cdcwriter),
+      // and a second JSON job replays the feed through the streaming pair
+      // (cdcreader format=debezium with typed column specs — a
+      // NON-transcript payload — → lakewriter) into a fresh lake. Both jobs
+      // stage once; the surface is the destination's resolved state. Oracle
+      // = the source's LWW-with-deletes live state recomputed in SQL: the
+      // feed must carry every live row AND every tombstone faithfully
+      // (source.lsn rides the envelope, so lsns survive the wire).
+      val dstRoot = stageOnce(s"changefeed:$dir") {
+        val (srcRoot, _) = stagedEventsLake(s, dir)
+        val p = java.nio.file.Files.createTempDirectory("graft-changefeed").toString
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "lakereader", "parameter": {"path": "$srcRoot",
+            "fromVersion": -1}},
+          "writer": {"name": "cdcwriter", "parameter": {"path": "$p",
+            "format": "debezium",
+            "onConflictColumn": ["user_id", "event_type"]}}}]}}"""))
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "cdcreader", "parameter": {
+            "path": "$p/feed", "format": "debezium", "checkpoint": "$p/cp",
+            "column": [{"name": "user_id", "type": "long"},
+                       {"name": "event_type", "type": "string"},
+                       {"name": "value", "type": "double"},
+                       {"name": "src_lsn", "type": "long"}]}},
+          "writer": {"name": "lakewriter", "parameter": {
+            "path": "$p/dst", "primaryKey": ["user_id", "event_type"],
+            "buckets": 4}}}]}}"""))
+        s"$p/dst"
+      }
+      graft.lake.LakeTable.open(s, dstRoot).read()
+        .select(col("user_id"), col("event_type"), col("src_lsn").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
+
+    ("cdc_jdbc_apply", (s, dir) => {
+      // the reference's flagship incremental-sync shape through the JSON
+      // surface: a change log streamed into a LIVE database (the bundled
+      // Derby engine via the ANSI dialect) — per-epoch LWW dedupe,
+      // tombstones as key-ranged DELETEs, portable same-transaction
+      // DELETE+INSERT upserts, and a target-side epoch ledger (exactly-once
+      // end state across checkpoint rebuilds). The log is chunked by lsn
+      // RANGE so epoch order equals lsn order (the contract a versionless
+      // target needs — CdcPipeline.JdbcDest scaladoc). Staged once; the
+      // output is the target table read back over JDBC. Oracle = the
+      // LWW-with-deletes live state in SQL.
+      val url = stageOnce(s"jdbc-apply:$dir") {
+        val u = s"jdbc:derby:memory:cdcapply${math.abs(dir.hashCode)};create=true"
+        val p = java.nio.file.Files.createTempDirectory("graft-cdcapply").toString
+        import org.apache.spark.sql.functions.{lit => l}
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"), col("user_id"), col("event_type"),
+          when(col("event_id") % 7 =!= 0, col("value")).as("value"))
+        val mid = ev.agg(max(col("lsn"))).head().getLong(0) / 2
+        ev.filter(col("lsn") <= mid).repartition(2)
+          .write.mode("append").parquet(s"$p/log")
+        ev.filter(col("lsn") > mid).repartition(2)
+          .write.mode("append").parquet(s"$p/log")
+        graft.engine.JdbcExec.execStatements(u, Map.empty, Seq(
+          """CREATE TABLE "events_state" ("user_id" BIGINT NOT NULL, """ +
+            """"event_type" VARCHAR(64) NOT NULL, "value" DOUBLE, """ +
+            """PRIMARY KEY ("user_id", "event_type"))"""))
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "cdcreader", "parameter": {
+            "path": "$p/log", "checkpoint": "$p/cp", "maxFilesPerTrigger": 2,
+            "column": [{"name": "user_id", "type": "long"},
+                       {"name": "event_type", "type": "string"},
+                       {"name": "value", "type": "double"}]}},
+          "writer": {"name": "sqlitewriter", "parameter": {
+            "writeMode": "update",
+            "connection": [{"jdbcUrl": "$u", "table": ["events_state"]}]}}}]}}"""))
+        u
+      }
+      s.read.jdbc(url, "\"events_state\"", new java.util.Properties())
+        .select(col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, round(value, 4) AS value_r FROM live""")),
+
     ("cdc_follow_stream", (s, dir) => {
       // streaming followers (CdcPipeline.Follower): the events log becomes
       // a transcript-shaped change log tailed by the streaming MERGE with a

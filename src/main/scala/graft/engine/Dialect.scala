@@ -65,6 +65,14 @@ sealed abstract class Dialect(
   def replaceSql(table: String, cols: Seq[String], primaryKeys: Seq[String],
       rows: Int = 1): String = upsertSql(table, cols, primaryKeys, rows)
 
+  /** Whether [[upsertSql]] with primary keys compiles to a REAL conflict
+    * form (ON DUPLICATE KEY / ON CONFLICT / MERGE) rather than degrading to
+    * a plain INSERT (the scenario-4 dialects). The CDC live-apply path
+    * ([[JdbcExec.applyChanges]]) uses the native form where this is true and
+    * a portable same-transaction DELETE+INSERT pair everywhere else.
+    */
+  def nativeUpsert: Boolean = false
+
   /** writeModes this dialect's plugin accepts (`insert` everywhere; mysql
     * family adds `replace`/`update`; gaussdb REJECTS everything but insert,
     * `gaussdb_writer.go:43-46`).
@@ -132,6 +140,7 @@ object Dialect {
     * the mysql wire protocol).
     */
   sealed class MysqlFamily(name: String) extends Dialect(name, "`", "`") {
+    override def nativeUpsert: Boolean = true
     override protected def multiStatementSessionOk: Boolean = true
     // Connector/J rejects multi-statement strings unless the URL opts in;
     // a single session statement needs no URL change. An EXPLICIT
@@ -164,6 +173,7 @@ object Dialect {
 
   /** ANSI double-quote family with ON CONFLICT upsert (postgres, gaussdb). */
   sealed class PostgresFamily(name: String) extends Dialect(name, "\"", "\"") {
+    override def nativeUpsert: Boolean = true
     // pgjdbc executes multi-statement simple queries natively
     override protected def multiStatementSessionOk: Boolean = true
     override def hashSplitPredicates(splitPk: String, n: Int): Option[Array[String]] =
@@ -200,6 +210,7 @@ object Dialect {
     * semantics); all-PK inputs get the WHEN-NOT-MATCHED-only skip form.
     */
   case object Oracle extends AnsiQuoted("oracle") {
+    override def nativeUpsert: Boolean = true
     private def mergeSql(table: String, cols: Seq[String], pks: Seq[String],
         updateCols: Seq[String], rows: Int): String = {
       val srcRows = Seq.fill(rows)(
@@ -238,6 +249,10 @@ object Dialect {
     }
   }
   case object ClickHouse extends MysqlFamily("clickhouse") {
+    // no conflict clause (dedup is engine-side ReplacingMergeTree) — the
+    // CDC apply's delete path is likewise engine-specific; route CDC fan-out
+    // to clickhouse through a lake follower instead
+    override def nativeUpsert: Boolean = false
     // clickhouse-jdbc has no multi-statement path and no allowMultiQueries
     override protected def multiStatementSessionOk: Boolean = false
     override protected def sessionUrl(url: String, session: Seq[String]): String = url

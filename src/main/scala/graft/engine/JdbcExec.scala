@@ -168,6 +168,207 @@ object JdbcExec {
     } finally st.close()
   }
 
+  /** Create the CDC epoch-ledger table on the target if absent (unquoted
+    * identifiers for portability; the PK makes [[recordEpoch]] race-safe).
+    * Connection failures propagate; only the CREATE's already-exists error
+    * is swallowed.
+    */
+  def ensureLedger(url: String, props: Map[String, String], ledger: String): Unit = {
+    val conn = connect(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE $ledger (WRITER_ID VARCHAR(128) NOT NULL, " +
+        "EPOCH BIGINT NOT NULL, PRIMARY KEY (WRITER_ID, EPOCH))")
+      catch { case _: java.sql.SQLException => () } // exists already
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Whether `(writerId, epoch)` is already recorded in the ledger. */
+  def epochApplied(url: String, props: Map[String, String], ledger: String,
+      writerId: String, epoch: Long): Boolean = {
+    val conn = connect(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"SELECT COUNT(*) FROM $ledger WHERE WRITER_ID = ? AND EPOCH = ?")
+      try {
+        st.setString(1, writerId)
+        st.setLong(2, epoch)
+        val rs = st.executeQuery()
+        try { rs.next(); rs.getLong(1) > 0 } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Highest recorded epoch for `writerId` (-1 when none) — the catch-up
+    * watermark for [[graft.engine.cdc.JdbcApply.sync]]. Propagates
+    * SQLExceptions (e.g. the ledger table not existing yet) so the caller
+    * can create it and start from -1.
+    */
+  def maxEpoch(url: String, props: Map[String, String], ledger: String,
+      writerId: String): Long = {
+    val conn = connect(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"SELECT MAX(EPOCH) FROM $ledger WHERE WRITER_ID = ?")
+      try {
+        st.setString(1, writerId)
+        val rs = st.executeQuery()
+        try {
+          if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Record `(writerId, epoch)` as applied. A duplicate (two racing replays
+    * past the [[epochApplied]] check) hits the ledger PK — harmless, both
+    * applied the same idempotent batch.
+    */
+  def recordEpoch(url: String, props: Map[String, String], ledger: String,
+      writerId: String, epoch: Long): Unit = {
+    val conn = connect(url, props)
+    try {
+      val st = conn.prepareStatement(s"INSERT INTO $ledger VALUES (?, ?)")
+      try {
+        st.setString(1, writerId)
+        st.setLong(2, epoch)
+        try st.executeUpdate()
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Apply a LWW-deduped change batch — rows shaped `(op, lsn, payload...)`,
+    * at most one row per key — to a live table: tombstones (`op = D`) become
+    * key-ranged DELETEs; everything else upserts through the dialect's
+    * native conflict form when it has one ([[Dialect.nativeUpsert]]) or a
+    * DELETE + INSERT pair inside the same transaction otherwise (the
+    * portable upsert — Derby, SQLite, SQL Server et al.). Both statements
+    * ride the JDBC batch protocol per [[Dialect.defaultBatchSize]]-row
+    * transaction, deletes flushed before inserts, with the same bounded
+    * rollback-retry as [[write]]. Returns (upserted rows, deleted keys).
+    *
+    * `columns` names the TARGET columns positionally against the payload
+    * columns (reference bind-by-position semantics); `keyCols` are target
+    * names and must appear in `columns`.
+    */
+  def applyChanges(
+      df: DataFrame,
+      dialect: Dialect,
+      url: String,
+      table: String,
+      columns: Seq[String],
+      keyCols: Seq[String],
+      batchSize: Int = 0,
+      session: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty,
+      retry: BatchedExec.RetryPolicy = BatchedExec.RetryPolicy()): (Long, Long) = {
+    val payloadCols = df.columns.filterNot(c => c == "op" || c == "lsn").toSeq
+    val cols =
+      if (columns.isEmpty || columns == Seq("*")) payloadCols
+      else columns
+    require(payloadCols.length >= cols.length,
+      s"change events carry ${payloadCols.length} payload columns for " +
+        s"${cols.length} target columns")
+    val keyIdx = keyCols.map { k =>
+      val i = cols.indexOf(k)
+      require(i >= 0, s"key column '$k' is not among the target columns " +
+        s"(${cols.mkString(", ")})")
+      i
+    }
+    val projected = df.selectExpr("`op`" +: payloadCols.take(cols.length).map(c => s"`$c`"): _*)
+    val upserts = projected.sparkSession.sparkContext.longAccumulator("cdcJdbcUpserts")
+    val deletes = projected.sparkSession.sparkContext.longAccumulator("cdcJdbcDeletes")
+    val bs = if (batchSize > 0) batchSize else dialect.defaultBatchSize
+    val retries = retry.retryTimes
+    val sleep = retry.retrySleepMillis
+    val dialectName = dialect.name
+    projected.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val d = Dialect.byName(dialectName)
+        val conn = connect(url, props)
+        try {
+          if (session.nonEmpty) {
+            val st = conn.createStatement()
+            try session.foreach(st.execute)
+            finally st.close()
+          }
+          val deleteSql = s"DELETE FROM ${d.quote(table)} WHERE " +
+            keyCols.map(k => s"${d.quote(k)} = ?").mkString(" AND ")
+          val upsertSql =
+            if (d.nativeUpsert) d.upsertSql(table, cols, keyCols)
+            else d.upsertSql(table, cols, Nil) // plain INSERT after the delete
+          val delStmt = conn.prepareStatement(deleteSql)
+          val upStmt = conn.prepareStatement(upsertSql)
+          try {
+            val paramTypes: Array[Int] =
+              try {
+                val md = upStmt.getParameterMetaData
+                Array.tabulate(cols.length)(i => md.getParameterType(i + 1))
+              } catch {
+                case _: Exception => Array.fill(cols.length)(java.sql.Types.NULL)
+              }
+            conn.setAutoCommit(false)
+            it.grouped(bs).foreach { batch =>
+              var attempt = 0
+              var done = false
+              var last: Throwable = null
+              while (!done && attempt <= retries) {
+                if (attempt > 0 && sleep > 0) Thread.sleep(sleep)
+                try {
+                  delStmt.clearBatch()
+                  upStmt.clearBatch()
+                  var nDel = 0
+                  var nUp = 0
+                  batch.foreach { row =>
+                    val isDelete = row.getString(0) == "D"
+                    // keys deduped upstream: a tombstone clears the key; a
+                    // non-native upsert clears then re-inserts it
+                    if (isDelete || !d.nativeUpsert) {
+                      var j = 0
+                      while (j < keyIdx.length) {
+                        val v = row.get(keyIdx(j) + 1) // +1: op leads the row
+                        if (v == null) delStmt.setNull(j + 1, java.sql.Types.NULL)
+                        else delStmt.setObject(j + 1, v)
+                        j += 1
+                      }
+                      delStmt.addBatch()
+                      if (isDelete) nDel += 1
+                    }
+                    if (!isDelete) {
+                      var i = 0
+                      while (i < cols.length) {
+                        val v = row.get(i + 1)
+                        if (v == null) upStmt.setNull(i + 1, paramTypes(i))
+                        else upStmt.setObject(i + 1, v)
+                        i += 1
+                      }
+                      upStmt.addBatch()
+                      nUp += 1
+                    }
+                  }
+                  delStmt.executeBatch() // clear keys before re-insert
+                  upStmt.executeBatch()
+                  conn.commit()
+                  deletes.add(nDel)
+                  upserts.add(nUp)
+                  done = true
+                } catch {
+                  case e: Throwable =>
+                    try conn.rollback() catch { case _: Throwable => () }
+                    last = e; attempt += 1
+                }
+              }
+              if (!done) throw new BatchedExec.BatchFailed(retries + 1, last)
+            }
+          } finally { delStmt.close(); upStmt.close() }
+        } finally conn.close()
+      }
+    }
+    (upserts.value, deletes.value)
+  }
+
   private def connect(url: String, props: Map[String, String]): Connection = {
     val p = new Properties()
     props.filter { case (k, v) => (k == "user" || k == "password") && v.nonEmpty }

@@ -150,7 +150,12 @@ object JobConfig {
     */
   final case class CdcRead(logDir: String, format: String, checkpoint: String,
       maxFilesPerTrigger: Int, continuous: Boolean, triggerInterval: Option[String],
-      dlqDir: Option[String], toolColumn: Boolean) extends ReaderPlan
+      dlqDir: Option[String], toolColumn: Boolean,
+      /** payload schema from named, typed `column` specs (the reference's
+        * reader column shape) — None ⇒ the transcript default; set it to
+        * tail change logs of any table shape
+        */
+      payload: Option[org.apache.spark.sql.types.StructType] = None) extends ReaderPlan
   /** lakereader (graft-native extension): a committed lake table as a
     * source. Paired with `lakewriter` it runs the incremental lake→lake
     * machinery from the JSON surface — [[graft.lake.Replicate.sync]] (one
@@ -170,7 +175,16 @@ object JobConfig {
         */
       where: Option[String] = None,
       /** export-only projection (`column`, other readers' param name) */
-      columns: Seq[String] = Nil) extends ReaderPlan
+      columns: Seq[String] = Nil,
+      /** CDC-out: export the CHANGE SET instead of the resolved state —
+        * `-1` the bootstrap feed (current LWW state, tombstones included,
+        * the fresh-consumer start), `k ≥ 0` the committed window
+        * `(k, toVersion|head]` ([[graft.lake.LakeTable.readChangesBetween]]
+        * semantics: O(window), rollback-reverted versions skipped). Rows
+        * are canonical `(op, lsn, payload...)` — pair with `cdcwriter` for
+        * an envelope JSONL feed any downstream CDC consumer can replay.
+        */
+      fromVersion: Option[Long] = None) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -209,12 +223,18 @@ object JobConfig {
       followers: Seq[FollowerSpec] = Nil) extends WriterPlan
 
   /** one `followers` entry on a lakewriter (the streaming analog of a
-    * standalone lakereader→lakewriter job, sharing its config shape)
+    * standalone lakereader→lakewriter job, sharing its config shape).
+    * An entry with `jdbcUrl` set is instead a LIVE-DATABASE mirror
+    * ([[graft.engine.cdc.CdcPipeline.JdbcFollower]]): `table` + `dialect`
+    * name the target, `onConflictColumn` (or the target's PK metadata)
+    * the keys — sound under log reorder because the lake arbitrates first.
     */
   final case class FollowerSpec(root: String,
       keyCols: Seq[String], buckets: Int, distCols: Seq[String],
       targetFileRows: Option[Long], writerId: String,
-      aggregations: Seq[(String, String)])
+      aggregations: Seq[(String, String)],
+      jdbcUrl: String = "", jdbcTable: String = "", jdbcDialect: String = "",
+      jdbcProps: Map[String, String] = Map.empty)
 
   final case class Translated(
       reader: ReaderPlan,
@@ -234,8 +254,18 @@ object JobConfig {
         require(c.transforms.isEmpty,
           "cdcreader content takes no transformer chain — change events are " +
             "applied verbatim (transform downstream of the lake table instead)")
+      case (_: CdcRead, jw: JdbcWrite) =>
+        // live-database destination: the streaming MERGE-apply
+        // ([[graft.engine.cdc.CdcPipeline.startJdbc]]) — the reference's
+        // incremental mysql2mysql sync shape
+        require(c.transforms.isEmpty,
+          "cdcreader content takes no transformer chain — change events are " +
+            "applied verbatim")
+        require(jw.writeMode != "insert",
+          "cdc apply into a live database is a per-key MERGE — set " +
+            "writeMode update (or replace); plain insert would duplicate on replay")
       case (_: CdcRead, _) => throw new IllegalArgumentException(
-        s"cdcreader must pair with lakewriter (got ${c.writerName})")
+        s"cdcreader must pair with lakewriter or an RDBMS writer (got ${c.writerName})")
       case (lr: LakeRead, lw: LakeWrite) =>
         require(c.transforms.isEmpty,
           "lakereader→lakewriter content takes no transformer chain — the " +
@@ -248,11 +278,19 @@ object JobConfig {
           "lakereader where/column are export features — replication and " +
             "rollups consume the change window verbatim (a filtered replica " +
             "would silently diverge from the source)")
+        require(lr.fromVersion.isEmpty,
+          "lakereader fromVersion is a CDC-out export feature — a " +
+            "lakewriter destination already ships the incremental window " +
+            "(Replicate.sync watermarks on the destination's epoch lineage)")
       case (lr: LakeRead, _) =>
         require(lr.aggregations.isEmpty,
           s"lakereader aggregations need a lakewriter destination (the " +
             s"rollup is an incrementally-maintained lake table; got " +
             s"${c.writerName})")
+        require(lr.fromVersion.isEmpty || (lr.where.isEmpty && lr.columns.isEmpty),
+          "a change export (fromVersion) ships the window verbatim — " +
+            "where/column apply to state exports only (a filtered feed would " +
+            "drop tombstones whose payload is null)")
       case (_, _: LakeWrite) => throw new IllegalArgumentException(
         s"lakewriter must pair with cdcreader or lakereader (got ${c.readerName})")
       case _ => ()
@@ -379,12 +417,26 @@ object JobConfig {
         case other => throw new IllegalArgumentException(
           s"cdcreader mode must be availableNow|continuous (got '$other')")
       }
+      // named, typed column specs (the readers' standard shape) define the
+      // payload schema for NON-transcript change logs; omitted ⇒ transcript
+      val payload = p.get("column") match {
+        case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
+          val cols = p.listConf("column").map { c =>
+            require(c.str("name").nonEmpty,
+              "cdcreader column specs need a 'name' (and optionally a 'type')")
+            SyncJob.ColumnSpec(index = -1, name = c.str("name"),
+              colType = c.str("type", "string"))
+          }
+          Some(SyncJob.schemaFor(cols))
+        case _ => None
+      }
       CdcRead(path, fmt, ckpt,
         maxFilesPerTrigger = p.int("maxFilesPerTrigger", 4),
         continuous = continuous,
         triggerInterval = Some(p.str("triggerInterval")).filter(_.nonEmpty),
         dlqDir = Some(p.str("dlqPath")).filter(_.nonEmpty),
-        toolColumn = p.bool("toolColumn", default = true))
+        toolColumn = p.bool("toolColumn", default = true),
+        payload = payload)
 
     case "lakereader" =>
       val root = p.str("path")
@@ -395,10 +447,15 @@ object JobConfig {
           "lakereader aggregation entries need both 'name' and 'expr'")
         (n, e)
       }
+      val fromVersion = Some(p.long("fromVersion", Long.MinValue)).filter(_ >= -1L)
+      require(!(fromVersion.contains(-1L) && p.long("toVersion", -1L) >= 0L),
+        "bootstrap export (fromVersion -1) reads the current head — " +
+          "toVersion bounds windows (fromVersion ≥ 0) and rollup cuts")
       LakeRead(root, aggs,
         toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L),
         where = Some(p.str("where")).filter(_.nonEmpty),
-        columns = p.strList("column").filterNot(_ == "*"))
+        columns = p.strList("column").filterNot(_ == "*"),
+        fromVersion = fromVersion)
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 
@@ -492,6 +549,30 @@ object JobConfig {
           options = Map("sep" -> p.str("fieldDelimiter", ","))),
         header = Nil, preSql = Nil, postSql = Nil)
 
+    case "cdcwriter" =>
+      // graft-native, the produce direction of cdcreader: encode canonical
+      // (op, lsn, payload...) rows — a lakereader fromVersion export, or any
+      // reader shaped that way — as envelope JSONL any Debezium/Canal/
+      // Maxwell consumer (or another graft job's cdcreader) replays.
+      // Encoders are [[graft.sources.CdcEnvelope]]'s, riding the ordinary
+      // text sink (writeModes, flush caps, staged error-limit publish all
+      // apply unchanged).
+      val dir = p.str("path")
+      require(dir.nonEmpty, "cdcwriter: path (the feed directory) is required")
+      val fmt = p.str("format", "debezium").toLowerCase
+      require(Set("debezium", "canal", "maxwell")(fmt),
+        s"cdcwriter format must be debezium|canal|maxwell (got '$fmt')")
+      val keys = p.strList("onConflictColumn")
+      require(fmt != "debezium" || keys.nonEmpty,
+        "cdcwriter format=debezium needs onConflictColumn — the key columns " +
+          "form a delete event's `before` image (REPLICA IDENTITY DEFAULT)")
+      FileWrite(
+        SyncJob.Sink(format = fmt,
+          path = s"$dir/${p.str("fileName", "feed")}",
+          writeMode = parseFileWriteMode(p.str("writeMode")),
+          keyCols = keys),
+        header = Nil, preSql = Nil, postSql = Nil)
+
     case "lakewriter" =>
       val root = p.str("path")
       require(root.nonEmpty, "lakewriter: path (the lake table root) is required")
@@ -504,23 +585,38 @@ object JobConfig {
         distCols = p.strList("distributionColumns"),
         targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L),
         followers = p.listConf("followers").map { f =>
-          val froot = f.str("path")
-          require(froot.nonEmpty, "lakewriter follower: path is required")
-          val aggs = f.listConf("aggregations").map { a =>
-            val (n, e) = (a.str("name"), a.str("expr"))
-            require(n.nonEmpty && e.nonEmpty,
-              "follower aggregation entries need both 'name' and 'expr'")
-            (n, e)
+          if (f.str("jdbcUrl").nonEmpty) {
+            // live-database mirror follower
+            require(f.str("table").nonEmpty && f.str("dialect").nonEmpty,
+              "a jdbc follower needs table and dialect alongside jdbcUrl")
+            Dialect.byName(f.str("dialect")) // validate at plan time
+            FollowerSpec("", keyCols = f.strList("onConflictColumn"),
+              buckets = 0, distCols = Nil, targetFileRows = None,
+              writerId = f.str("writerId"), aggregations = Nil,
+              jdbcUrl = f.str("jdbcUrl"), jdbcTable = f.str("table"),
+              jdbcDialect = f.str("dialect"),
+              jdbcProps = Map("user" -> f.str("username"),
+                "password" -> f.str("password")))
+          } else {
+            val froot = f.str("path")
+            require(froot.nonEmpty,
+              "lakewriter follower: path (or jdbcUrl for a mirror) is required")
+            val aggs = f.listConf("aggregations").map { a =>
+              val (n, e) = (a.str("name"), a.str("expr"))
+              require(n.nonEmpty && e.nonEmpty,
+                "follower aggregation entries need both 'name' and 'expr'")
+              (n, e)
+            }
+            val keys = f.strList("primaryKey")
+            require(aggs.isEmpty || keys.nonEmpty,
+              "a rollup follower needs primaryKey (the group columns)")
+            FollowerSpec(froot, keys,
+              buckets = f.int("buckets", 32),
+              distCols = f.strList("distributionColumns"),
+              targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
+              writerId = f.str("writerId"),
+              aggregations = aggs)
           }
-          val keys = f.strList("primaryKey")
-          require(aggs.isEmpty || keys.nonEmpty,
-            "a rollup follower needs primaryKey (the group columns)")
-          FollowerSpec(froot, keys,
-            buckets = f.int("buckets", 32),
-            distCols = f.strList("distributionColumns"),
-            targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
-            writerId = f.str("writerId"),
-            aggregations = aggs)
         })
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
@@ -556,6 +652,13 @@ object JobConfig {
         props = Map("user" -> p.str("username"), "password" -> p.str("password")) ++
           (if (p.strList("onConflictColumn").nonEmpty)
              Map("onConflictColumn" -> p.strList("onConflictColumn").mkString(","))
+           else Map.empty) ++
+          // graft-native params for the cdcreader→jdbc streaming pair: the
+          // epoch-ledger scope and table name on the TARGET database
+          (if (p.str("writerId").nonEmpty) Map("writerId" -> p.str("writerId"))
+           else Map.empty) ++
+          (if (p.str("ledgerTable").nonEmpty)
+             Map("ledgerTable" -> p.str("ledgerTable"))
            else Map.empty))
 
     case other => throw new UnsupportedPlugin(other, "unknown writer plugin")

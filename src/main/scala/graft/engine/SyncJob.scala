@@ -120,6 +120,23 @@ object SyncJob {
 
   final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
 
+  /** The reference's 6-type system mapped to Spark types — the schema a
+    * named `column` spec list declares (`common/element/column.go:9-19`:
+    * long/double/string/date/bool/bytes; dates resolve to timestamps like
+    * the readers' date columns).
+    */
+  def schemaFor(cols: Seq[ColumnSpec]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map { c =>
+      org.apache.spark.sql.types.StructField(c.name, c.colType match {
+        case "long" => org.apache.spark.sql.types.LongType
+        case "int" => org.apache.spark.sql.types.IntegerType
+        case "double" => org.apache.spark.sql.types.DoubleType
+        case "boolean" | "bool" => org.apache.spark.sql.types.BooleanType
+        case "date" | "timestamp" => org.apache.spark.sql.types.TimestampType
+        case _ => org.apache.spark.sql.types.StringType
+      })
+    })
+
   def read(spark: SparkSession, src0: Source): DataFrame = {
     // inferMode=datax: resolve the typed projection with the reference's
     // SAMPLING inference rule before reading (see [[JsonInfer]]) — fills
@@ -156,15 +173,7 @@ object SyncJob {
         // payload schema; output is canonical (op, lsn, payload...)
         require(src.columns.nonEmpty && src.columns.forall(_.name.nonEmpty),
           s"'$env' sources need named `columns` specs for the payload schema")
-        val payloadSchema = org.apache.spark.sql.types.StructType(src.columns.map { c =>
-          org.apache.spark.sql.types.StructField(c.name, c.colType match {
-            case "long" => org.apache.spark.sql.types.LongType
-            case "double" => org.apache.spark.sql.types.DoubleType
-            case "boolean" | "bool" => org.apache.spark.sql.types.BooleanType
-            case "date" | "timestamp" => org.apache.spark.sql.types.TimestampType
-            case _ => org.apache.spark.sql.types.StringType
-          })
-        })
+        val payloadSchema = schemaFor(src.columns)
         val raw = spark.read.options(src.options).text(src.path)
         return env match { // typed projection already applied via the schema
           case "debezium" => graft.sources.CdcEnvelope.debezium(raw, "value", payloadSchema)

@@ -63,6 +63,11 @@ object CdcPipeline {
   final case class RollupFollower(dst: LakeTable,
       aggs: Seq[org.apache.spark.sql.Column],
       writerId: String = "rollup") extends Follower
+  /** live-database mirror co-maintained per epoch via [[JdbcApply.sync]] —
+    * sound under arbitrary log reorder/duplication because the lake
+    * arbitrates by `_lsn` first and the mirror ships CURRENT winners
+    */
+  final case class JdbcFollower(dest: JdbcDest) extends Follower
 
   final case class CdcConfig(
       logDir: String,
@@ -111,15 +116,54 @@ object CdcPipeline {
       /** downstream tables co-maintained per epoch (replicas / rollups);
         * see [[Follower]] for the freshness/cost trade
         */
-      followers: Seq[Follower] = Nil)
+      followers: Seq[Follower] = Nil,
+      /** payload columns of the tailed change events (everything but
+        * `op`/`lsn`). None ⇒ the transcript shape ([[Model.changeEventSchema]],
+        * honoring [[toolColumn]]); set it to tail a log of any other table
+        * shape — the `cdcreader` JSON surface exposes it as named, typed
+        * `column` specs like the reference's readers.
+        */
+      payloadSchema: Option[org.apache.spark.sql.types.StructType] = None)
+
+  /** The tailed log's full change-event schema: `op`/`lsn` + payload. */
+  private def eventSchema(cfg: CdcConfig): org.apache.spark.sql.types.StructType =
+    cfg.payloadSchema match {
+      case Some(ps) => org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        org.apache.spark.sql.types.StructField("lsn",
+          org.apache.spark.sql.types.LongType, nullable = false) +: ps.fields)
+      case None =>
+        if (cfg.toolColumn) Model.changeEventSchema else Model.changeEventSchemaV1
+    }
 
   /** Start the streaming MERGE; caller awaits termination. */
-  def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
+  def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery =
+    startWith(spark, cfg, table.keyCols) { (batch, epoch) =>
+      table.merge(batch, epoch, cfg.writerId)
+      // followers sync BEFORE the vacuum step so a reclaimed delta window
+      // can never be one a follower still needs (lag stays ≤ 1 epoch)
+      cfg.followers.foreach {
+        case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
+        case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
+        case JdbcFollower(dest) => JdbcApply.sync(table, dest)
+      }
+      if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
+        table.vacuum(cfg.vacuumRetainVersions)
+    }
+
+  /** Shared streaming harness: build the tail source (per [[CdcConfig.format]]),
+    * divert malformed envelope lines to the DLQ, and hand each cleaned
+    * micro-batch to `apply` — the lake MERGE for [[start]], the live-database
+    * apply for [[startJdbc]]. `keyCols` feed the canal/maxwell decoders'
+    * key-changing-update fan-out.
+    */
+  private def startWith(spark: SparkSession, cfg: CdcConfig, keyCols: Seq[String])(
+      apply: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
     // fixed unified schema: chunks written before `tool` existed are
     // null-filled by the parquet reader (additive evolution on the source
     // side; the lake handles it on the sink side too for batch callers)
-    val schema =
-      if (cfg.toolColumn) Model.changeEventSchema else Model.changeEventSchemaV1
+    val schema = eventSchema(cfg)
     val payloadSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
     val src = cfg.format match {
@@ -142,14 +186,15 @@ object CdcPipeline {
         // contain a column named `value` (the text source's default name)
         val keep = if (cfg.dlqDir.isDefined) Seq(RawCol) else Nil
         val src0 = if (cfg.dlqDir.isDefined) raw.withColumn(RawCol, col("value")) else raw
-        // canal/maxwell get the table's key columns so key-changing updates
-        // fan out into tombstone+upsert (debezium emits the pair natively)
+        // canal/maxwell get the destination's key columns so key-changing
+        // updates fan out into tombstone+upsert (debezium emits the pair
+        // natively)
         env match {
           case "debezium" => graft.sources.CdcEnvelope.debezium(src0, "value", payloadSchema, keep)
           case "canal" => graft.sources.CdcEnvelope.canal(src0, "value", payloadSchema,
-            passthrough = keep, keyCols = table.keyCols)
+            passthrough = keep, keyCols = keyCols)
           case _ => graft.sources.CdcEnvelope.maxwell(src0, "value", payloadSchema, keep,
-            keyCols = table.keyCols)
+            keyCols = keyCols)
         }
       case other => throw new IllegalArgumentException(
         s"unsupported CDC log format '$other' (parquet|debezium|canal|maxwell)")
@@ -178,16 +223,8 @@ object CdcPipeline {
           case _ if isEnvelope => batch0.filter(col("lsn").isNotNull)
           case _ => batch0
         }
-        table.merge(batch, epoch, cfg.writerId)
+        apply(batch, epoch)
         if (cfg.dlqDir.isDefined && isEnvelope) batch0.unpersist()
-        // followers sync BEFORE the vacuum step so a reclaimed delta window
-        // can never be one a follower still needs (lag stays ≤ 1 epoch)
-        cfg.followers.foreach {
-          case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
-          case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
-        }
-        if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
-          table.vacuum(cfg.vacuumRetainVersions)
         if (dbg) System.err.println(
           f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()
@@ -206,5 +243,89 @@ object CdcPipeline {
     val q = start(spark, table, cfg.copy(availableNow = true))
     q.awaitTermination()
     table.currentSnapshot().lastEpochFor(cfg.writerId) + 1
+  }
+
+  /** A LIVE DATABASE as the streaming destination — the reference's flagship
+    * `mysql2mysql` incremental-sync shape (it approximates it by re-running a
+    * batch job with a `where` watermark; graft tails the change log and
+    * MERGE-applies). `keyCols` are the target's conflict columns: each
+    * micro-batch is LWW-deduped on them (`lsn` desc) and applied as
+    * key-ranged DELETEs (tombstones) plus upserts — the dialect's native
+    * conflict form where one exists ([[graft.engine.Dialect.nativeUpsert]]),
+    * a delete-then-insert pair inside the same transaction everywhere else.
+    *
+    * Exactly-once contract: epochs are recorded in `ledgerTable`
+    * (`(writer_id, epoch)` PK) on the TARGET database after each applied
+    * batch — a replayed epoch (restart with a rebuilt checkpoint) is skipped
+    * whole. A crash BETWEEN the data apply and the ledger insert re-applies
+    * that one epoch, which converges to the same end state because the
+    * deduped apply is idempotent per key (same deletes, same upserted
+    * values) — the exactly-once END-STATE guarantee, same as the lake's
+    * epoch lineage. Cross-epoch lsn regressions (a LATER epoch delivering an
+    * OLDER lsn for a key) apply in arrival order, exactly like the
+    * reference's upsert writers; logs that can reorder across epochs should
+    * land in a lake table (lsn-arbitrated) and fan out via followers.
+    */
+  final case class JdbcDest(
+      dialect: graft.engine.Dialect,
+      url: String,
+      table: String,
+      /** target column list (positional against the payload columns);
+        * empty ⇒ the payload column names in payload order
+        */
+      columns: Seq[String] = Nil,
+      /** conflict/key columns (target names). Resolved by the caller —
+        * config `onConflictColumn` or [[graft.engine.JdbcExec.primaryKeys]].
+        */
+      keyCols: Seq[String] = Nil,
+      batchSize: Int = 0,
+      session: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty,
+      writerId: String = "cdc",
+      ledgerTable: String = "graft_cdc_epochs")
+
+  /** Live handles on a [[startJdbc]] stream: the query plus driver-side
+    * apply counters (upserted rows, delete statements, ledger-skipped
+    * epochs).
+    */
+  final case class JdbcStream(query: StreamingQuery,
+      upserts: java.util.concurrent.atomic.AtomicLong,
+      deletes: java.util.concurrent.atomic.AtomicLong,
+      skippedEpochs: java.util.concurrent.atomic.AtomicLong)
+
+  /** Start the streaming apply into a live JDBC target; see [[JdbcDest]]. */
+  def startJdbc(spark: SparkSession, cfg: CdcConfig, dest: JdbcDest): JdbcStream = {
+    require(dest.keyCols.nonEmpty,
+      "JdbcDest.keyCols must be resolved (onConflictColumn or target PK metadata) " +
+        "— the CDC apply dedupes and deletes by key")
+    val upserts = new java.util.concurrent.atomic.AtomicLong()
+    val deletes = new java.util.concurrent.atomic.AtomicLong()
+    val skipped = new java.util.concurrent.atomic.AtomicLong()
+    graft.engine.JdbcExec.ensureLedger(dest.url, dest.props, dest.ledgerTable)
+    val q = startWith(spark, cfg, dest.keyCols) { (batch, epoch) =>
+      if (graft.engine.JdbcExec.epochApplied(dest.url, dest.props,
+          dest.ledgerTable, dest.writerId, epoch)) {
+        skipped.incrementAndGet()
+      } else {
+        // per-epoch LWW dedupe on the key — one final image per key reaches
+        // the target, mirroring the lake merge's epoch dedupe (ties require
+        // unique lsns per key within an epoch, the log contract everywhere)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(dest.keyCols.map(col): _*).orderBy(col("lsn").desc)
+        val winners = batch
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val (up, del) = graft.engine.JdbcExec.applyChanges(winners, dest.dialect,
+          dest.url, dest.table, dest.columns, dest.keyCols,
+          batchSize = dest.batchSize, session = dest.session, props = dest.props)
+        upserts.addAndGet(up)
+        deletes.addAndGet(del)
+        // recorded AFTER the apply: a crash in between replays the epoch,
+        // which is idempotent (see the exactly-once contract above)
+        graft.engine.JdbcExec.recordEpoch(dest.url, dest.props,
+          dest.ledgerTable, dest.writerId, epoch)
+      }
+    }
+    JdbcStream(q, upserts, deletes, skipped)
   }
 }

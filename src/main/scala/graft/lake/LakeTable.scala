@@ -568,6 +568,43 @@ final class LakeTable(
     rows.select(bucketExpr.as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
 
+  /** Current LWW winners — TOMBSTONE WINNERS INCLUDED — for an arbitrary
+    * key set, shaped like a change window (payload + `_lsn` + `_op`). This
+    * is the SOUND incremental emission for a VERSIONLESS downstream target
+    * (a live-database mirror, [[graft.engine.cdc.JdbcApply]]): a change
+    * window's own winners are resolved only WITHIN the window, so an
+    * at-least-once source re-delivering an older change in a later window
+    * would regress such a target; the table's CURRENT winner for the
+    * touched keys cannot — it only moves forward in `_lsn`. Cost:
+    * O(buckets containing the keys) — key rows route to their buckets with
+    * the writer's own bucket expression ([[bucketsFor]]) and only those
+    * buckets are resolved; the key set itself should be batch-sized (it is
+    * driver-independent but semi-joins against the resolved buckets).
+    */
+  def readChangesForKeys(keys: DataFrame): DataFrame = {
+    val s = currentSnapshot()
+    val missing = keyCols.filterNot(keys.columns.contains)
+    require(missing.isEmpty,
+      s"keys input is missing key columns ${missing.mkString(",")}")
+    val keyRows = keys.select(keyCols.map(col): _*).distinct()
+    if (s.files.isEmpty) return readChangesBootstrap()
+    // exact-type guard (same class of bug readKey routes around): hashing a
+    // literal of a NARROWER type routes to the wrong bucket and silently
+    // returns nothing — fail sharp instead
+    val stored = s.schema.getOrElse(StructType(Nil))
+    keyCols.foreach { k =>
+      val want = stored.fields.find(_.name == k).map(_.dataType)
+      val got = keyRows.schema.fields.find(_.name == k).map(_.dataType)
+      require(want.isEmpty || want == got,
+        s"key column '$k' has type ${got.getOrElse("?")} but the table stores " +
+          s"${want.getOrElse("?")} — a mismatched type hashes to the wrong bucket")
+    }
+    resolvedBucketed(s, bucketsFor(keyRows))
+      .drop(BucketCol)
+      .join(keyRows, keyCols, "left_semi")
+      .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
+  }
+
   /** Merge-on-read resolution: one row per key (the max-`_lsn` winner),
     * tombstones dropped.
     *

@@ -82,6 +82,23 @@ object RunJob {
           opts.foreach { case (k, v) => p.setProperty(k, v) }
           spark.read.jdbc(opts("url"), table, effective.toArray, p)
         } else spark.read.format("jdbc").options(opts).load()
+      case lr: JobConfig.LakeRead if lr.fromVersion.nonEmpty =>
+        // CDC-out export: the change set — bootstrap (full LWW state,
+        // tombstones included) or a committed window — as canonical
+        // (op, lsn, payload...) rows; pair with `cdcwriter` for an envelope
+        // JSONL feed any downstream CDC consumer can replay.
+        import org.apache.spark.sql.functions.col
+        val table = graft.lake.LakeTable.open(spark, rebasePath(lr.root, ov.rebase))
+        val fv = lr.fromVersion.get
+        val changes0 =
+          (if (fv < 0) table.readChangesBootstrap()
+           else table.readChangesBetween(fv,
+             lr.toVersion.getOrElse(table.currentSnapshot().version)))
+            .withColumnRenamed(graft.lake.LakeTable.OpCol, "op")
+            .withColumnRenamed(graft.lake.LakeTable.LsnCol, "lsn")
+        val payloadCols = changes0.columns.filterNot(c => c == "op" || c == "lsn").toSeq
+        changes0.select((col("op") +: col("lsn") +: payloadCols.map(col)): _*)
+
       case lr: JobConfig.LakeRead =>
         // snapshot export: the table's resolved state (optionally pinned to
         // a version) as an ordinary batch input — lake→file/jdbc/stream
@@ -100,7 +117,8 @@ object RunJob {
         if (lr.columns.isEmpty) base
         else base.select(lr.columns.map(org.apache.spark.sql.functions.col): _*)
       case _: JobConfig.CdcRead => throw new IllegalArgumentException(
-        "cdcreader is a streaming tail, not a batch input — it pairs with lakewriter")
+        "cdcreader is a streaming tail, not a batch input — it pairs with " +
+          "lakewriter or an RDBMS writer")
     })
 
   def runContent(spark: SparkSession, t: JobConfig.Translated,
@@ -109,10 +127,66 @@ object RunJob {
     // merge — never through buildInput (the window math IS the job)
     case (lr: JobConfig.LakeRead, lw: JobConfig.LakeWrite) =>
       runLakePair(spark, lr, lw, ov)
-    // the streaming pair never goes through buildInput — the change log is
+    // the streaming pairs never go through buildInput — the change log is
     // tailed by the pipeline's own readStream, not materialized as a batch
     case (_, lw: JobConfig.LakeWrite) => runCdcContent(spark, t, lw, ov)
+    case (c: JobConfig.CdcRead, jw: JobConfig.JdbcWrite) =>
+      runCdcJdbcContent(spark, c, jw, ov)
     case _ => runBatchContent(spark, t, ov)
+  }
+
+  /** cdcreader→RDBMS-writer content: the streaming MERGE-apply into a live
+    * database ([[graft.engine.cdc.CdcPipeline.startJdbc]]) — per-epoch LWW
+    * dedupe, key-ranged DELETEs for tombstones, dialect-native upsert (or the
+    * portable same-transaction DELETE+INSERT), and an epoch ledger on the
+    * TARGET for exactly-once end state across checkpoint rebuilds. The
+    * conflict columns come from `onConflictColumn` or, like the reference's
+    * writers, from the target's PK metadata ([[JdbcExec.primaryKeys]]).
+    */
+  private def runCdcJdbcContent(spark: SparkSession, cdc: JobConfig.CdcRead,
+      jw: JobConfig.JdbcWrite, ov: Overrides): SyncJob.JobResult = {
+    JdbcExec.execStatements(jw.url, jw.props, jw.preSql)
+    val keyCols: Seq[String] = jw.props.get("onConflictColumn") match {
+      case Some(cc) if cc.nonEmpty => cc.split(",").toSeq
+      case _ =>
+        val conn = java.sql.DriverManager.getConnection(jw.url, {
+          val p = new java.util.Properties()
+          jw.props.filter { case (k, v) =>
+            (k == "user" || k == "password") && v.nonEmpty
+          }.foreach { case (k, v) => p.setProperty(k, v) }
+          p
+        })
+        try JdbcExec.primaryKeys(conn, jw.table) finally conn.close()
+    }
+    require(keyCols.nonEmpty,
+      s"cdc apply into ${jw.table}: no conflict columns — set onConflictColumn " +
+        "or declare a primary key on the target table")
+    val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
+      logDir = rebasePath(cdc.logDir, ov.rebase),
+      checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
+      maxFilesPerTrigger = cdc.maxFilesPerTrigger,
+      availableNow = !cdc.continuous,
+      toolColumn = cdc.toolColumn,
+      format = cdc.format,
+      dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
+      triggerInterval = cdc.triggerInterval,
+      payloadSchema = cdc.payload)
+    val dest = graft.engine.cdc.CdcPipeline.JdbcDest(
+      dialect = jw.dialect, url = jw.url, table = jw.table,
+      columns = jw.columns.filterNot(_ == "*"),
+      keyCols = keyCols,
+      batchSize = jw.batchSize,
+      session = jw.session,
+      props = jw.props,
+      writerId = jw.props.getOrElse("writerId", "cdc"),
+      ledgerTable = jw.props.getOrElse("ledgerTable", "graft_cdc_epochs"))
+    val t0 = System.nanoTime()
+    val stream = graft.engine.cdc.CdcPipeline.startJdbc(spark, cfg, dest)
+    stream.query.awaitTermination()
+    JdbcExec.execStatements(jw.url, jw.props, jw.postSql)
+    SyncJob.JobResult(
+      rowsWritten = stream.upserts.get() + stream.deletes.get(),
+      rowsBad = 0L, seconds = (System.nanoTime() - t0) / 1e9)
   }
 
   /** lakereader→lakewriter content: [[graft.lake.Replicate.sync]] (no
@@ -233,19 +307,44 @@ object RunJob {
     // followers: same open-or-create + role-scoped writerId defaults as a
     // standalone lakereader→lakewriter job (runLakePair), attached per epoch
     val followers = lw.followers.map { f =>
-      val rollup = f.aggregations.nonEmpty
-      val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),
-        keys = if (f.keyCols.nonEmpty) f.keyCols else table.keyCols,
-        buckets = f.buckets, distCols = f.distCols,
-        targetFileRows = f.targetFileRows)
-      val wid = if (f.writerId.nonEmpty) f.writerId
-        else if (rollup) "rollup" else "replication"
-      if (rollup) {
-        val aggs = f.aggregations.map { case (n, e) =>
-          org.apache.spark.sql.functions.expr(e).as(n)
-        }
-        graft.engine.cdc.CdcPipeline.RollupFollower(dst, aggs, wid)
-      } else graft.engine.cdc.CdcPipeline.ReplicaFollower(dst, wid)
+      if (f.jdbcUrl.nonEmpty) {
+        // live-database mirror: keys from onConflictColumn or, like the
+        // reference's writers, the target's PK metadata
+        val keyCols =
+          if (f.keyCols.nonEmpty) f.keyCols
+          else {
+            val conn = java.sql.DriverManager.getConnection(f.jdbcUrl, {
+              val pr = new java.util.Properties()
+              f.jdbcProps.filter { case (k, v) =>
+                (k == "user" || k == "password") && v.nonEmpty
+              }.foreach { case (k, v) => pr.setProperty(k, v) }
+              pr
+            })
+            try JdbcExec.primaryKeys(conn, f.jdbcTable) finally conn.close()
+          }
+        require(keyCols.nonEmpty,
+          s"jdbc follower on ${f.jdbcTable}: no conflict columns — set " +
+            "onConflictColumn or declare a primary key on the target table")
+        graft.engine.cdc.CdcPipeline.JdbcFollower(
+          graft.engine.cdc.CdcPipeline.JdbcDest(
+            dialect = Dialect.byName(f.jdbcDialect), url = f.jdbcUrl,
+            table = f.jdbcTable, keyCols = keyCols, props = f.jdbcProps,
+            writerId = if (f.writerId.nonEmpty) f.writerId else "cdc-mirror"))
+      } else {
+        val rollup = f.aggregations.nonEmpty
+        val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),
+          keys = if (f.keyCols.nonEmpty) f.keyCols else table.keyCols,
+          buckets = f.buckets, distCols = f.distCols,
+          targetFileRows = f.targetFileRows)
+        val wid = if (f.writerId.nonEmpty) f.writerId
+          else if (rollup) "rollup" else "replication"
+        if (rollup) {
+          val aggs = f.aggregations.map { case (n, e) =>
+            org.apache.spark.sql.functions.expr(e).as(n)
+          }
+          graft.engine.cdc.CdcPipeline.RollupFollower(dst, aggs, wid)
+        } else graft.engine.cdc.CdcPipeline.ReplicaFollower(dst, wid)
+      }
     }
     val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
       logDir = rebasePath(cdc.logDir, ov.rebase),
@@ -259,7 +358,8 @@ object RunJob {
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
       triggerInterval = cdc.triggerInterval,
-      followers = followers)
+      followers = followers,
+      payloadSchema = cdc.payload)
     // job stats are the manifest-stat delta across the run: two cheap
     // metadata reads, no table scan (the 100 TB-safe way to count)
     def statTotals(): (Long, Long) = {
@@ -322,16 +422,21 @@ object RunJob {
         s"lake ${lr.root} " +
           (if (lr.aggregations.nonEmpty)
              s"rollup[${lr.aggregations.map { case (n, e) => s"$n=$e" }.mkString(", ")}]"
+           else if (lr.fromVersion.nonEmpty)
+             s"changes[${if (lr.fromVersion.get < 0) "bootstrap"
+               else s"(${lr.fromVersion.get}, ${lr.toVersion.map(_.toString).getOrElse("head")}]"}]"
            else "replicate/export") +
-          lr.toVersion.map(v => s" @v$v").getOrElse("") +
+          (if (lr.fromVersion.isEmpty) lr.toVersion.map(v => s" @v$v").getOrElse("") else "") +
           lr.where.map(w => s" where[$w]").getOrElse("") +
           (if (lr.columns.nonEmpty) s" cols=(${lr.columns.mkString(",")})" else "")
-      case JobConfig.CdcRead(dir, fmt, ckpt, mft, cont, interval, dlq, tool) =>
-        s"cdc-tail[$fmt] $dir ckpt=$ckpt maxFilesPerTrigger=$mft " +
-          s"mode=${if (cont) "continuous" else "availableNow"}" +
-          interval.map(i => s" trigger='$i'").getOrElse("") +
-          dlq.map(d => s" dlq=$d").getOrElse("") +
-          (if (!tool) " schema=v1(no tool col)" else "")
+      case c: JobConfig.CdcRead =>
+        s"cdc-tail[${c.format}] ${c.logDir} ckpt=${c.checkpoint} " +
+          s"maxFilesPerTrigger=${c.maxFilesPerTrigger} " +
+          s"mode=${if (c.continuous) "continuous" else "availableNow"}" +
+          c.triggerInterval.map(i => s" trigger='$i'").getOrElse("") +
+          c.dlqDir.map(d => s" dlq=$d").getOrElse("") +
+          c.payload.map(ps => s" payload=(${ps.fieldNames.mkString(",")})")
+            .getOrElse(if (!c.toolColumn) " schema=v1(no tool col)" else "")
     }
     val w = t.writer match {
       case JobConfig.FileWrite(sink, header, _, _) =>
@@ -356,7 +461,9 @@ object RunJob {
             s" vacuumEvery=${lw.vacuumEvery} retain=${lw.vacuumRetainVersions}" else "") +
           lw.targetFileRows.map(n => s" targetFileRows=$n").getOrElse("") +
           lw.followers.map(f => "\n    follower: " +
-            (if (f.aggregations.isEmpty) s"replica ${f.root}"
+            (if (f.jdbcUrl.nonEmpty)
+               s"jdbc-mirror[${f.jdbcDialect}] ${f.jdbcUrl} ${f.jdbcTable}"
+             else if (f.aggregations.isEmpty) s"replica ${f.root}"
              else s"rollup ${f.root} group=(${f.keyCols.mkString(",")}) " +
                f.aggregations.map { case (n, e) => s"$n=$e" }.mkString(","))
           ).mkString

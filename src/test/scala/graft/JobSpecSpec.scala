@@ -726,6 +726,193 @@ class JobSpecSpec extends SparkSpec {
     assert(desc.contains("mode=availableNow"))
   }
 
+  // ------------------------------------------------------------- CDC-out
+
+  test("lakereader fromVersion + cdcwriter: a debezium feed another graft job replays to convergence") {
+    val work = tmpDir("cdcout")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 4)
+    def ev(op: String, lsn: Long, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some(text), None)
+    src.merge(Seq(ev("I", 1, "a", 0, "v1"), ev("I", 2, "b", 0, "v1"),
+      ev("I", 3, "c", 0, "v1")).toDF(), epoch = 0L)
+    src.merge(Seq(ev("U", 4, "a", 0, "v2"), ev("D", 5, "b", 0, "")).toDF(), epoch = 1L)
+    val v0 = src.currentSnapshot().version
+
+    // bootstrap feed: the full LWW state INCLUDING the tombstone on b
+    val exportBoot = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+        "fromVersion": -1}},
+      "writer": {"name": "cdcwriter", "parameter": {"path": "$work/out",
+        "format": "debezium", "onConflictColumn": ["conv_id", "turn_idx"],
+        "writeMode": "append"}}}]}}""")
+    assert(RunJob.run(spark, exportBoot).head.rowsWritten === 3L) // a, b(D), c
+    // the feed is plain Debezium JSONL — any downstream consumer's shape
+    val feed = spark.read.json(s"$work/out/feed")
+    assert(feed.columns.toSet === Set("before", "after", "op", "ts_ms", "source"))
+    assert(feed.filter($"op" === "d").count() === 1L)
+
+    // a second graft job replays the feed through the streaming pair
+    val replay = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/out/feed", "format": "debezium", "checkpoint": "$work/cp"}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/dst", "primaryKey": ["conv_id", "turn_idx"], "buckets": 2}}}]}}""")
+    RunJob.run(spark, replay)
+    def state(t: LakeTable) = t.read().select("conv_id", "turn_idx", "text").collect().toSet
+    assert(state(LakeTable.open(spark, s"$work/dst")) === state(src))
+
+    // incremental: export only the window past v0, append to the SAME feed
+    // dir — the replaying job's checkpoint picks up just the new files
+    src.merge(Seq(ev("I", 6, "d", 0, "v1"), ev("U", 7, "c", 0, "v3")).toDF(), epoch = 2L)
+    val exportWin = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+        "fromVersion": $v0}},
+      "writer": {"name": "cdcwriter", "parameter": {"path": "$work/out",
+        "format": "debezium", "onConflictColumn": ["conv_id", "turn_idx"],
+        "writeMode": "append"}}}]}}""")
+    assert(RunJob.run(spark, exportWin).head.rowsWritten === 2L) // d(I), c(U)
+    RunJob.run(spark, replay)
+    assert(state(LakeTable.open(spark, s"$work/dst")) === state(src))
+
+    // guards: a change export cannot feed a lakewriter (replication already
+    // ships the window); debezium needs the delete key image
+    val bad1 = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "fromVersion": -1}},
+        "writer": {"name": "lakewriter", "parameter": {"path": "$work/d2"}}}]}}"""))
+    }
+    assert(bad1.getMessage.contains("CDC-out"))
+    val bad2 = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "fromVersion": -1}},
+        "writer": {"name": "cdcwriter", "parameter": {"path": "$work/o2",
+          "format": "debezium"}}}]}}"""))
+    }
+    assert(bad2.getMessage.contains("onConflictColumn"))
+    // dry-run shape
+    val desc = RunJob.describe(JobConfig.translate(exportWin).head)
+    assert(desc.contains(s"changes[($v0, head]"))
+    assert(desc.contains("file[debezium]"))
+  }
+
+  // ----------------------------------------------- cdc into a live database
+
+  test("cdcreader→RDBMS writer: streaming apply into Derby with deletes and an epoch ledger") {
+    val url = "jdbc:derby:memory:cdcapply;create=true"
+    val work = tmpDir("cdcapply")
+    // lsn-RANGE chunks: epoch order == lsn order across epochs (the
+    // no-cross-epoch-reorder contract a versionless target needs — see
+    // CdcPipeline.JdbcDest; reorders WITHIN an epoch are absorbed by the
+    // per-epoch LWW dedupe), duplicates off so lsns are unique
+    val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 50L, partitions = 4, dupEvery = 0L)
+    val ev = Gen.changeEvents(spark, cfg).toDF()
+    (0 until 4).foreach { c =>
+      val hi = if (c == 3) Long.MaxValue else (c + 1) * 750L
+      ev.filter($"lsn" >= c * 750L && $"lsn" < hi)
+        .repartition(2).write.mode("append").parquet(s"$work/log")
+    }
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      """CREATE TABLE "turns" ("ts" TIMESTAMP, "conv_id" VARCHAR(64) NOT NULL, """ +
+        """"turn_idx" INT NOT NULL, "role" VARCHAR(32), "text" VARCHAR(512), """ +
+        """"tool" VARCHAR(64), PRIMARY KEY ("conv_id", "turn_idx"))"""))
+    // sqlitewriter = ANSI quoting Derby accepts; no onConflictColumn — the
+    // conflict columns come from the target's PK metadata, like the
+    // reference's writers
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
+      "writer": {"name": "sqlitewriter", "parameter": {
+        "writeMode": "update", "batchSize": 100,
+        "connection": [{"jdbcUrl": "$url", "table": ["turns"]}]}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten > 0L)
+
+    def target() = spark.read.jdbc(url, "\"turns\"", new java.util.Properties())
+      .select($"ts", $"conv_id", $"turn_idx", $"role", $"text", $"tool")
+    val want = Gen.expectedState(spark, cfg).toDF()
+      .select($"ts", $"conv_id", $"turn_idx", $"role", $"text", $"tool")
+    val got = target()
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+
+    // same checkpoint: resumes at end-of-log, applies nothing
+    assert(RunJob.run(spark, spec).head.rowsWritten === 0L)
+    // checkpoint REBUILT from scratch: every epoch replays, the TARGET-side
+    // ledger skips them all — exactly-once end state without the checkpoint
+    val cpPath = new org.apache.hadoop.fs.Path(s"$work/cp")
+    cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cpPath, true)
+    assert(RunJob.run(spark, spec).head.rowsWritten === 0L)
+    val after = target()
+    assert(after.count() === want.count())
+    assert(after.exceptAll(want).count() + want.exceptAll(after).count() === 0L)
+    // one ledger row per applied epoch under the default writer id
+    val ledger = spark.read.jdbc(url, "GRAFT_CDC_EPOCHS", new java.util.Properties())
+    assert(ledger.count() === 4L) // 8 files / maxFilesPerTrigger 2
+    assert(ledger.filter($"WRITER_ID" === "cdc").count() === 4L)
+
+    // a plain-insert destination is rejected at translate time
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "$work/log", "checkpoint": "$work/cp2"}},
+        "writer": {"name": "sqlitewriter", "parameter": {
+          "writeMode": "insert",
+          "connection": [{"jdbcUrl": "$url", "table": ["turns"]}]}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("per-key MERGE"))
+  }
+
+  test("jdbc mirror follower: a duplicated+reordered log mirrors into Derby via the lake") {
+    val url = "jdbc:derby:memory:cdcmirror;create=true"
+    val work = tmpDir("cdcmirror")
+    // DEFAULT generator: duplicate deliveries (dupEvery=50) and block-local
+    // reorder — the log shape the DIRECT jdbc apply can't take (its contract
+    // needs epoch order == lsn order). The lake arbitrates by lsn first; the
+    // mirror ships CURRENT winners per touched key (JdbcApply), so the
+    // target still converges to the global LWW state.
+    val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 60L, partitions = 4)
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 4)
+    JdbcExec.execStatements(url, Map.empty, Seq(
+      """CREATE TABLE "turns" ("ts" TIMESTAMP, "conv_id" VARCHAR(64) NOT NULL, """ +
+        """"turn_idx" INT NOT NULL, "role" VARCHAR(32), "text" VARCHAR(512), """ +
+        """"tool" VARCHAR(64), PRIMARY KEY ("conv_id", "turn_idx"))"""))
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 8}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "followers": [
+          {"jdbcUrl": "$url", "table": "turns", "dialect": "sqlite"}
+        ]}}}]}}""")
+    RunJob.run(spark, spec)
+    val got = spark.read.jdbc(url, "\"turns\"", new java.util.Properties())
+      .select($"ts", $"conv_id", $"turn_idx", $"role", $"text", $"tool")
+    val want = Gen.expectedState(spark, cfg).toDF()
+      .select($"ts", $"conv_id", $"turn_idx", $"role", $"text", $"tool")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+    // re-run: checkpoint resumes at end-of-log; the mirror's version
+    // watermark also skips — Derby untouched
+    RunJob.run(spark, spec)
+    val again = spark.read.jdbc(url, "\"turns\"", new java.util.Properties())
+    assert(again.count() === want.count())
+    // ledger rows carry source snapshot versions under the mirror writer id
+    val ledger = spark.read.jdbc(url, "GRAFT_CDC_EPOCHS", new java.util.Properties())
+    assert(ledger.filter($"WRITER_ID" === "cdc-mirror").count() > 0L)
+    // a jdbc follower without table/dialect is rejected at translate time
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "$work/log", "checkpoint": "$work/cp2"}},
+        "writer": {"name": "lakewriter", "parameter": {"path": "$work/l2",
+          "followers": [{"jdbcUrl": "$url"}]}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("table and dialect"))
+  }
+
   test("dry-run describe renders reader, writer sql and transforms") {
     assume(refTestData.isDirectory, "reference test-data not present")
     val spec = JobConfig.fromFile(s"$refTestData/mysql2doris.json")
