@@ -264,6 +264,10 @@ object JobConfig {
         require(jw.writeMode != "insert",
           "cdc apply into a live database is a per-key MERGE — set " +
             "writeMode update (or replace); plain insert would duplicate on replay")
+        require(jw.dialect.name != "clickhouse",
+          "clickhouse has no conflict clause and no standard DELETE (dedup " +
+            "is engine-side ReplacingMergeTree) — land the stream in a lake " +
+            "table and export, instead of the per-key CDC apply")
       case (_: CdcRead, _) => throw new IllegalArgumentException(
         s"cdcreader must pair with lakewriter or an RDBMS writer (got ${c.writerName})")
       case (lr: LakeRead, lw: LakeWrite) =>

@@ -42,6 +42,14 @@ import graft.lake.LakeTable
   *                                 last ts; default group conv_id) from the
   *                                 committed change log — only groups
   *                                 changed since the last refresh recompute
+  *   mirror <jdbcUrl> <table> <dialect> [k1,k2]
+  *                              — incremental catch-up of a LIVE database
+  *                                 mirror ([[graft.engine.cdc.JdbcApply]]):
+  *                                 ships the table's CURRENT winners for
+  *                                 keys changed since the target-side epoch
+  *                                 ledger watermark (sound under log
+  *                                 reorder); keys from the arg or the
+  *                                 target's PK metadata
   *   tail <dstRoot>             — apply the committed change log to another
   *                                 lake table (manifest-driven catch-up;
   *                                 the watermark is the destination's
@@ -140,6 +148,22 @@ object LakeMaint {
         println(if (st.skipped) s"rollup ${args(2)} already at source head"
           else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
             s"groups physicalRows=${dst.currentSnapshot().rows}")
+      case "mirror" =>
+        require(args.length >= 5, "mirror <jdbcUrl> <table> <dialect> [k1,k2]")
+        val (url, tbl, dialect) = (args(2), args(3), graft.engine.Dialect.byName(args(4)))
+        val keys: Seq[String] =
+          if (args.length >= 6) args(5).split(",").toSeq.filter(_.nonEmpty)
+          else {
+            val conn = java.sql.DriverManager.getConnection(url)
+            try graft.engine.JdbcExec.primaryKeys(conn, tbl) finally conn.close()
+          }
+        require(keys.nonEmpty,
+          s"mirror $tbl: no conflict columns — pass k1,k2 or declare a PK on the target")
+        val st = graft.engine.cdc.JdbcApply.sync(table,
+          graft.engine.cdc.CdcPipeline.JdbcDest(dialect, url, tbl,
+            keyCols = keys, writerId = "lake-mirror"))
+        println(if (st.skipped) s"mirror $tbl already at source version ${st.sourceVersion}"
+          else s"mirrored -> $tbl @v${st.sourceVersion} upserts=${st.upserts} deletes=${st.deletes}")
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         // committed-manifest-driven (NOT readStreamChanges): change windows

@@ -134,6 +134,51 @@ class DistLayoutSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("readChangesForKeys ships CURRENT winners, tombstones kept, touching only the keys' buckets") {
+    val root = tmpDir("rcfk") + "/t"
+    val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 8)
+    val convs = (0 until 32).map(i => f"k$i%02d")
+    t.merge(convs.map(c => ev("I", (c.hashCode.toLong & 0xffff) * 10, c, 0,
+      text = "v1")).toDF(), epoch = 0L)
+    t.merge(Seq(ev("U", 990000, "k03", 0, text = "current")).toDF(), epoch = 1L)
+    // epoch 2: an at-least-once re-delivery of an OLDER change for k03 plus
+    // a tombstone on k05 — the window's OWN winner for k03 would be the
+    // stale row; the sound emission is the table's CURRENT winner
+    t.merge(Seq(ev("U", 1, "k03", 0, text = "stale-dup"),
+      ev("D", 990001, "k05", 0)).toDF(), epoch = 2L)
+
+    val keys = Seq(("k03", 0), ("k05", 0)).toDF("conv_id", "turn_idx")
+    // k03: the table's CURRENT winner (lsn 990000), NOT the window's stale
+    // re-delivery; k05: the tombstone winner is KEPT (its payload is
+    // whatever the delete event carried — merge stores events verbatim)
+    val got = t.readChangesForKeys(keys)
+      .select(col("conv_id"), col(LakeTable.OpCol).as("op"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("k03", "U", "current"), ("k05", "D", "x")))
+
+    // physical: hide every file outside the two keys' buckets — the call
+    // still resolves; a key in a hidden bucket fails (nothing silent)
+    def bucketOf(c: String, k: Int) = spark.range(1)
+      .select(pmod(hash(lit(c), lit(k)), lit(8)).as("b")).head().getInt(0)
+    val keep = Set(bucketOf("k03", 0), bucketOf("k05", 0))
+    val snap = t.currentSnapshot()
+    val hidden = snap.files.filterNot(f => keep(f.bucket)).map(_.path)
+    hide(root, hidden)
+    try {
+      assert(t.readChangesForKeys(keys).count() === 2L)
+      val other = convs.find(c => !keep(bucketOf(c, 0))).get
+      intercept[Exception] {
+        t.readChangesForKeys(Seq((other, 0)).toDF("conv_id", "turn_idx")).count()
+      }
+    } finally unhide(root, hidden)
+
+    // exact-type guard: an int-typed conv key would hash to the wrong
+    // bucket — rejected sharp instead of silently returning nothing
+    intercept[IllegalArgumentException] {
+      t.readChangesForKeys(Seq((3, 0)).toDF("conv_id", "turn_idx"))
+    }
+  }
+
   test("rollup recompute prunes the live scan to dirty-group buckets") {
     val root = tmpDir("distru") + "/t"
     val src = LakeTable.create(spark, root, Model.keyCols, numBuckets = 8,

@@ -190,4 +190,25 @@ class JdbcSpec extends AnyFunSuite {
     assert(bounds(0) === bounds(1)) // first upper == second lower
     assert(Jdbc.tokenRangePredicates("token(id)", 1).head === s"token(id) >= ${Long.MinValue}")
   }
+
+  test("nativeUpsert flags route the CDC apply: real conflict forms vs the portable pair") {
+    // true exactly where upsertSql(pks) compiles to a REAL conflict form —
+    // the CDC apply (JdbcExec.applyChanges) uses it there and the portable
+    // same-transaction DELETE+INSERT everywhere else
+    val native = Dialect.all.filter(_.nativeUpsert).map(_.name).toSet
+    assert(native === Set("mysql", "doris", "starrocks", "oceanbase",
+      "postgresql", "gaussdb", "oracle"))
+    // clickhouse EXTENDS the mysql family but has no conflict clause
+    // (ReplacingMergeTree dedups engine-side) — must stay portable-path
+    assert(!Dialect.ClickHouse.nativeUpsert)
+    // the flag is consistent with the generated SQL: native dialects emit a
+    // conflict clause, scenario-4 dialects emit a bare INSERT
+    Dialect.all.foreach { d =>
+      val sql = d.upsertSql("t", Seq("id", "v"), Seq("id"))
+      val hasConflict = sql.contains("ON DUPLICATE KEY") ||
+        sql.contains("ON CONFLICT") || sql.startsWith("MERGE INTO")
+      assert(hasConflict === d.nativeUpsert,
+        s"${d.name}: nativeUpsert=${d.nativeUpsert} but sql=$sql")
+    }
+  }
 }

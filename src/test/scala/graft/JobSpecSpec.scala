@@ -724,6 +724,12 @@ class JobSpecSpec extends SparkSpec {
     assert(desc.contains("cdc-tail[parquet]"))
     assert(desc.contains("lake-merge /x/lake"))
     assert(desc.contains("mode=availableNow"))
+    // clickhouse can't take the per-key CDC apply (no conflict clause, no
+    // standard DELETE) — sharp plan-time error pointing at the lake route
+    val chW = """{"name": "clickhousewriter", "parameter": {"writeMode": "update",
+      "connection": [{"jdbcUrl": "jdbc:ch://x/db", "table": ["t"]}]}}"""
+    val e5 = intercept[IllegalArgumentException](JobConfig.translate(spec(cdcR, chW)))
+    assert(e5.getMessage.contains("ReplacingMergeTree"))
   }
 
   // ------------------------------------------------------------- CDC-out
