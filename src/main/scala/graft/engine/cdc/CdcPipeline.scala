@@ -301,8 +301,22 @@ object CdcPipeline {
     val upserts = new java.util.concurrent.atomic.AtomicLong()
     val deletes = new java.util.concurrent.atomic.AtomicLong()
     val skipped = new java.util.concurrent.atomic.AtomicLong()
+    // dest.keyCols name TARGET columns; the stream's rows carry PAYLOAD
+    // names — map through the positional column list (applyChanges binds the
+    // same way) so dedupe and the decoders' key fan-out see payload names
+    val payloadNames = eventSchema(cfg).fieldNames
+      .filterNot(n => n == "op" || n == "lsn").toSeq
+    val targetCols =
+      if (dest.columns.isEmpty || dest.columns == Seq("*")) payloadNames
+      else dest.columns
+    val payloadKeys = dest.keyCols.map { k =>
+      val i = targetCols.indexOf(k)
+      require(i >= 0 && i < payloadNames.length,
+        s"key column '$k' is not among the target columns (${targetCols.mkString(", ")})")
+      payloadNames(i)
+    }
     graft.engine.JdbcExec.ensureLedger(dest.url, dest.props, dest.ledgerTable)
-    val q = startWith(spark, cfg, dest.keyCols) { (batch, epoch) =>
+    val q = startWith(spark, cfg, payloadKeys) { (batch, epoch) =>
       if (graft.engine.JdbcExec.epochApplied(dest.url, dest.props,
           dest.ledgerTable, dest.writerId, epoch)) {
         skipped.incrementAndGet()
@@ -311,7 +325,7 @@ object CdcPipeline {
         // the target, mirroring the lake merge's epoch dedupe (ties require
         // unique lsns per key within an epoch, the log contract everywhere)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(dest.keyCols.map(col): _*).orderBy(col("lsn").desc)
+          .partitionBy(payloadKeys.map(col): _*).orderBy(col("lsn").desc)
         val winners = batch
           .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
