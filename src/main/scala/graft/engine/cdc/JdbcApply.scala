@@ -25,6 +25,14 @@ import graft.lake.LakeTable
   * data apply and the ledger record replays a SUPERSET window next sync —
   * idempotent by the argument above. Cost per sync: O(changes in the window)
   * to find touched keys + O(buckets containing them) to resolve winners.
+  *
+  * Operational notes: keep `dest.writerId` distinct per consumer of one
+  * ledger table (a [[CdcPipeline.startJdbc]] stream records micro-batch
+  * epochs, this sync records source VERSIONS — crossing them would skip
+  * work). Additive schema evolution on the SOURCE surfaces here as a new
+  * payload column: with `dest.columns` unset the next sync fails sharp at
+  * the target's INSERT (unknown column) — ALTER the target, or pin
+  * `dest.columns` to the pre-evolution list to keep mirroring the old shape.
   */
 object JdbcApply {
 

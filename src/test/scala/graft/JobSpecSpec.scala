@@ -804,6 +804,36 @@ class JobSpecSpec extends SparkSpec {
     assert(desc.contains("file[debezium]"))
   }
 
+  test("cdcwriter canal and maxwell feeds replay to the same converged state") {
+    // debezium is the primary round-trip (lossless source.lsn); canal scales
+    // lsn by the batch stride and maxwell recomposes it from the binlog
+    // position — both ORDER-PRESERVING, so a replayed lake converges to the
+    // same LWW state even though raw lsn values may differ
+    val work = tmpDir("cdcoutcm")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 4)
+    def ev(op: String, lsn: Long, conv: String, turn: Int, text: String) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some("user"), Some(text), None)
+    src.merge(Seq(ev("I", 1, "a", 0, "v1"), ev("I", 2, "b", 0, "v1"),
+      ev("U", 3, "a", 0, "v2"), ev("D", 4, "b", 0, "")).toDF(), epoch = 0L)
+    def state(t: LakeTable) = t.read().select("conv_id", "turn_idx", "text").collect().toSet
+    Seq("canal", "maxwell").foreach { fmt =>
+      RunJob.run(spark, JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "fromVersion": -1}},
+        "writer": {"name": "cdcwriter", "parameter": {"path": "$work/$fmt",
+          "format": "$fmt"}}}]}}"""))
+      RunJob.run(spark, JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "$work/$fmt/feed", "format": "$fmt", "checkpoint": "$work/$fmt-cp"}},
+        "writer": {"name": "lakewriter", "parameter": {
+          "path": "$work/$fmt-dst", "primaryKey": ["conv_id", "turn_idx"],
+          "buckets": 2}}}]}}"""))
+      assert(state(LakeTable.open(spark, s"$work/$fmt-dst")) === state(src),
+        s"$fmt feed did not converge")
+    }
+  }
+
   // ----------------------------------------------- cdc into a live database
 
   test("cdcreader→RDBMS writer: streaming apply into Derby with deletes and an epoch ledger") {
