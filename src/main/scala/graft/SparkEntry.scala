@@ -600,6 +600,55 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
+    ("cdc_feed_outbox", (s, dir) => {
+      // broker-less outbox (engine/cdc/CdcFeed.scala): the source lake
+      // ingests in two epochs and CdcFeed.sync runs after EACH, so the feed
+      // directory accumulates two incremental Debezium windows under its
+      // own watermark (unlike cdc_changefeed's one-shot bootstrap export).
+      // A streaming cdcreader then tails the whole feed into a fresh lake.
+      // Surface = the destination's resolved state; oracle = the source's
+      // LWW-with-deletes live state recomputed in SQL — proving the windows
+      // compose (no gap, no overlap) and delete images survive the wire.
+      val dstRoot = stageOnce(s"feed-outbox:$dir") {
+        import org.apache.spark.sql.functions.{lit => l}
+        val p = java.nio.file.Files.createTempDirectory("graft-feed-outbox").toString
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"),
+          col("value"), col("event_id").as("src_lsn"))
+        val src = graft.lake.LakeTable.create(s, s"$p/src",
+          Seq("user_id", "event_type"), numBuckets = 8)
+        src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+        graft.engine.cdc.CdcFeed.sync(src, s"$p/feed", "debezium", src.keyCols)
+        src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+        graft.engine.cdc.CdcFeed.sync(src, s"$p/feed", "debezium", src.keyCols)
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "cdcreader", "parameter": {
+            "path": "$p/feed", "format": "debezium", "checkpoint": "$p/cp",
+            "column": [{"name": "user_id", "type": "long"},
+                       {"name": "event_type", "type": "string"},
+                       {"name": "value", "type": "double"},
+                       {"name": "src_lsn", "type": "long"}]}},
+          "writer": {"name": "lakewriter", "parameter": {
+            "path": "$p/dst", "primaryKey": ["user_id", "event_type"],
+            "buckets": 4}}}]}}"""))
+        s"$p/dst"
+      }
+      graft.lake.LakeTable.open(s, dstRoot).read()
+        .select(col("user_id"), col("event_type"), col("src_lsn").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
+
     ("cdc_jdbc_apply", (s, dir) => {
       // the reference's flagship incremental-sync shape through the JSON
       // surface: a change log streamed into a LIVE database (the bundled

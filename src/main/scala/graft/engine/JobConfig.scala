@@ -228,13 +228,18 @@ object JobConfig {
     * ([[graft.engine.cdc.CdcPipeline.JdbcFollower]]): `table` + `dialect`
     * name the target, `onConflictColumn` (or the target's PK metadata)
     * the keys — sound under log reorder because the lake arbitrates first.
+    * An entry with `format` set is an outbound ENVELOPE FEED
+    * ([[graft.engine.cdc.CdcPipeline.FeedFollower]]): `path` is the feed
+    * directory, `format` debezium|canal|maxwell, `onConflictColumn` the
+    * delete-image keys (debezium; defaults to the table's primary key).
     */
   final case class FollowerSpec(root: String,
       keyCols: Seq[String], buckets: Int, distCols: Seq[String],
       targetFileRows: Option[Long], writerId: String,
       aggregations: Seq[(String, String)],
       jdbcUrl: String = "", jdbcTable: String = "", jdbcDialect: String = "",
-      jdbcProps: Map[String, String] = Map.empty)
+      jdbcProps: Map[String, String] = Map.empty,
+      feedFormat: String = "")
 
   final case class Translated(
       reader: ReaderPlan,
@@ -601,10 +606,21 @@ object JobConfig {
               jdbcDialect = f.str("dialect"),
               jdbcProps = Map("user" -> f.str("username"),
                 "password" -> f.str("password")))
+          } else if (f.str("format").nonEmpty) {
+            // outbound envelope feed follower (broker-less outbox)
+            val fdir = f.str("path")
+            require(fdir.nonEmpty, "a feed follower needs path (the feed directory)")
+            val fmt = f.str("format").toLowerCase
+            require(Set("debezium", "canal", "maxwell")(fmt),
+              s"feed follower format must be debezium|canal|maxwell (got '$fmt')")
+            FollowerSpec(fdir, keyCols = f.strList("onConflictColumn"),
+              buckets = 0, distCols = Nil, targetFileRows = None,
+              writerId = "", aggregations = Nil, feedFormat = fmt)
           } else {
             val froot = f.str("path")
             require(froot.nonEmpty,
-              "lakewriter follower: path (or jdbcUrl for a mirror) is required")
+              "lakewriter follower: path (or jdbcUrl for a mirror, or " +
+                "format for an envelope feed) is required")
             val aggs = f.listConf("aggregations").map { a =>
               val (n, e) = (a.str("name"), a.str("expr"))
               require(n.nonEmpty && e.nonEmpty,

@@ -68,6 +68,13 @@ object CdcPipeline {
     * arbitrates by `_lsn` first and the mirror ships CURRENT winners
     */
   final case class JdbcFollower(dest: JdbcDest) extends Follower
+  /** outbound envelope feed maintained per epoch via [[CdcFeed.sync]]: every
+    * committed ingest window is re-published as Debezium/Canal/Maxwell JSONL
+    * under `dir` for downstream consumers to tail — the broker-less outbox.
+    * `keyCols` are required for debezium (delete `before` images).
+    */
+  final case class FeedFollower(dir: String, format: String,
+      keyCols: Seq[String] = Nil) extends Follower
 
   final case class CdcConfig(
       logDir: String,
@@ -147,6 +154,7 @@ object CdcPipeline {
         case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
         case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
         case JdbcFollower(dest) => JdbcApply.sync(table, dest)
+        case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
       }
       if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
         table.vacuum(cfg.vacuumRetainVersions)

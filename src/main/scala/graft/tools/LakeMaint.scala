@@ -37,6 +37,13 @@ import graft.lake.LakeTable
   *                                 snapshot `since` (default: full history)
   *                                 as debezium|canal|maxwell JSONL — feeds
   *                                 any external binlog-envelope consumer
+  *   feed <fmt> <dir> [upto]    — incrementally MAINTAIN an envelope feed:
+  *                                 ships exactly the commits since the feed
+  *                                 directory's own watermark on every run
+  *                                 ([[graft.engine.cdc.CdcFeed]] — the
+  *                                 cron-able broker-less outbox; `export`
+  *                                 is the one-shot form); with `upto`,
+  *                                 expires consumed windows afterwards
   *   rollup <dstRoot> [group]   — incrementally refresh a per-group
   *                                 aggregate table (turns/chars/tool calls/
   *                                 last ts; default group conv_id) from the
@@ -130,6 +137,22 @@ object LakeMaint {
         graft.engine.SyncJob.write(spark, changes,
           graft.engine.SyncJob.Sink(args(2), args(3), keyCols = table.keyCols))
         println(s"exported changes since version $since as ${args(2)} -> ${args(3)}")
+      case "feed" =>
+        require(args.length >= 4, "feed <debezium|canal|maxwell> <feedDir> [expireUpto]")
+        // incrementally maintained envelope feed (CdcFeed scaladoc): the
+        // watermark lives in the feed directory, so re-running this command
+        // ships exactly the commits since the last run (cron-able outbox).
+        // The optional horizon expires consumed windows (to ≤ upto; the
+        // head window always survives — it carries the watermark)
+        val st = graft.engine.cdc.CdcFeed.sync(table, args(3), args(2),
+          keyCols = table.keyCols)
+        println(if (st.skipped) s"feed ${args(3)} already at source version ${st.toVersion}"
+          else s"fed -> ${args(3)} window=v${st.fromVersion}..v${st.toVersion} " +
+            s"rows=${st.rows} files=${st.files}")
+        if (args.length >= 5) {
+          val n = graft.engine.cdc.CdcFeed.expire(table, args(3), args(4).toLong)
+          println(s"expired $n consumed window(s) up to v${args(4)}")
+        }
       case "rebucket" =>
         require(args.length >= 4, "rebucket <dstRoot> <newBuckets>")
         val dst = table.rebucketTo(args(2), args(3).toInt)

@@ -330,6 +330,12 @@ object RunJob {
             dialect = Dialect.byName(f.jdbcDialect), url = f.jdbcUrl,
             table = f.jdbcTable, keyCols = keyCols, props = f.jdbcProps,
             writerId = if (f.writerId.nonEmpty) f.writerId else "cdc-mirror"))
+      } else if (f.feedFormat.nonEmpty) {
+        // outbound envelope feed: debezium delete images need the keys —
+        // default to the ingest table's primary key, like the mirror does
+        val keys = if (f.keyCols.nonEmpty) f.keyCols else table.keyCols
+        graft.engine.cdc.CdcPipeline.FeedFollower(
+          rebasePath(f.root, ov.rebase), f.feedFormat, keys)
       } else {
         val rollup = f.aggregations.nonEmpty
         val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),

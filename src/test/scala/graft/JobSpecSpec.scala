@@ -677,6 +677,34 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("streaming"))
   }
 
+  test("feed follower: the streaming job maintains an envelope outbox a second job replays") {
+    val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)
+    val work = tmpDir("cdcjob-feed")
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 4)
+    RunJob.run(spark, JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "followers": [{"path": "$work/feed", "format": "debezium"}]}}}]}}"""))
+    // the follower ran inside each micro-batch: one window marker per epoch
+    val markers = new java.io.File(s"$work/feed").list().toSeq.filter(_.endsWith(".ok"))
+    assert(markers.size >= 2, s"expected one feed window per epoch, got $markers")
+    // a second job tails the outbox into a fresh lake and converges to the
+    // ingest table's LWW state (delete images ride the debezium `before`)
+    RunJob.run(spark, JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/feed", "format": "debezium", "checkpoint": "$work/cp2"}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/dst", "primaryKey": ["conv_id", "turn_idx"],
+        "buckets": 2}}}]}}"""))
+    val want = Gen.expectedState(spark, cfg).toDF()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = LakeTable.open(spark, s"$work/dst").read()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(got.exceptAll(want).count() + want.exceptAll(got).count() === 0L)
+  }
+
   test("cdcreader envelope format: debezium JSONL tail with a DLQ through the job runner") {
     val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 40L, partitions = 4)
     val work = tmpDir("cdcjobenv")
