@@ -677,6 +677,42 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("streaming"))
   }
 
+  test("streaming schema evolution: restart the cdcreader with a widened column list") {
+    // the operational path the CdcPipeline scaladoc prescribes (read schema
+    // is fixed at stream start): when the SOURCE grows a column, stop the
+    // stream, widen the typed `column` specs, restart on the SAME
+    // checkpoint — offsets resume (consumed chunks are not re-read), new
+    // chunks flow with the new column, and the lake merge evolves the
+    // stored schema additively (old rows null-filled)
+    val work = tmpDir("cdcjob-evo")
+    import spark.implicits._
+    (1L to 100L).map(i => ("I", i, i % 20, s"v$i"))
+      .toDF("op", "lsn", "id", "val")
+      .write.mode("append").parquet(s"$work/log")
+    def job(cols: String) = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "column": [$cols]}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["id"], "buckets": 2}}}]}}""")
+    RunJob.run(spark, job("""{"name":"id","type":"long"},{"name":"val","type":"string"}"""))
+    val v1 = LakeTable.open(spark, s"$work/lake")
+    assert(!v1.currentSnapshot().schema.get.fieldNames.contains("score"))
+    assert(v1.read().count() === 20L)
+    // the source evolved: new chunk carries `score`; updates touch half the keys
+    (101L to 150L).map(i => ("U", i, i % 10, s"w$i", i.toDouble))
+      .toDF("op", "lsn", "id", "val", "score")
+      .write.mode("append").parquet(s"$work/log")
+    RunJob.run(spark, job("""{"name":"id","type":"long"},{"name":"val","type":"string"},
+      {"name":"score","type":"double"}"""))
+    val got = LakeTable.open(spark, s"$work/lake").read()
+    assert(got.schema.fieldNames.contains("score"))
+    assert(got.count() === 20L)
+    // keys 0..9 were rewritten by chunk2 (score present), 10..19 pre-date
+    // the evolution and are null-filled
+    assert(got.where(col("id") < 10 && col("score").isNotNull).count() === 10L)
+    assert(got.where(col("id") >= 10 && col("score").isNull).count() === 10L)
+  }
+
   test("feed follower: the streaming job maintains an envelope outbox a second job replays") {
     val cfg = Gen.GenConfig(nEvents = 4000L, nConvs = 50L, partitions = 4)
     val work = tmpDir("cdcjob-feed")
