@@ -854,6 +854,47 @@ object SparkEntry {
       SELECT user_id, event_type, round(value, 4) AS value_r FROM live
       WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND value > 0""")),
 
+    ("cdc_sorted_prune", (s, dir) => {
+      // sort-order clustering (LakeTable.sortCols — the Iceberg sort-order
+      // analog): compaction re-sorts each bucket by ts so the sliced base
+      // files carry tight ts bounds even though ts is uncorrelated with
+      // the (user_id, event_type) key. StatsPruneSpec proves the skipping
+      // physically AND that the flat layout cannot; this oracle pins that
+      // a ts-window readWhere over the clustered layout stays semantically
+      // identical to filtering the LWW state in SQL.
+      import org.apache.spark.sql.functions.{lit => l}
+      val lakeRoot = stageOnce(s"sortedprune-lake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-sortedprune").toString + "/t"
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("ts"), col("value"))
+        val tab = graft.lake.LakeTable.create(s, p, Seq("user_id", "event_type"),
+          numBuckets = 8, targetFileRows = Some(2000L), sortCols = Seq("ts"))
+        tab.merge(ev, epoch = 0L)
+        tab.compactAll()
+        p
+      }
+      graft.lake.LakeTable.open(s, lakeRoot)
+        // winners carry the HIGHEST lsn per key and lsn correlates with ts,
+        // so the live state concentrates late in the month — window there
+        .readWhere(col("ts").between(
+          l("2024-01-20 00:00:00").cast("timestamp"),
+          l("2024-01-28 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, ts, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, round(value, 4) AS value_r FROM live
+      WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+                   AND TIMESTAMP '2024-01-28 00:00:00'""")),
+
     ("cdc_dedup_rate", (s, dir) => {
       val e = t(s, dir, "events")
       e.agg(

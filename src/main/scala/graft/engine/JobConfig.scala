@@ -215,6 +215,12 @@ object JobConfig {
         * survives compaction ([[graft.lake.LakeTable.targetFileRows]])
         */
       targetFileRows: Option[Long] = None,
+      /** optional clustering columns (`sortColumns`) — compaction re-sorts
+        * each bucket by them so sliced base files carry tight footer
+        * bounds on NON-key scan columns like `ts`
+        * ([[graft.lake.LakeTable.sortCols]]; needs `targetFileRows`)
+        */
+      sortCols: Seq[String] = Nil,
       /** downstream tables co-maintained per streaming epoch (`followers`)
         * — replicas (no aggregations) or rollups (aggregations set, the
         * follower's `primaryKey` are the group columns); see
@@ -593,6 +599,13 @@ object JobConfig {
         vacuumRetainVersions = p.int("vacuumRetainVersions", 8),
         distCols = p.strList("distributionColumns"),
         targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L),
+        sortCols = {
+          val sc = p.strList("sortColumns")
+          require(sc.isEmpty || p.long("targetFileRows", 0L) > 0L,
+            "lakewriter sortColumns needs targetFileRows — clustering only " +
+              "tightens bounds when buckets slice into multiple files")
+          sc
+        },
         followers = p.listConf("followers").map { f =>
           if (f.str("jdbcUrl").nonEmpty) {
             // live-database mirror follower

@@ -122,7 +122,24 @@ final class LakeTable(
       * knob like `deltaRatio` (not persisted in the manifest); None = one
       * file per bucket per write, the pre-slicing behavior.
       */
-    val targetFileRows: Option[Long] = None) {
+    val targetFileRows: Option[Long] = None,
+    /** CLUSTERING columns for BASE files (Iceberg sort-order analog): when
+      * set (and [[targetFileRows]] slices files), compaction re-sorts each
+      * bucket by these columns before writing, so the sliced files carry
+      * TIGHT footer bounds on them — a `ts`-window `readWhere` over a
+      * compacted table then skips all but the matching slices even though
+      * `ts` is uncorrelated with the key. Pure tightness knob, never
+      * soundness: bounds are always harvested from the actual file contents
+      * (see [[FileStats]]), payload bounds only apply in clean buckets
+      * (lemma), and the LWW merge never depends on intra-file order. The
+      * trade: base-file KEY bounds widen to the bucket's span, so
+      * intra-bucket file-level pruning of key predicates degrades — key
+      * point reads still prune by bucket routing. Delta files keep key
+      * order (their payload bounds are unusable anyway). Advisory and
+      * re-definable: a handle with different sortCols just clusters FUTURE
+      * rewrites differently.
+      */
+    val sortCols: Seq[String] = Nil) {
 
   import LakeTable._
 
@@ -209,7 +226,8 @@ final class LakeTable(
       // written only when narrower than the key: full-key manifests stay
       // byte-identical to pre-dist ones (old readers parse them unchanged)
       distMeta = if (distributionCols == keyCols) Nil else distributionCols,
-      fileRowsMeta = targetFileRows.getOrElse(0L))
+      fileRowsMeta = targetFileRows.getOrElse(0L),
+      sortMeta = sortCols)
     fs.mkdirs(new Path(snapDir))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val body = new Path(s"$snapDir/snap-${s.version}.txt.$nonce")
@@ -931,7 +949,14 @@ final class LakeTable(
     // key-sorted within partitions so the slices are contiguous key ranges;
     // the reshuffle=false paths arrive (bucket, key)-sorted already
     val shaped =
-      if (reshuffle && targetFileRows.isDefined)
+      if (kind == "b" && sortCols.nonEmpty && targetFileRows.isDefined)
+        // sort-order clustering (see sortCols scaladoc): a task-local
+        // re-sort — no exchange — so base slices are contiguous in the
+        // clustering columns (key appended as tie-break); BucketCol first
+        // keeps the dynamic partitionBy write single-writer per task
+        reparted.sortWithinPartitions(
+          (BucketCol +: (sortCols ++ keyCols.filterNot(sortCols.contains))).map(col): _*)
+      else if (reshuffle && targetFileRows.isDefined)
         reparted.sortWithinPartitions((BucketCol +: keyCols).map(col): _*)
       else reparted
     // pin footer statistics untruncated (the parquet default, made explicit):
@@ -1224,7 +1249,7 @@ final class LakeTable(
     val snap = currentSnapshot()
     require(snap.version >= 0, "nothing to rebucket: no committed snapshot")
     val dst = new LakeTable(spark, dstRoot, keyCols, newBuckets, deltaRatio,
-      maxDeltaFiles, distCols, targetFileRows)
+      maxDeltaFiles, distCols, targetFileRows, sortCols)
     require(dst.currentSnapshot().version < 0,
       s"rebucket destination $dstRoot already has committed snapshots")
     val resolvedAll = resolvedBucketed(snap, snap.files.map(_.bucket).toSet)
@@ -1428,7 +1453,13 @@ object LakeTable {
         * prunable files instead of silently collapsing each bucket into
         * one wide-bound file.
         */
-      fileRowsMeta: Long = 0L) {
+      fileRowsMeta: Long = 0L,
+      /** recorded [[LakeTable.sortCols]] clustering (empty = none): like
+        * `fileRowsMeta`, persists the layout so maintenance handles keep
+        * compacting into the same clustered shape. Advisory (tightness
+        * only), so mismatched handles are tolerated, not rejected.
+        */
+      sortMeta: Seq[String] = Nil) {
     def lastEpochFor(writerId: String): Long =
       epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
   }
@@ -1453,9 +1484,10 @@ object LakeTable {
 
   def create(spark: SparkSession, root: String, keyCols: Seq[String], numBuckets: Int = 32,
       deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12,
-      distCols: Seq[String] = Nil, targetFileRows: Option[Long] = None): LakeTable =
+      distCols: Seq[String] = Nil, targetFileRows: Option[Long] = None,
+      sortCols: Seq[String] = Nil): LakeTable =
     new LakeTable(spark, root, keyCols, numBuckets, deltaRatio, maxDeltaFiles, distCols,
-      targetFileRows)
+      targetFileRows, sortCols)
 
   /** Open an EXISTING table with the layout recorded in its manifest —
     * the safe way to get a handle without knowing keys/buckets (ops CLIs,
@@ -1478,7 +1510,8 @@ object LakeTable {
       distCols = s.distMeta,
       // the manifest's recorded slicing layout wins unless the caller
       // overrides — ops handles keep compaction sliced (and prunable)
-      targetFileRows = targetFileRows.orElse(Some(s.fileRowsMeta).filter(_ > 0)))
+      targetFileRows = targetFileRows.orElse(Some(s.fileRowsMeta).filter(_ > 0)),
+      sortCols = s.sortMeta)
   }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.
@@ -1559,6 +1592,7 @@ object LakeTable {
     if (s.bucketsMeta > 0) sb.append("buckets=").append(s.bucketsMeta).append('\n')
     if (s.distMeta.nonEmpty) sb.append("dist=").append(s.distMeta.mkString(",")).append('\n')
     if (s.fileRowsMeta > 0) sb.append("fileRows=").append(s.fileRowsMeta).append('\n')
+    if (s.sortMeta.nonEmpty) sb.append("sortCols=").append(s.sortMeta.mkString(",")).append('\n')
     if (s.maxLsn >= 0) sb.append("maxLsn=").append(s.maxLsn).append('\n')
     if (s.lsnHigh >= 0) sb.append("lsnHigh=").append(s.lsnHigh).append('\n')
     if (s.revertedFrom >= 0) sb.append("revertedFrom=").append(s.revertedFrom).append('\n')
@@ -1612,6 +1646,7 @@ object LakeTable {
     var stats: Option[MergeStats] = None
     var epochs = Map.empty[String, Long]
     var fileRowsMeta = 0L
+    var sortMeta: Seq[String] = Nil
     val files = Seq.newBuilder[FileEntry]
     val addedDeltas = Seq.newBuilder[FileEntry]
     val fstats = scala.collection.mutable.HashMap.empty[String, Map[String, (String, String)]]
@@ -1632,6 +1667,7 @@ object LakeTable {
         case "file" => files += parseFileEntry(v)
         case "delta" => addedDeltas += parseFileEntry(v)
         case "fileRows" => fileRowsMeta = v.toLong
+        case "sortCols" => sortMeta = v.split(',').toSeq
         case "fstats" =>
           val tab = v.indexOf('\t')
           fstats += FileStats.dec(v.substring(0, tab)) ->
@@ -1658,7 +1694,7 @@ object LakeTable {
       else fs.map(f => fstats.get(f.path).map(st => f.copy(stats = st)).getOrElse(f))
     Snapshot(version, lastEpoch, schema, rows, attach(files.result()), stats,
       attach(addedDeltas.result()), epochs, commitTs, keysMeta, bucketsMeta, distMeta,
-      revertedFrom, maxLsn, lsnHigh, fileRowsMeta = fileRowsMeta)
+      revertedFrom, maxLsn, lsnHigh, fileRowsMeta = fileRowsMeta, sortMeta = sortMeta)
   }
 
   /** Parse one `file=`/`delta=` manifest value: 4 tab fields (stats ride

@@ -205,7 +205,8 @@ object RunJob {
       "lakewriter primaryKey is required for a rollup destination (the group columns)")
     val dst = openOrCreateLake(spark, rebasePath(lw.root, ov.rebase),
       keys = if (lw.keyCols.nonEmpty) lw.keyCols else src.keyCols,
-      buckets = lw.buckets, distCols = lw.distCols, targetFileRows = lw.targetFileRows)
+      buckets = lw.buckets, distCols = lw.distCols, targetFileRows = lw.targetFileRows,
+      sortCols = lw.sortCols)
     // the ingest-default writerId would cross the replication watermark with
     // the table's own ingest epochs (different epoch spaces) — scope it by
     // role unless the config names one explicitly
@@ -303,7 +304,7 @@ object RunJob {
     }
     val root = rebasePath(lw.root, ov.rebase)
     val table = openOrCreateLake(spark, root, lw.keyCols, lw.buckets,
-      lw.distCols, lw.targetFileRows)
+      lw.distCols, lw.targetFileRows, lw.sortCols)
     // followers: same open-or-create + role-scoped writerId defaults as a
     // standalone lakereader→lakewriter job (runLakePair), attached per epoch
     val followers = lw.followers.map { f =>
@@ -391,7 +392,8 @@ object RunJob {
     */
   private def openOrCreateLake(spark: SparkSession, root: String,
       keys: Seq[String], buckets: Int, distCols: Seq[String],
-      targetFileRows: Option[Long] = None): graft.lake.LakeTable = {
+      targetFileRows: Option[Long] = None,
+      sortCols: Seq[String] = Nil): graft.lake.LakeTable = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$root/_snapshots/snap-0.txt"))
@@ -407,7 +409,7 @@ object RunJob {
       table
     } else graft.lake.LakeTable.create(spark, root,
       if (keys.nonEmpty) keys else graft.core.Model.keyCols, buckets,
-      distCols = distCols, targetFileRows = targetFileRows)
+      distCols = distCols, targetFileRows = targetFileRows, sortCols = sortCols)
   }
 
   def run(spark: SparkSession, spec: JobConfig.Spec,

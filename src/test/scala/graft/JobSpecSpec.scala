@@ -677,6 +677,35 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("streaming"))
   }
 
+  test("lakewriter sortColumns: clustered layout from JSON, rejected without targetFileRows") {
+    val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 40L, partitions = 4)
+    val work = tmpDir("cdcjob-sort")
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 2)
+    RunJob.run(spark, JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp"}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "targetFileRows": 500, "sortColumns": ["ts"]}}}]}}"""))
+    // clustering persisted in the manifest; state unaffected by the re-sort
+    val tab = LakeTable.open(spark, s"$work/lake")
+    assert(tab.sortCols === Seq("ts"))
+    assertResult(Gen.expectedState(spark, cfg).count()) {
+      tab.read().count()
+    }
+    // sortColumns without targetFileRows is a plan-time error (clustering
+    // only tightens bounds when buckets slice into multiple files)
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "$work/log", "checkpoint": "$work/cp2"}},
+        "writer": {"name": "lakewriter", "parameter": {
+          "path": "$work/lake2", "primaryKey": ["conv_id", "turn_idx"],
+          "sortColumns": ["ts"]}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("targetFileRows"))
+  }
+
   test("streaming schema evolution: restart the cdcreader with a widened column list") {
     // the operational path the CdcPipeline scaladoc prescribes (read schema
     // is fixed at stream start): when the SOURCE grows a column, stop the

@@ -200,6 +200,65 @@ class StatsPruneSpec extends SparkSpec {
     } finally unhide(root, prunable.map(_.path))
   }
 
+  test("sort-order clustering: sortCols=ts tightens non-key bounds a key-sliced layout cannot") {
+    // ts is UNCORRELATED with the key here (lsn mod 30 spreads each lsn run
+    // across every conversation), so key-range slicing leaves every file's
+    // ts bounds spanning the whole table and a ts window prunes nothing;
+    // the ts-clustered layout slices the same buckets into contiguous ts
+    // ranges and the same window skips all but the matching slices.
+    import org.apache.spark.sql.DataFrame
+    val batch: DataFrame = (0L until 600L).map(i =>
+      ev("I", i, f"c${i % 30}%02d", (i / 30).toInt)).toDF()
+    def build(root: String, sortCols: Seq[String]): LakeTable = {
+      val t = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
+        deltaRatio = 1e9, targetFileRows = Some(50L), sortCols = sortCols)
+      t.merge(batch, epoch = 0L)
+      t.compactAll()
+      t
+    }
+    val rootA = tmpDir("sp-flat") + "/t"
+    val rootB = tmpDir("sp-sorted") + "/t"
+    val (flat, sorted) = (build(rootA, Nil), build(rootB, Seq("ts")))
+    val cond = col("ts").between(
+      new Timestamp(1704067200000L + 100L * 1000L),
+      new Timestamp(1704067200000L + 149L * 1000L))
+    val expected = flat.read().filter(cond).orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(expected.size === 50)
+    assert(sorted.readWhere(cond).orderBy("conv_id", "turn_idx").collect().toSeq === expected)
+    val (keptFlat, totalFlat) = flat.pruneCounts(cond)
+    val (keptSorted, totalSorted) = sorted.pruneCounts(cond)
+    assert(totalSorted >= 10, s"expected sliced files, got $totalSorted")
+    // a stray boundary fragment (one key's rows split mid-slice) may still
+    // prune in the flat layout; the claim is it prunes at most marginally
+    assert(keptFlat * 4 >= totalFlat * 3,
+      s"uncorrelated ts should barely prune in the key-sliced layout ($keptFlat/$totalFlat)")
+    assert(keptSorted * 3 <= totalSorted,
+      s"clustered layout should skip most slices (kept $keptSorted/$totalSorted)")
+    // physical proof on the clustered table
+    val snap = sorted.currentSnapshot()
+    val (loMicros, hiMicros) =
+      ((1704067200000L + 100L * 1000L) * 1000L, (1704067200000L + 149L * 1000L) * 1000L)
+    val prunable = snap.files.filter(f =>
+      f.stats("ts")._2.toLong < loMicros || f.stats("ts")._1.toLong > hiMicros)
+    assert(prunable.nonEmpty)
+    hide(rootB, prunable.map(_.path))
+    try {
+      assert(sorted.readWhere(cond).orderBy("conv_id", "turn_idx").collect().toSeq === expected)
+    } finally unhide(rootB, prunable.map(_.path))
+    // the clustering layout is persisted: an ops handle keeps it, and LWW
+    // semantics are untouched — a late duplicate + delete converge as ever
+    val reopened = LakeTable.open(spark, rootB)
+    assert(reopened.sortCols === Seq("ts"))
+    // key (c03, 0) was written at lsn 3 — a redelivery at lsn 1 is stale
+    reopened.merge(Seq(ev("I", 1L, "c03", 0, "stale-dup"),
+      ev("D", 700L, "c05", 0)).toDF(), epoch = 1L)
+    reopened.compactAll()
+    val r = reopened.read()
+    assert(r.where(col("conv_id") === "c03" && col("turn_idx") === 0)
+      .select("text").as[String].collect().toSeq === Seq("x"))
+    assert(r.where(col("conv_id") === "c05" && col("turn_idx") === 0).isEmpty)
+  }
+
   test("a delta disables payload pruning for its bucket: stale duplicates cannot resurrect") {
     // the exact hazard the clean-bucket lemma's gate exists for: base holds
     // every key's true winner (role='tool', high lsn); an at-least-once
