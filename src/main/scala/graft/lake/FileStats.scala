@@ -4,7 +4,7 @@ import org.apache.parquet.column.statistics.Statistics
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Between, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -323,11 +323,22 @@ private[graft] object FileStats {
       case Fn("in", args) if args.length >= 2 => inSet(args.head, args.tail)
       case _ => None
     }
+    // BETWEEN desugars to >= AND <= — but only in the Column DSL. The SQL
+    // parser leaves it as UnresolvedFunction('between') and the analyzer
+    // resolves it to the RuntimeReplaceable Between node, so both shapes
+    // must compile here or a bare `ts BETWEEN ...` window (the most common
+    // ops-CLI predicate) silently prunes nothing. Each side degrades to
+    // Unknown independently (AndP with one usable side still disproves).
+    def between(a: Expression, lo: Expression, hi: Expression): Pred =
+      AndP(comparison(">=", a, lo).map(Leaf.apply).getOrElse(Unknown),
+        comparison("<=", a, hi).map(Leaf.apply).getOrElse(Unknown))
     def go(e: Expression): Pred = e match {
       case And(l, r) => AndP(go(l), go(r))
       case Fn("and", Seq(l, r)) => AndP(go(l), go(r))
       case Or(l, r) => OrP(go(l), go(r))
       case Fn("or", Seq(l, r)) => OrP(go(l), go(r))
+      case b: Between => between(b.input, b.lower, b.upper)
+      case Fn("between", Seq(a, lo, hi)) => between(a, lo, hi)
       case other => leaf(other).map(Leaf.apply).getOrElse(Unknown)
     }
     go(pred)

@@ -1224,6 +1224,39 @@ final class LakeTable(
       files = files, addedDeltas = Nil, lsnHigh = -1L))
   }
 
+  /** Rewrite EVERY bucket's base through the clustered publish path — the
+    * in-place retrofit for [[sortCols]] on a table that already has data
+    * (the Iceberg `rewrite_data_files` with a new sort-order analog).
+    * [[compactAll]] only rewrites buckets that HOLD deltas, so adopting a
+    * clustering (or dropping one: an empty-`sortCols` handle re-sorts back
+    * to key order) needs this full pass. Folds any deltas along the way and
+    * commits the handle's layout as the manifest's `sortCols=`, so later
+    * ops handles keep compacting into the new shape. Tombstone winners are
+    * retained (same rule as compaction). Cost: one read + one write of the
+    * table plus ONE bucket-hash exchange — unlike compaction (whose dirty
+    * buckets arrive bucket-clustered from the LWW window exchange), a
+    * delta-free bucket resolves as a plain file scan whose partitions
+    * interleave key ranges, and a task-local re-sort of that produces
+    * OVERLAPPING clustered slices; the exchange pins each bucket to one
+    * task so its slices are globally contiguous in the clustering columns.
+    */
+  def recluster(): Unit = {
+    require(sortCols.isEmpty || targetFileRows.isDefined,
+      "recluster with sortCols needs targetFileRows — clustering only " +
+        "tightens bounds when buckets slice into multiple files")
+    val snap = currentSnapshot()
+    require(snap.version >= 0, "nothing to recluster: no committed snapshot")
+    val buckets = snap.files.map(_.bucket).toSet
+    if (buckets.isEmpty) return
+    val resolved = resolvedBucketed(snap, buckets)
+    val newVersion = snap.version + 1
+    val newBase = publish(resolved, s"$root/_staging-rc-$newVersion",
+      s"b$newVersion-${java.util.UUID.randomUUID().toString.take(8)}", "b",
+      buckets.size, reshuffle = true)
+    commitSnapshot(snap.copy(version = newVersion, rows = newBase.map(_.rows).sum,
+      files = newBase, addedDeltas = Nil, lsnHigh = -1L))
+  }
+
   /** Re-bucket the table into a NEW table at `dstRoot` with `newBuckets`
     * buckets — the full-rewrite escape hatch for a table that outgrew its
     * frozen bucket count (Iceberg's rewrite-with-new-partition-spec analog;
@@ -1496,7 +1529,8 @@ object LakeTable {
     */
   def open(spark: SparkSession, root: String,
       deltaRatio: Double = 0.3, maxDeltaFiles: Int = 12,
-      targetFileRows: Option[Long] = None): LakeTable = {
+      targetFileRows: Option[Long] = None,
+      sortColsOverride: Option[Seq[String]] = None): LakeTable = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snapDir = s"$root/_snapshots"
     val pointer = new Path(s"$root/_current")
@@ -1511,7 +1545,10 @@ object LakeTable {
       // the manifest's recorded slicing layout wins unless the caller
       // overrides — ops handles keep compaction sliced (and prunable)
       targetFileRows = targetFileRows.orElse(Some(s.fileRowsMeta).filter(_ > 0)),
-      sortCols = s.sortMeta)
+      // clustering override for the retrofit path ([[LakeTable.recluster]]):
+      // Some(Nil) deliberately UN-clusters (future rewrites return to key
+      // order), None keeps the manifest's recorded layout
+      sortCols = sortColsOverride.getOrElse(s.sortMeta))
   }
 
   /** One winner row per key: first row of `ord` via a window `row_number`.

@@ -18,6 +18,14 @@ import graft.lake.LakeTable
   *                                 `state count` adds the live row count
   *                                 (one merged-read scan)
   *   compact                    — fold ALL delta files into base files
+  *   cluster <c1,c2|none>       — retrofit sort-order clustering: rewrite
+  *                                 every bucket re-sorted by the given
+  *                                 payload columns (`none` reverts to key
+  *                                 order) and record the layout in the
+  *                                 manifest — ts-window scans then file-skip
+  *                                 (Iceberg rewrite_data_files with a new
+  *                                 sort-order analog; needs a targetFileRows
+  *                                 layout)
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
   *   where <pred> [limit]       — pruned predicate scan (readWhere): prints
@@ -99,6 +107,17 @@ object LakeMaint {
       case "compact" =>
         table.compactAll()
         println(s"compacted -> version ${table.currentSnapshot().version}")
+      case "cluster" =>
+        require(args.length >= 3, "cluster <c1,c2|none>")
+        val cols = if (args(2) == "none") Nil
+          else args(2).split(",").toSeq.filter(_.nonEmpty)
+        // a FRESH handle with the override — `table`'s layout stays whatever
+        // the manifest recorded until recluster commits the new one
+        val t = LakeTable.open(spark, root, sortColsOverride = Some(cols))
+        t.recluster()
+        val s = t.currentSnapshot()
+        println(s"clustered by [${cols.mkString(",")}] -> version ${s.version} " +
+          s"files=${s.files.size} rows=${s.rows}")
       case "expire" =>
         require(args.length >= 3, "expire <horizonLsn>")
         table.expireTombstones(args(2).toLong)
@@ -202,7 +221,8 @@ object LakeMaint {
         // mirror the source's full layout (distribution key + slicing knob),
         // not just keys/buckets, so the replica prunes like the original
         val dst = LakeTable.create(spark, args(2), table.keyCols, table.numBuckets,
-          distCols = table.distCols, targetFileRows = table.targetFileRows)
+          distCols = table.distCols, targetFileRows = table.targetFileRows,
+          sortCols = table.sortCols)
         val applied = graft.lake.Replicate.follow(table, dst, writerId = "lake-tail",
           pollMillis = 500L, idleRounds = 2)
         println(s"tailed -> ${args(2)} physicalRows=${dst.currentSnapshot().rows} applied=$applied")

@@ -259,6 +259,60 @@ class StatsPruneSpec extends SparkSpec {
     assert(r.where(col("conv_id") === "c05" && col("turn_idx") === 0).isEmpty)
   }
 
+  test("cluster retrofit: recluster() adopts sortCols on an existing flat table, and reverts") {
+    // the LakeMaint `cluster` verb's path: a table created WITHOUT
+    // clustering gets it in place via an overridden handle + full rewrite
+    // (Iceberg rewrite_data_files with a new sort-order analog), the layout
+    // persists for plain reopens, and an empty override reverts to key order
+    import org.apache.spark.sql.DataFrame
+    val batch: DataFrame = (0L until 600L).map(i =>
+      ev("I", i, f"c${i % 30}%02d", (i / 30).toInt)).toDF()
+    val root = tmpDir("sp-retrofit") + "/t"
+    val flat = LakeTable.create(spark, root, Model.keyCols, numBuckets = 2,
+      deltaRatio = 1e9, targetFileRows = Some(50L))
+    flat.merge(batch, epoch = 0L)
+    flat.compactAll()
+    val cond = col("ts").between(
+      new Timestamp(1704067200000L + 100L * 1000L),
+      new Timestamp(1704067200000L + 149L * 1000L))
+    val expected = flat.read().filter(cond).orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(expected.size === 50)
+    val (keptFlat, totalFlat) = flat.pruneCounts(cond)
+    assert(keptFlat * 4 >= totalFlat * 3,
+      s"uncorrelated ts should barely prune before the retrofit ($keptFlat/$totalFlat)")
+    LakeTable.open(spark, root, sortColsOverride = Some(Seq("ts"))).recluster()
+    // persisted: a PLAIN reopen carries the clustering, prunes, same answers
+    val clustered = LakeTable.open(spark, root)
+    assert(clustered.sortCols === Seq("ts"))
+    assert(clustered.readWhere(cond).orderBy("conv_id", "turn_idx").collect().toSeq === expected)
+    val (keptC, totalC) = clustered.pruneCounts(cond)
+    assert(keptC * 3 <= totalC,
+      s"retrofitted layout should skip most slices (kept $keptC/$totalC)")
+    // the ops-CLI predicate shape: SQL-parsed BETWEEN stays an
+    // UnresolvedFunction('between') (the DSL desugars, the parser doesn't) —
+    // it must compile to the same two-sided range or LakeMaint `where`
+    // silently scans everything a programmatic caller would skip
+    val parsedCond = expr(
+      "ts between timestamp'2024-01-01 00:01:40' and timestamp'2024-01-01 00:02:29'")
+    assert(clustered.pruneCounts(parsedCond) === ((keptC, totalC)),
+      "SQL-parsed BETWEEN should prune exactly like the Column-DSL form")
+    assert(clustered.readWhere(parsedCond).orderBy("conv_id", "turn_idx")
+      .collect().toSeq === expected)
+    // revert: Some(Nil) un-clusters — future rewrites return to key order
+    LakeTable.open(spark, root, sortColsOverride = Some(Nil)).recluster()
+    val back = LakeTable.open(spark, root)
+    assert(back.sortCols === Nil)
+    assert(back.read().filter(cond).orderBy("conv_id", "turn_idx").collect().toSeq === expected)
+    // clustering without a slicing layout is rejected (nothing to tighten)
+    val unsliced = LakeTable.create(spark, tmpDir("sp-retrofit2") + "/t",
+      Model.keyCols, numBuckets = 2)
+    unsliced.merge(batch.limit(10), epoch = 0L)
+    val bad = intercept[IllegalArgumentException] {
+      LakeTable.open(spark, unsliced.root, sortColsOverride = Some(Seq("ts"))).recluster()
+    }
+    assert(bad.getMessage.contains("targetFileRows"))
+  }
+
   test("a delta disables payload pruning for its bucket: stale duplicates cannot resurrect") {
     // the exact hazard the clean-bucket lemma's gate exists for: base holds
     // every key's true winner (role='tool', high lsn); an at-least-once
