@@ -895,6 +895,46 @@ object SparkEntry {
       WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
                    AND TIMESTAMP '2024-01-28 00:00:00'""")),
 
+    ("cdc_recluster", (s, dir) => {
+      // the in-place clustering retrofit (LakeTable.recluster, the LakeMaint
+      // `cluster` verb): a table created FLAT adopts sortCols=ts after the
+      // fact via an overridden handle + full clustered rewrite. The window
+      // predicate is deliberately the hand-typed ops-CLI shape — SQL-parsed
+      // BETWEEN over bare string bounds — exercising the resolveAndFold
+      // normalization in the pruner; the oracle pins that the retrofitted
+      // table's pruned scan still answers exactly like SQL over the LWW
+      // state. StatsPruneSpec proves the post-retrofit skipping physically.
+      import org.apache.spark.sql.functions.{lit => l}
+      val lakeRoot = stageOnce(s"recluster-lake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-recluster").toString + "/t"
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("ts"), col("value"))
+        val flat = graft.lake.LakeTable.create(s, p, Seq("user_id", "event_type"),
+          numBuckets = 8, targetFileRows = Some(2000L))
+        flat.merge(ev, epoch = 0L)
+        flat.compactAll()
+        graft.lake.LakeTable.open(s, p, sortColsOverride = Some(Seq("ts"))).recluster()
+        p
+      }
+      graft.lake.LakeTable.open(s, lakeRoot)
+        .readWhere(expr(
+          "ts between '2024-01-20 00:00:00' and '2024-01-28 00:00:00'"))
+        .select(col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, ts, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, round(value, 4) AS value_r FROM live
+      WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+                   AND TIMESTAMP '2024-01-28 00:00:00'""")),
+
     ("cdc_dedup_rate", (s, dir) => {
       val e = t(s, dir, "events")
       e.agg(

@@ -532,7 +532,19 @@ final class LakeTable(
         .map(f => f.name -> f.dataType).toMap
     val (tree, fullTree) = try {
       val e = ColumnBridge.expression(cond)
-      (FileStats.compile(e, keyTypes), FileStats.compile(e, allTypes))
+      // compile the predicate in BOTH shapes and conjoin: the raw Column
+      // AST preserves cross-type literal comparisons the analyzer would
+      // wrap in a column-side Cast (integral widening — cmp() handles them
+      // exactly), while the resolved+folded form turns coerced literals
+      // (string-typed timestamp windows, foldable arithmetic) into typed
+      // literals the bounds engine can use. Same predicate, so every
+      // constraint of each tree holds for every matching row — a file
+      // disproven by EITHER is soundly skipped, and bucket pinning may
+      // draw equality conjuncts from both.
+      val n = ColumnBridge.resolveAndFold(spark, e, StructType(
+        schema.fields :+ StructField(OpCol, StringType, nullable = true)))
+      (FileStats.AndP(FileStats.compile(e, keyTypes), FileStats.compile(n, keyTypes)),
+        FileStats.AndP(FileStats.compile(e, allTypes), FileStats.compile(n, allTypes)))
     } catch { case scala.util.control.NonFatal(_) => return s.files }
     if (!FileStats.usable(tree) && !FileStats.usable(fullTree)) return s.files
     // bucket pruning: equality on every distribution column (with the

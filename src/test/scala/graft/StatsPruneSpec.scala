@@ -298,6 +298,17 @@ class StatsPruneSpec extends SparkSpec {
       "SQL-parsed BETWEEN should prune exactly like the Column-DSL form")
     assert(clustered.readWhere(parsedCond).orderBy("conv_id", "turn_idx")
       .collect().toSeq === expected)
+    // the other common hand-typed shape: the window bounds as bare STRINGS.
+    // Pre-analysis that is a StringType-literal comparison the bounds
+    // engine rightly refuses; the resolveAndFold pass type-coerces and
+    // folds them into TimestampType literals (in this session's timezone,
+    // the same one the residual filter uses), so it prunes identically
+    val stringCond = expr(
+      "ts between '2024-01-01 00:01:40' and '2024-01-01 00:02:29'")
+    assert(clustered.pruneCounts(stringCond) === ((keptC, totalC)),
+      "string-typed timestamp window should fold and prune like the typed form")
+    assert(clustered.readWhere(stringCond).orderBy("conv_id", "turn_idx")
+      .collect().toSeq === expected)
     // revert: Some(Nil) un-clusters — future rewrites return to key order
     LakeTable.open(spark, root, sortColsOverride = Some(Nil)).recluster()
     val back = LakeTable.open(spark, root)
