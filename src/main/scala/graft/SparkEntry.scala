@@ -555,6 +555,62 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
+    ("cdc_onboard", (s, dir) => {
+      // initial-snapshot ONBOARDING through the JSON surface (cdcreader
+      // bootstrap + tail → lakewriter; CdcPipeline.bootstrap): the events
+      // log becomes a change stream; the lake is seeded with the source's
+      // consistent LWW state at L0 (a batch hdfsreader parquet load — at
+      // scale this is the massively parallel bulk read, splitPk probe and
+      // all) and then tails an OVERLAPPING log window (lsn > L0/2), the
+      // convergence contract's hardest shape: snapshot rows must outrank
+      // their own overlapped history, and overlapped inserts of
+      // snapshot-absent keys must stay shadowed by their retained deletes.
+      // Oracle: the full-log LWW live state recomputed from scratch in SQL
+      // — bootstrap + tail must be indistinguishable from a full replay.
+      val dstRoot = stageOnce(s"onboard:$dir") {
+        import org.apache.spark.sql.functions.{lit => l}
+        val p = java.nio.file.Files.createTempDirectory("graft-onboard").toString
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"),
+          col("event_id").as("src_lsn"))
+        val cut = ev.agg(max("lsn")).head().getLong(0) / 2
+        val w = Window.partitionBy("user_id", "event_type").orderBy(col("lsn").desc)
+        ev.filter(col("lsn") <= cut)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && col("op") =!= "D")
+          .select("user_id", "event_type", "value", "src_lsn")
+          .write.parquet(s"$p/snapshot")
+        ev.filter(col("lsn") > cut / 2).repartition(6).write.parquet(s"$p/log")
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "cdcreader", "parameter": {
+            "path": "$p/log", "checkpoint": "$p/cp",
+            "bootstrap": {"lsn": $cut, "reader": {"name": "hdfsreader",
+              "parameter": {"path": ["$p/snapshot"], "fileType": "parquet"}}},
+            "column": [{"name": "user_id", "type": "long"},
+                       {"name": "event_type", "type": "string"},
+                       {"name": "value", "type": "double"},
+                       {"name": "src_lsn", "type": "long"}]}},
+          "writer": {"name": "lakewriter", "parameter": {
+            "path": "$p/dst", "primaryKey": ["user_id", "event_type"],
+            "buckets": 8}}}]}}"""))
+        s"$p/dst"
+      }
+      graft.lake.LakeTable.open(s, dstRoot).read()
+        .select(col("user_id"), col("event_type"), col("src_lsn").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT * FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
+
     ("cdc_changefeed", (s, dir) => {
       // CDC-out wire round trip through the JSON surface: the staged source
       // lake's bootstrap change set (LWW state, tombstones included) exports

@@ -155,7 +155,21 @@ object JobConfig {
         * reader column shape) — None ⇒ the transcript default; set it to
         * tail change logs of any table shape
         */
-      payload: Option[org.apache.spark.sql.types.StructType] = None) extends ReaderPlan
+      payload: Option[org.apache.spark.sql.types.StructType] = None,
+      /** initial-snapshot onboarding: before the tail starts, the nested
+        * batch reader loads the source's consistent state and it merges as
+        * one insert epoch stamped `lsn` ([[graft.engine.cdc.CdcPipeline.bootstrap]])
+        */
+      bootstrap: Option[CdcBootstrap] = None) extends ReaderPlan
+  /** `cdcreader.parameter.bootstrap`: `{lsn, reader: {name, parameter}}` —
+    * the Debezium snapshot-mode analog for onboarding an EXISTING table
+    * onto the tail. `plan` is any batch reader (jdbc with splitPk probe,
+    * files, a lake state export); `lsn` is the consistent point the
+    * snapshot reflects (changes with lsn ≤ it) — the tailed log must reach
+    * back at least that far (see the convergence contract on
+    * [[graft.engine.cdc.CdcPipeline.bootstrap]]).
+    */
+  final case class CdcBootstrap(plan: ReaderPlan, lsn: Long)
   /** lakereader (graft-native extension): a committed lake table as a
     * source. Paired with `lakewriter` it runs the incremental lake→lake
     * machinery from the JSON surface — [[graft.lake.Replicate.sync]] (one
@@ -206,6 +220,12 @@ object JobConfig {
     */
   final case class LakeWrite(root: String, keyCols: Seq[String], buckets: Int,
       writerId: String, vacuumEvery: Int, vacuumRetainVersions: Int,
+      /** GC tombstones every N epochs / keep those within `retainLsns` of
+        * the max applied lsn — the source's re-delivery horizon
+        * ([[graft.engine.cdc.CdcPipeline.CdcConfig.expireTombstonesEvery]])
+        */
+      expireTombstonesEvery: Int = 0,
+      tombstoneRetainLsns: Long = 0L,
       /** optional distribution-key subset (`distributionColumns`) — bucket
         * on a key prefix for group locality ([[graft.lake.LakeTable.distCols]])
         */
@@ -265,13 +285,17 @@ object JobConfig {
         require(c.transforms.isEmpty,
           "cdcreader content takes no transformer chain — change events are " +
             "applied verbatim (transform downstream of the lake table instead)")
-      case (_: CdcRead, jw: JdbcWrite) =>
+      case (cr: CdcRead, jw: JdbcWrite) =>
         // live-database destination: the streaming MERGE-apply
         // ([[graft.engine.cdc.CdcPipeline.startJdbc]]) — the reference's
         // incremental mysql2mysql sync shape
         require(c.transforms.isEmpty,
           "cdcreader content takes no transformer chain — change events are " +
             "applied verbatim")
+        require(cr.bootstrap.isEmpty,
+          "bootstrap onboarding targets a lakewriter (the lake's epoch " +
+            "lineage makes it exactly-once) — seed a live database with an " +
+            "ordinary batch job instead")
         require(jw.writeMode != "insert",
           "cdc apply into a live database is a per-key MERGE — set " +
             "writeMode update (or replace); plain insert would duplicate on replay")
@@ -445,13 +469,40 @@ object JobConfig {
           Some(SyncJob.schemaFor(cols))
         case _ => None
       }
+      // initial-snapshot onboarding: a nested BATCH reader seeds the lake
+      // before the tail starts (Debezium snapshot mode; the reference's
+      // closest shape is a full batch job re-run with a where watermark)
+      val bootstrap = p.get("bootstrap").map { _ =>
+        val b = new Conf(p.get("bootstrap").orNull)
+        val rName = b.str("reader.name")
+        require(rName.nonEmpty,
+          "cdcreader bootstrap needs a nested reader ({name, parameter})")
+        require(b.has("lsn"),
+          "cdcreader bootstrap needs 'lsn' — the consistent point the " +
+            "snapshot reflects (changes with lsn <= it); the tailed log " +
+            "must reach back at least that far")
+        val plan = translateReader(rName, new Conf(b.get("reader.parameter").orNull), channel)
+        plan match {
+          case _: CdcRead => throw new IllegalArgumentException(
+            "cdcreader bootstrap reader must be a batch source (the " +
+              "snapshot load), not another cdcreader")
+          case lr: LakeRead =>
+            require(lr.aggregations.isEmpty && lr.fromVersion.isEmpty,
+              "cdcreader bootstrap lakereader must be a plain state export " +
+                "(no aggregations, no fromVersion) — the snapshot is payload " +
+                "rows, not a change set")
+          case _ => ()
+        }
+        CdcBootstrap(plan, b.long("lsn"))
+      }
       CdcRead(path, fmt, ckpt,
         maxFilesPerTrigger = p.int("maxFilesPerTrigger", 4),
         continuous = continuous,
         triggerInterval = Some(p.str("triggerInterval")).filter(_.nonEmpty),
         dlqDir = Some(p.str("dlqPath")).filter(_.nonEmpty),
         toolColumn = p.bool("toolColumn", default = true),
-        payload = payload)
+        payload = payload,
+        bootstrap = bootstrap)
 
     case "lakereader" =>
       val root = p.str("path")
@@ -597,6 +648,15 @@ object JobConfig {
         writerId = p.str("writerId", graft.lake.LakeTable.DefaultWriter),
         vacuumEvery = p.int("vacuumEvery", 0),
         vacuumRetainVersions = p.int("vacuumRetainVersions", 8),
+        expireTombstonesEvery = {
+          val n = p.int("expireTombstonesEvery", 0)
+          require(n == 0 || p.has("tombstoneRetainLsns"),
+            "lakewriter expireTombstonesEvery needs tombstoneRetainLsns — " +
+              "the source's re-delivery horizon is a policy decision; an " +
+              "implicit 0 would let any late duplicate resurrect a deleted key")
+          n
+        },
+        tombstoneRetainLsns = p.long("tombstoneRetainLsns", 0L),
         distCols = p.strList("distributionColumns"),
         targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L),
         sortCols = {

@@ -92,6 +92,22 @@ object CdcPipeline {
         * lagging incremental consumers (readChangesSince / Replicate)
         */
       vacuumRetainVersions: Int = 8,
+      /** GC tombstones every N epochs (0 = never): rewrites only the
+        * buckets holding expirable tombstones
+        * ([[graft.lake.LakeTable.expireTombstones]]). Without it a
+        * delete-heavy 10^10-event stream accumulates tombstone rows
+        * forever — they survive compaction BY DESIGN (late re-delivered
+        * older duplicates must stay shadowed), so bounding them is a
+        * policy decision, not a compaction side effect.
+        */
+      expireTombstonesEvery: Int = 0,
+      /** the re-delivery horizon: tombstones within `retainLsns` of the
+        * table's max applied lsn are kept. Must exceed the source's
+        * worst-case duplicate lag (how far back the log can re-send an
+        * already-applied change) — an expired tombstone cannot shadow a
+        * duplicate OLDER than itself arriving later.
+        */
+      tombstoneRetainLsns: Long = 0L,
       /** epoch-lineage scope in the lake's commit log. Distinct ids let
         * INDEPENDENT streams (own log + own checkpoint) merge into ONE
         * table without deduping each other's epochs; replays within a
@@ -155,6 +171,13 @@ object CdcPipeline {
         case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
         case JdbcFollower(dest) => JdbcApply.sync(table, dest)
         case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
+      }
+      // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
+      // are reclaimed in the same epoch's sweep
+      if (cfg.expireTombstonesEvery > 0 && epoch > 0 &&
+          epoch % cfg.expireTombstonesEvery == 0) {
+        val maxLsn = table.currentSnapshot().maxLsn
+        if (maxLsn >= 0) table.expireTombstones(maxLsn - cfg.tombstoneRetainLsns)
       }
       if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
         table.vacuum(cfg.vacuumRetainVersions)
@@ -251,6 +274,55 @@ object CdcPipeline {
     val q = start(spark, table, cfg.copy(availableNow = true))
     q.awaitTermination()
     table.currentSnapshot().lastEpochFor(cfg.writerId) + 1
+  }
+
+  /** Initial-snapshot ONBOARDING (the Debezium snapshot-mode analog; the
+    * reference's closest shape is a full-table batch job followed by
+    * re-running it with a `where` watermark): seed the lake table with a
+    * consistent full snapshot of the source, stamped `snapshotLsn`, as ONE
+    * idempotent merge epoch under its own writer lineage — then start the
+    * tail ([[start]]) as usual. This is how an EXISTING 100 TB table moves
+    * onto the CDC pipeline: a massively parallel bulk read (the JSON
+    * surface routes it through the same split machinery as any batch job,
+    * splitPk range probe included) instead of replaying years of log.
+    *
+    * CONVERGENCE CONTRACT (why bootstrap + tail equals a full replay):
+    *  - `snapshot` must be transactionally consistent at `snapshotLsn` L₀:
+    *    it reflects exactly the changes with lsn ≤ L₀ (live rows only — a
+    *    snapshot has no tombstones).
+    *  - the tailed log must be a CONTIGUOUS tail of the change stream
+    *    reaching back at least to L₀ (its first retained lsn s ≤ L₀ + 1)
+    *    — i.e. no change after L₀ is missing. OVERLAP IS SAFE, any s:
+    *    (a) a key the snapshot holds carries lsn L₀, outranking every
+    *        overlapped change of that key (all ≤ L₀) by LWW; a tie AT L₀
+    *        is payload-identical by the consistency premise (the snapshot
+    *        row IS that change's after-image), so either winner reads the
+    *        same;
+    *    (b) a key the snapshot omits was deleted at some d ≤ L₀; an
+    *        overlapped insert of that key has lsn i < d, and a contiguous
+    *        window that retains lsn i retains every later lsn, so the
+    *        delete d is in the window too and its tombstone outranks the
+    *        insert — a truncated-START tail can never resurrect a deleted
+    *        key (truncation only ever removes a PREFIX; the dangerous
+    *        shape, insert retained but its later delete dropped, would
+    *        need a hole in the middle).
+    *  - the bootstrap epoch commits under `writerId`'s OWN lineage
+    *    (epoch 0), so a crashed onboarding re-run skips the load
+    *    (exactly-once) and never dedupes against the tail's epochs.
+    *
+    * `snapshot` carries payload columns only (no `op`/`lsn` — they are
+    * stamped here). Returns the merge stats; `skipped = true` means the
+    * bootstrap had already committed.
+    */
+  def bootstrap(table: LakeTable, snapshot: org.apache.spark.sql.DataFrame,
+      snapshotLsn: Long, writerId: String = "bootstrap"): LakeTable.MergeStats = {
+    require(!snapshot.columns.contains("op") && !snapshot.columns.contains("lsn"),
+      "bootstrap snapshot must carry payload columns only — op/lsn are " +
+        "stamped by the onboarding (op=I, lsn=snapshotLsn)")
+    val evs = snapshot
+      .withColumn("op", org.apache.spark.sql.functions.lit("I"))
+      .withColumn("lsn", org.apache.spark.sql.functions.lit(snapshotLsn))
+    table.merge(evs, epoch = 0L, writerId)
   }
 
   /** A LIVE DATABASE as the streaming destination — the reference's flagship

@@ -1505,8 +1505,18 @@ object LakeTable {
         * only), so mismatched handles are tolerated, not rejected.
         */
       sortMeta: Seq[String] = Nil) {
+    /** The highest committed epoch of `writerId`'s lineage (-1 = none). The
+      * legacy scalar `lastEpoch` stands in for the default writer ONLY on
+      * manifests that predate the epochs map (map empty): `lastEpoch` is
+      * advanced by EVERY writer's commit, so once any lineage exists it
+      * must not answer for the default writer — a table seeded by a
+      * non-default writer (e.g. a bootstrap lineage) would otherwise treat
+      * the default stream's early epochs as already applied and silently
+      * drop them.
+      */
     def lastEpochFor(writerId: String): Long =
-      epochs.getOrElse(writerId, if (writerId == DefaultWriter) lastEpoch else -1L)
+      epochs.getOrElse(writerId,
+        if (writerId == DefaultWriter && epochs.isEmpty) lastEpoch else -1L)
   }
 
   /** Per-epoch ingest metrics row (north-rule: rows applied, dedupe rate,

@@ -305,6 +305,19 @@ object RunJob {
     val root = rebasePath(lw.root, ov.rebase)
     val table = openOrCreateLake(spark, root, lw.keyCols, lw.buckets,
       lw.distCols, lw.targetFileRows, lw.sortCols)
+    // initial-snapshot onboarding: seed the table through the ordinary
+    // batch-input machinery (splitPk probe included) BEFORE the tail starts.
+    // The bootstrap lineage is scoped off the stream's writerId, so the
+    // load is exactly-once across onboarding re-runs and never collides
+    // with the tail's epochs. See CdcPipeline.bootstrap for the
+    // convergence contract.
+    cdc.bootstrap.foreach { bs =>
+      val bwid = s"${lw.writerId}-bootstrap"
+      if (table.currentSnapshot().lastEpochFor(bwid) < 0L) {
+        val snapshot = buildInput(spark, bs.plan, ov)
+        graft.engine.cdc.CdcPipeline.bootstrap(table, snapshot, bs.lsn, bwid)
+      }
+    }
     // followers: same open-or-create + role-scoped writerId defaults as a
     // standalone lakereader→lakewriter job (runLakePair), attached per epoch
     val followers = lw.followers.map { f =>
@@ -361,6 +374,8 @@ object RunJob {
       toolColumn = cdc.toolColumn,
       vacuumEvery = lw.vacuumEvery,
       vacuumRetainVersions = lw.vacuumRetainVersions,
+      expireTombstonesEvery = lw.expireTombstonesEvery,
+      tombstoneRetainLsns = lw.tombstoneRetainLsns,
       writerId = lw.writerId,
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
@@ -417,7 +432,7 @@ object RunJob {
     JobConfig.translate(spec).map(runContent(spark, _, ov))
 
   def describe(t: JobConfig.Translated): String = {
-    val r = t.reader match {
+    def reader(plan: JobConfig.ReaderPlan): String = plan match {
       case JobConfig.FileRead(src) => s"file[${src.format}] ${src.path}"
       case JobConfig.StreamRead(cols, n, s) => s"stream ${cols.length} cols × $n rows × $s slices"
       case JobConfig.JdbcRead(d, url, table, preds, _, _, splitPk, splitN) =>
@@ -444,8 +459,11 @@ object RunJob {
           c.triggerInterval.map(i => s" trigger='$i'").getOrElse("") +
           c.dlqDir.map(d => s" dlq=$d").getOrElse("") +
           c.payload.map(ps => s" payload=(${ps.fieldNames.mkString(",")})")
-            .getOrElse(if (!c.toolColumn) " schema=v1(no tool col)" else "")
+            .getOrElse(if (!c.toolColumn) " schema=v1(no tool col)" else "") +
+          c.bootstrap.map(bs =>
+            s"\n    bootstrap[lsn=${bs.lsn}]: ${reader(bs.plan)}").getOrElse("")
     }
+    val r = reader(t.reader)
     val w = t.writer match {
       case JobConfig.FileWrite(sink, header, _, _) =>
         s"file[${sink.format}] ${sink.path} mode=${sink.writeMode}" +
@@ -467,6 +485,9 @@ object RunJob {
           (if (lw.distCols.nonEmpty) s" dist=(${lw.distCols.mkString(",")})" else "") +
           (if (lw.vacuumEvery > 0)
             s" vacuumEvery=${lw.vacuumEvery} retain=${lw.vacuumRetainVersions}" else "") +
+          (if (lw.expireTombstonesEvery > 0)
+            s" expireTombstonesEvery=${lw.expireTombstonesEvery}" +
+              s" retainLsns=${lw.tombstoneRetainLsns}" else "") +
           lw.targetFileRows.map(n => s" targetFileRows=$n").getOrElse("") +
           lw.followers.map(f => "\n    follower: " +
             (if (f.jdbcUrl.nonEmpty)

@@ -53,6 +53,52 @@ class CdcReplaySpec extends SparkSpec {
     assert(m.where(!col("skipped")).where(col("bytesIn") <= 0L).count() === 0L)
   }
 
+  test("scheduled tombstone GC bounds delete debt without changing state") {
+    val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
+    val logDir = tmpDir("cdclog-tgc")
+    val lakeDir = tmpDir("lake-tgc")
+    val cp = tmpDir("cp-tgc")
+    Gen.writeChangeLog(spark, cfg, logDir, nChunks = 10)
+    val retain = 2000L // far beyond the generator's duplicate lag (dupLag=100)
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 8)
+    CdcPipeline.replayAll(spark, table, CdcPipeline.CdcConfig(logDir, cp,
+      maxFilesPerTrigger = 8,
+      expireTombstonesEvery = 1, tombstoneRetainLsns = retain,
+      vacuumEvery = 2, vacuumRetainVersions = 4))
+
+    // GC is semantically invisible while retainLsns exceeds the source's
+    // re-delivery horizon: final state still matches the full-replay oracle
+    assertStateMatches(table, cfg)
+
+    // physically: the current snapshot holds NO tombstone older than the
+    // final horizon (GC ran after the last epoch), but DOES still hold
+    // recent tombstones (the retention window is respected, not a blanket
+    // delete-the-deletes)
+    val snap = table.currentSnapshot()
+    val horizon = snap.maxLsn - retain
+    val paths = snap.files.map(f => s"$lakeDir/data/${f.path}")
+    val stones = spark.read.parquet(paths: _*)
+      .select(col("_op"), col("_lsn")).filter(col("_op") === "D")
+    assert(stones.filter(col("_lsn") < horizon).count() === 0L,
+      "expirable tombstones survived the scheduled GC")
+    assert(stones.filter(col("_lsn") >= horizon).count() > 0L,
+      "retention window over-collected: no recent tombstones left")
+  }
+
+  test("tombstone GC on the JSON surface requires an explicit horizon") {
+    def spec(params: String) = graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {"path": "/log", "checkpoint": "/cp"}},
+      "writer": {"name": "lakewriter", "parameter": {"path": "/lake"$params}}}]}}""")
+    val t = graft.engine.JobConfig.translate(
+      spec(""", "expireTombstonesEvery": 2, "tombstoneRetainLsns": 1000""")).head
+    assert(graft.tools.RunJob.describe(t)
+      .contains("expireTombstonesEvery=2 retainLsns=1000"))
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.JobConfig.translate(spec(""", "expireTombstonesEvery": 2"""))
+    }
+    assert(e.getMessage.contains("tombstoneRetainLsns"))
+  }
+
   test("restart from checkpoint: stop mid-stream, resume, no double-apply") {
     val cfg = Gen.GenConfig(nEvents = 20000L, nConvs = 200L, partitions = 8)
     val logDir = tmpDir("cdclog2")
