@@ -72,6 +72,40 @@ class ReplayFuzzSpec extends SparkSpec {
         "value", payloadSchema))
   }
 
+  test("onboarding fuzz: arbitrary snapshot cut and tail start reach the oracle state") {
+    // sweeps the CdcPipeline.bootstrap convergence contract: snapshot cut
+    // L0 anywhere in the log, tail retained from anywhere ≤ L0 (overlap),
+    // tail events scattered across epochs in ARRIVAL order (lsn disorder
+    // across epoch boundaries) — every combination must match the
+    // full-replay global-LWW oracle
+    for ((seed, frac, startFrac) <- Seq((19L, 0.5, 0.0), (23L, 0.3, 1.0), (29L, 0.8, 0.4))) {
+      val nEvents = 3000L
+      val cfg = Gen.GenConfig(seed = seed, nEvents = nEvents, nConvs = 40L,
+        maxTurns = 16, partitions = 4)
+      val L0 = (nEvents * frac).toLong
+      val start = (L0 * startFrac).toLong // tail retains lsn > start, start ≤ L0
+      val ev = Gen.changeEvents(spark, cfg).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id", "turn_idx").orderBy(col("lsn").desc, col("ts").desc)
+      val snapshot = ev.filter(col("lsn") <= L0)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") =!= "D")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val table = LakeTable.create(spark, tmpDir(s"onbfuzz$seed") + "/t",
+        Model.keyCols, numBuckets = 4)
+      graft.engine.cdc.CdcPipeline.bootstrap(table, snapshot, L0)
+      val tail = ev.filter(col("lsn") > start)
+      (0 until 3).foreach { e =>
+        table.merge(tail.filter(pmod(arrivalIdx, lit(3)) === e), e.toLong)
+      }
+      val got = table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val want = Gen.expectedState(spark, cfg).toDF()
+      val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+      assert(diff === 0L,
+        s"seed=$seed L0=$L0 start=$start: $diff rows differ from the oracle")
+    }
+  }
+
   test("time travel: every committed version remains readable until vacuum") {
     val cfg = Gen.GenConfig(seed = 5L, nEvents = 2000L, nConvs = 30L, partitions = 4)
     val dir = tmpDir("tt")
