@@ -71,6 +71,22 @@ class OnboardSpec extends SparkSpec {
     assertMatchesFullReplay(table)
   }
 
+  test("onboarding across the schema-evolution boundary: pre-tool snapshot, evolved tail") {
+    // the snapshot is taken BEFORE the additive `tool` column existed
+    // (L0' = nEvents/4 < toolFromLsn = nEvents/2), so the bootstrap merge
+    // commits a tool-less schema; the tail then delivers evolved events and
+    // the lake must add the column, null-filling bootstrap rows — the north
+    // rule's additive-evolution case composed with onboarding
+    val cut = cfg.nEvents / 4
+    val log = tmpDir("onb-log-evo") + "/log"
+    writeTail(log, fromLsnExclusive = cut)
+    val table = LakeTable.create(spark, tmpDir("onb-lake-evo") + "/t", Model.keyCols, numBuckets = 8)
+    CdcPipeline.bootstrap(table, snapshotAt(cut).drop("tool"), cut)
+    assert(!table.read().columns.contains("tool"), "bootstrap schema must be pre-evolution")
+    CdcPipeline.replayAll(spark, table, CdcPipeline.CdcConfig(log, tmpDir("onb-cp-evo")))
+    assertMatchesFullReplay(table)
+  }
+
   test("re-running the bootstrap is a skipped epoch (exactly-once onboarding)") {
     val table = LakeTable.create(spark, tmpDir("onb-lake3") + "/t", Model.keyCols, numBuckets = 8)
     val first = CdcPipeline.bootstrap(table, snapshotAt(L0), L0)
