@@ -313,6 +313,14 @@ object CdcPipeline {
     * `snapshot` carries payload columns only (no `op`/`lsn` — they are
     * stamped here). Returns the merge stats; `skipped = true` means the
     * bootstrap had already committed.
+    *
+    * WRITE PATH: on an empty table the load goes through
+    * [[graft.lake.LakeTable.bulkLoad]] — ONE clustered base-file publish,
+    * instead of merge's delta publish + the immediate full compaction the
+    * ratio rule triggers on empty-base buckets (2× the write I/O of a
+    * 100 TB onboarding, saved). A table that already holds rows falls back
+    * to an ordinary [[graft.lake.LakeTable.merge]], whose MOR read
+    * arbitrates the snapshot against stored state.
     */
   def bootstrap(table: LakeTable, snapshot: org.apache.spark.sql.DataFrame,
       snapshotLsn: Long, writerId: String = "bootstrap"): LakeTable.MergeStats = {
@@ -322,7 +330,8 @@ object CdcPipeline {
     val evs = snapshot
       .withColumn("op", org.apache.spark.sql.functions.lit("I"))
       .withColumn("lsn", org.apache.spark.sql.functions.lit(snapshotLsn))
-    table.merge(evs, epoch = 0L, writerId)
+    if (table.currentSnapshot().files.isEmpty) table.bulkLoad(evs, epoch = 0L, writerId)
+    else table.merge(evs, epoch = 0L, writerId)
   }
 
   /** A LIVE DATABASE as the streaming destination — the reference's flagship

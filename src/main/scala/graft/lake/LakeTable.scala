@@ -950,6 +950,116 @@ final class LakeTable(
       })
   }
 
+  /** BULK-LOAD: the table's FIRST data commit, published directly as BASE
+    * files. [[merge]] on an empty table writes everything twice — the
+    * delta publish, then the inline compaction the ratio rule triggers on
+    * every empty-base bucket — so a 100 TB initial load through merge
+    * costs 2× the write I/O and an extra full read. bulkLoad runs the same
+    * single-exchange LWW dedupe and ONE base publish: stats harvested for
+    * all mappable columns (base-file rule — file skipping works from the
+    * first commit), sort-order clustering and `targetFileRows` slicing
+    * applied exactly as a compaction rewrite would. The base entries
+    * double as the commit's change window (`addedDeltas`), so incremental
+    * consumers (replicas, rollups, feeds) see the load as one ordinary
+    * epoch.
+    *
+    * `batch` has merge's input shape (`op`/`lsn` + payload); a plain
+    * snapshot load stamps op=I and a constant lsn
+    * ([[graft.engine.cdc.CdcPipeline.bootstrap]]). The epoch is guarded by
+    * `writerId`'s lineage exactly like merge (a replayed bulk load is
+    * skipped). Requires an empty table: against stored rows only merge's
+    * MOR arbitration is sound. A concurrent commit surfaces as
+    * [[LakeTable.CommitConflictException]] and is NOT rebased — rebasing
+    * base files could overlap another writer's bucket coverage and break
+    * the one-base-generation-per-bucket invariant; loading into a table
+    * others are actively writing is a setup error.
+    */
+  def bulkLoad(batch: DataFrame, epoch: Long,
+      writerId: String = DefaultWriter): MergeStats = {
+    val tStart = System.nanoTime()
+    val snap = currentSnapshot()
+    if (epoch <= snap.lastEpochFor(writerId))
+      return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, snap.rows, 1.0)
+    require(snap.files.isEmpty,
+      s"bulkLoad is the table's FIRST data commit ($root already holds " +
+        s"${snap.rows} rows) — use merge, whose MOR read arbitrates " +
+        "against stored rows")
+
+    // schema resolution + batch alignment: same rules as merge
+    val batchPayload = StructType(batch.schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+    val storedOld: StructType = snap.schema.getOrElse(
+      StructType(batchPayload.fields :+ StructField(LsnCol, LongType, nullable = false)))
+    val storedNew: StructType = unionSchemas(storedOld, batchPayload)
+    keyCols.foreach { k =>
+      require(storedOld(k).dataType == storedNew(k).dataType,
+        s"key column '$k' changed type ${storedOld(k).dataType} -> " +
+          s"${storedNew(k).dataType}: key types are frozen at table creation " +
+          "(bucket routing hashes the runtime type)")
+    }
+    val payloadCols: Seq[String] = storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
+    val hasTs = payloadCols.contains("ts")
+    var evs = batch
+    payloadCols.foreach { c =>
+      if (!evs.columns.contains(c))
+        evs = evs.withColumn(c, lit(null).cast(storedNew(c).dataType))
+      else if (evs.schema(c).dataType != storedNew(c).dataType)
+        evs = evs.withColumn(c, col(c).cast(storedNew(c).dataType))
+    }
+    val obsIn = Observation(s"lake-bulk-$epoch")
+    evs = evs.observe(obsIn,
+      count(lit(1)).as("rowsIn"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"),
+      sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"),
+      max(col("lsn")).as("maxLsnIn"))
+
+    val payloadHash = xxhash64(payloadCols.map(col): _*)
+    val ord =
+      (if (hasTs) Seq(col("lsn").desc, col("ts").desc) else Seq(col("lsn").desc)) :+
+        payloadHash.desc
+    val latest = lwwWinnersBucketed(evs.withColumn(BucketCol, bucketExpr), ord)
+    val out = latest
+      .withColumn(LsnCol, col("lsn"))
+      .withColumnRenamed("op", OpCol)
+      .select((payloadCols :+ LsnCol :+ OpCol :+ BucketCol).map(col): _*)
+
+    val newVersion = snap.version + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val base = publish(out, s"$root/_staging-bl-$epoch-$nonce",
+      s"b$newVersion-$nonce", "b", numBuckets, reshuffle = false)
+    val obsMap = obsIn.get
+    def obsLong(k: String): Long = obsMap.get(k) match {
+      case Some(n: java.lang.Number) => n.longValue
+      case _ => 0L
+    }
+    val rowsIn = obsLong("rowsIn")
+    val rowsDistinct = base.map(_.rows).sum
+    val observedMaxLsn: Long = obsMap.get("maxLsnIn") match {
+      case Some(n: java.lang.Number) => n.longValue
+      case _ => -1L
+    }
+    val perBucket = base.groupBy(_.bucket).map(_._2.map(_.rows).sum)
+    val skew =
+      if (perBucket.isEmpty) 1.0
+      else perBucket.max.toDouble / (perBucket.sum.toDouble / perBucket.size)
+    val st = MergeStats(epoch, skipped = false, rowsIn, rowsDistinct,
+      rowsIn - rowsDistinct, obsLong("deletesIn"),
+      base.map(_.bucket).toSet.size, rowsDistinct, skew,
+      seconds = (System.nanoTime() - tStart) / 1e9,
+      bytesIn = obsLong("bytesIn"))
+    commitSnapshot(Snapshot(
+      version = newVersion,
+      lastEpoch = epoch,
+      schema = Some(storedNew),
+      rows = rowsDistinct,
+      files = base,
+      stats = Some(st),
+      addedDeltas = base, // the load IS this epoch's change window
+      epochs = snap.epochs + (writerId -> epoch),
+      maxLsn = math.max(snap.maxLsn, observedMaxLsn),
+      lsnHigh = observedMaxLsn))
+    st
+  }
+
   /** Two-phase publish: write `df` partitioned by bucket into a staging dir,
     * move files into data/ under collision-proof names, return the entries.
     */

@@ -111,7 +111,13 @@ object Rollup {
     // lsn = source head version: monotone across syncs and unique per group
     // within one sync, so LWW keeps rollup rows converging even if windows
     // are replayed or applied out of order across writers
-    dst.merge(events.withColumn("lsn", lit(head)), epoch = head, writerId = writerId)
+    val out = events.withColumn("lsn", lit(head))
+    // the bootstrap aggregate into a still-empty destination bulk-loads
+    // base files directly — one write instead of merge's delta publish +
+    // immediate empty-base compaction (same trade as Replicate.sync)
+    if (since < 0L && dst.currentSnapshot().files.isEmpty)
+      dst.bulkLoad(out, epoch = head, writerId = writerId)
+    else dst.merge(out, epoch = head, writerId = writerId)
   }
 
   /** The standard per-conversation rollup for the transcript model

@@ -71,6 +71,49 @@ class OnboardSpec extends SparkSpec {
     assertMatchesFullReplay(table)
   }
 
+  test("bootstrap on an empty table bulk-loads base files in one write") {
+    // the empty-table path must go through LakeTable.bulkLoad: ONE base
+    // publish (no delta + immediate-compaction double write), stats on all
+    // columns, and the base entries doubling as the change window so a
+    // replica can follow the table from its very first commit
+    val table = LakeTable.create(spark, tmpDir("onb-bulk") + "/t", Model.keyCols, numBuckets = 8)
+    val st = CdcPipeline.bootstrap(table, snapshotAt(L0), L0)
+    assert(!st.skipped && st.compactedBuckets === 0)
+    val snap = table.currentSnapshot()
+    assert(snap.version === 0L, "bulk load is the first commit")
+    assert(snap.files.nonEmpty && snap.files.forall(_.kind == "b"),
+      s"expected base-only files, got kinds ${snap.files.map(_.kind).distinct}")
+    assert(snap.addedDeltas === snap.files, "the load is its own change window")
+    assert(snap.maxLsn === L0)
+
+    val dst = LakeTable.create(spark, tmpDir("onb-bulk-dst") + "/t", Model.keyCols, numBuckets = 4)
+    graft.lake.Replicate.sync(table, dst)
+    val diff = dst.read().exceptAll(table.read()).count() +
+      table.read().exceptAll(dst.read()).count()
+    assert(diff === 0L, "replica must converge from the bulk-loaded first commit")
+  }
+
+  test("bootstrap onto a NON-empty table arbitrates through the MOR merge") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val table = LakeTable.create(spark, tmpDir("onb-nonempty") + "/t", Model.keyCols, numBuckets = 4)
+    // pre-seed: a newer change (lsn 9) the snapshot (lsn 4) must NOT clobber,
+    // and an older row (lsn 1) it must win over
+    table.merge(Seq(
+      ("U", 9L, ts, "cA", 0, "user", "newer", None: Option[String]),
+      ("I", 1L, ts, "cB", 0, "user", "older", None: Option[String]))
+      .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), epoch = 0L)
+    val snapshot = Seq(
+      ("cA", 0, "user", "snapA", None: Option[String], ts),
+      ("cB", 0, "user", "snapB", None: Option[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val st = CdcPipeline.bootstrap(table, snapshot, snapshotLsn = 4L)
+    assert(!st.skipped)
+    val state = table.read().select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(state === Set(("cA", "newer"), ("cB", "snapB")), state.toString)
+  }
+
   test("onboarding across the schema-evolution boundary: pre-tool snapshot, evolved tail") {
     // the snapshot is taken BEFORE the additive `tool` column existed
     // (L0' = nEvents/4 < toolFromLsn = nEvents/2), so the bootstrap merge
