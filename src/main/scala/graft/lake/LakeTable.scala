@@ -1468,7 +1468,7 @@ final class LakeTable(
     * 0 only the current snapshot's files survive — callers must know no
     * incremental consumer is behind.
     */
-  def vacuum(retainVersions: Int = 0): Int = {
+  def vacuum(retainVersions: Int = 0, staleStagingHours: Int = 24): Int = {
     val cur = currentSnapshot()
     val retained = (math.max(0L, cur.version - retainVersions + 1) to cur.version)
       .flatMap { v =>
@@ -1480,6 +1480,70 @@ final class LakeTable(
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>
       if (!live.contains(f.getPath.getName)) { fs.delete(f.getPath, false); n += 1 }
+    }
+    n += sweepStaleStaging(staleStagingHours)
+    n
+  }
+
+  /** Iceberg `expire_snapshots` (metadata half) analog: delete manifest
+    * files older than `current - retainVersions`, keeping the newest
+    * `retainVersions`. [[vacuum]] reclaims old DATA files but manifests
+    * accumulate one per commit forever — at 10^5+ streaming epochs that is
+    * 10^5 metadata files every [[history]]/[[metrics]] call lists and
+    * reads. Aligns with vacuum's retention contract: a change window older
+    * than the vacuum horizon is already unreadable (its delta files are
+    * reclaimed), so dropping its manifest turns a missing-DATA error into
+    * a sharp missing-version error. Time travel ([[readVersion]]) and
+    * [[rollbackTo]] reach back only to the oldest retained manifest;
+    * incremental consumers lagging past the horizon re-seed from the
+    * bootstrap feed, exactly as with vacuum. Run it with (and retain at
+    * least as much as) vacuum. Returns the number of manifests deleted.
+    *
+    * Requires the `_current` pointer (every commit writes it): with early
+    * manifests gone, the pointerless recovery scan has no snap-0 anchor.
+    */
+  def expireSnapshots(retainVersions: Int): Int = {
+    require(retainVersions >= 1, s"retainVersions=$retainVersions must be >= 1")
+    val cur = currentSnapshot()
+    if (cur.version < 0) return 0
+    require(fs.exists(new Path(pointer)),
+      s"no _current pointer under $root — refusing to expire manifests " +
+        "(recovery scans anchor at snap-0)")
+    var n = 0
+    (0L to (cur.version - retainVersions)).foreach { v =>
+      val p = new Path(s"$snapDir/snap-$v.txt")
+      if (fs.exists(p)) { fs.delete(p, false); n += 1 }
+    }
+    n
+  }
+
+  /** Remove `_staging-*` dirs abandoned by CRASHED publishes — a two-phase
+    * publish cleans its own staging on entry and exit, but the nonce'd path
+    * of a dead attempt is never retried, so without this sweep every crash
+    * leaks a staging tree forever (at 100 TB scale, a real storage leak).
+    * Age-gated on the NEWEST modification time anywhere in the subtree: a
+    * LIVE publish touches files continuously, so only a writer silent for
+    * `staleHours` (default 24 — stalled that long, its commit has lost any
+    * meaning) can be swept; such a zombie resuming later fails visibly at
+    * its rename step rather than publishing. `staleHours <= 0` disables
+    * the sweep. Returns the number of dirs removed.
+    */
+  def sweepStaleStaging(staleHours: Int = 24): Int = {
+    if (staleHours <= 0) return 0
+    val horizon = System.currentTimeMillis() - staleHours * 3600000L
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
+    }
+    var n = 0
+    val rootPath = new Path(root)
+    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { f =>
+      if (f.isDirectory && f.getPath.getName.startsWith("_staging-") &&
+          newestMtime(f.getPath) < horizon) {
+        fs.delete(f.getPath, true)
+        n += 1
+      }
     }
     n
   }

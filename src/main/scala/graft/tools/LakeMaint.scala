@@ -126,6 +126,10 @@ object LakeMaint {
         val retain = if (args.length >= 3) args(2).toInt else 0
         val n = table.vacuum(retain)
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case "expiresnapshots" =>
+        require(args.length >= 3, "expiresnapshots <retainVersions>")
+        val n = table.expireSnapshots(args(2).toInt)
+        println(s"expired $n manifests (retained newest ${args(2)})")
       case "where" =>
         require(args.length >= 3, "where <sqlPredicate> [limit]")
         val r = table.scanWhere(org.apache.spark.sql.functions.expr(args(2)))

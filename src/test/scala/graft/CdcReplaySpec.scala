@@ -85,6 +85,57 @@ class CdcReplaySpec extends SparkSpec {
       "retention window over-collected: no recent tombstones left")
   }
 
+  test("vacuum sweeps staging dirs abandoned by crashed publishes, age-gated") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val lakeDir = tmpDir("lake-stg")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    table.merge(Seq(("I", 1L, ts, "c", 0, "user", "x", None: Option[String]))
+      .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), 0L)
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dead attempt's leftover (old mtime throughout the subtree) and a
+    // LIVE publish's staging (fresh mtime) — only the dead one may go
+    val dead = new org.apache.hadoop.fs.Path(s"$lakeDir/_staging-d-9-deadbeef")
+    fs.mkdirs(dead)
+    val f = new org.apache.hadoop.fs.Path(dead, "part-0.parquet")
+    fs.create(f).close()
+    val old = System.currentTimeMillis() - 48L * 3600000L
+    fs.setTimes(f, old, old)
+    fs.setTimes(dead, old, old)
+    val liveStg = new org.apache.hadoop.fs.Path(s"$lakeDir/_staging-d-10-cafe")
+    fs.mkdirs(liveStg)
+    fs.create(new org.apache.hadoop.fs.Path(liveStg, "part-0.parquet")).close()
+
+    assert(table.vacuum(retainVersions = 8) >= 1)
+    assert(!fs.exists(dead), "stale staging dir must be swept")
+    assert(fs.exists(liveStg), "recently-touched staging dir must survive")
+    assert(table.read().count() === 1L, "data untouched by the sweep")
+  }
+
+  test("expireSnapshots drops old manifests, keeping head reads and recent windows") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val lakeDir = tmpDir("lake-esnap")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    (0 until 5).foreach { e =>
+      table.merge(Seq(("I", e.toLong + 1, ts, s"c$e", 0, "user", s"t$e", None: Option[String]))
+        .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), e.toLong)
+    }
+    val cur = table.currentSnapshot().version // = 4
+    assert(table.expireSnapshots(retainVersions = 2) === 3) // snap 0,1,2 gone
+    // head reads, metrics/history, and retained windows still work
+    assert(table.read().count() === 5L)
+    assert(table.currentSnapshot().version === cur)
+    assert(table.history().count() === 2L)
+    assert(table.readChangesSince(cur - 1).count() === 1L)
+    // expired territory fails SHARPLY (missing version, not silent data loss)
+    intercept[Exception] { table.readChangesSince(0L).count() }
+    intercept[Exception] { table.readVersion(1L).count() }
+    // idempotent: nothing left to expire
+    assert(table.expireSnapshots(retainVersions = 2) === 0)
+  }
+
   test("tombstone GC on the JSON surface requires an explicit horizon") {
     def spec(params: String) = graft.engine.JobConfig.parse(s"""{"job": {"content": [{
       "reader": {"name": "cdcreader", "parameter": {"path": "/log", "checkpoint": "/cp"}},
