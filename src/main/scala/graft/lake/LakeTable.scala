@@ -1485,6 +1485,71 @@ final class LakeTable(
     n
   }
 
+  /** Time travel by WALL-CLOCK commit time (Iceberg `TIMESTAMP AS OF`
+    * analog): the newest committed version whose commit time is ≤ `ts`.
+    * Metadata-only (reads manifests, no data files). Fails sharply when
+    * `ts` predates the oldest RETAINED manifest ([[expireSnapshots]]) —
+    * same horizon rules as version-based travel.
+    */
+  def versionAsOf(ts: java.sql.Timestamp): Long = {
+    val candidates = readAllSnapshots().filter(s => s.commitTs > 0 && s.commitTs <= ts.getTime)
+    require(candidates.nonEmpty,
+      s"no committed version at or before $ts (oldest retained manifest is " +
+        s"${readAllSnapshots().headOption.map(s => new java.sql.Timestamp(s.commitTs)).getOrElse("none")})")
+    candidates.map(_.version).max
+  }
+
+  /** [[read]] pinned to the state as of a wall-clock instant. */
+  def readAsOf(ts: java.sql.Timestamp): DataFrame = readVersion(versionAsOf(ts))
+
+  /** Metadata consistency check (the ops `fsck`): verifies every file the
+    * CURRENT snapshot references exists with the manifest's row count
+    * (parquet footer read — no data scan), lists data files referenced by
+    * neither the head nor the retained delta windows (vacuum candidates,
+    * not corruption), and counts staging leftovers. Read-only.
+    */
+  final case class FsckReport(version: Long, filesOk: Int,
+      missing: Seq[String], rowMismatches: Seq[String],
+      orphans: Int, stagingDirs: Int) {
+    def clean: Boolean = missing.isEmpty && rowMismatches.isEmpty
+  }
+
+  def fsck(retainVersions: Int = 0): FsckReport = {
+    val cur = currentSnapshot()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val checked = Await.result(
+      Future.traverse(cur.files) { f =>
+        Future(scala.concurrent.blocking {
+          val p = new Path(s"$dataDir/${f.path}")
+          if (!fs.exists(p)) (f.path, "missing")
+          else {
+            val (rows, _) = parquetFooterMeta(p)
+            if (rows != f.rows) (f.path, s"rows: manifest=${f.rows} footer=$rows")
+            else (f.path, "ok")
+          }
+        })
+      }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+    val retained = (math.max(0L, cur.version - retainVersions + 1) to cur.version)
+      .flatMap { v =>
+        val p = new Path(s"$snapDir/snap-$v.txt")
+        if (fs.exists(p)) readSnapshot(fs, p, v).addedDeltas.map(_.path) else Nil
+      }
+    val live = cur.files.map(_.path).toSet ++ retained
+    val dataP = new Path(dataDir)
+    val orphans =
+      if (!fs.exists(dataP)) 0
+      else fs.listStatus(dataP).count(f => !live.contains(f.getPath.getName))
+    val staging = fs.listStatus(new Path(root))
+      .count(f => f.isDirectory && f.getPath.getName.startsWith("_staging-"))
+    FsckReport(cur.version,
+      filesOk = checked.count(_._2 == "ok"),
+      missing = checked.collect { case (p, "missing") => p },
+      rowMismatches = checked.collect { case (p, why) if why.startsWith("rows:") => s"$p ($why)" },
+      orphans = orphans, stagingDirs = staging)
+  }
+
   /** Iceberg `expire_snapshots` (metadata half) analog: delete manifest
     * files older than `current - retainVersions`, keeping the newest
     * `retainVersions`. [[vacuum]] reclaims old DATA files but manifests

@@ -130,6 +130,15 @@ object LakeMaint {
         require(args.length >= 3, "expiresnapshots <retainVersions>")
         val n = table.expireSnapshots(args(2).toInt)
         println(s"expired $n manifests (retained newest ${args(2)})")
+      case "check" =>
+        val retain = if (args.length >= 3) args(2).toInt else 8
+        val r = table.fsck(retain)
+        println(s"v${r.version}: ${r.filesOk} files ok, " +
+          s"${r.missing.size} missing, ${r.rowMismatches.size} row mismatches, " +
+          s"${r.orphans} orphan data files (vacuum candidates), " +
+          s"${r.stagingDirs} staging dirs")
+        (r.missing ++ r.rowMismatches).foreach(m => println(s"  CORRUPT: $m"))
+        if (!r.clean) sys.exit(2)
       case "where" =>
         require(args.length >= 3, "where <sqlPredicate> [limit]")
         val r = table.scanWhere(org.apache.spark.sql.functions.expr(args(2)))

@@ -136,6 +136,45 @@ class CdcReplaySpec extends SparkSpec {
     assert(table.expireSnapshots(retainVersions = 2) === 0)
   }
 
+  test("fsck: clean on a healthy table, sharp on a missing data file") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val lakeDir = tmpDir("lake-fsck")
+    val table = LakeTable.create(spark, lakeDir, Model.keyCols, numBuckets = 4)
+    (0 until 2).foreach { e =>
+      table.merge(Seq(("I", e.toLong + 1, ts, s"c$e", 0, "user", s"t$e", None: Option[String]))
+        .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), e.toLong)
+    }
+    val healthy = table.fsck(retainVersions = 8)
+    assert(healthy.clean && healthy.filesOk === table.currentSnapshot().files.size)
+    assert(healthy.orphans === 0, "all windows retained, nothing orphaned")
+
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = table.currentSnapshot().files.head.path
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lakeDir/data/$victim"), false)
+    val sick = table.fsck(retainVersions = 8)
+    assert(!sick.clean && sick.missing === Seq(victim))
+  }
+
+  test("readAsOf: wall-clock time travel pins the commit-time version") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val table = LakeTable.create(spark, tmpDir("lake-asof"), Model.keyCols, numBuckets = 4)
+    table.merge(Seq(("I", 1L, ts, "c0", 0, "user", "first", None: Option[String]))
+      .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), 0L)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(60)
+    table.merge(Seq(("I", 2L, ts, "c1", 0, "user", "second", None: Option[String]))
+      .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), 1L)
+    assert(table.readAsOf(between).count() === 1L)
+    assert(table.versionAsOf(new java.sql.Timestamp(System.currentTimeMillis()))
+      === table.currentSnapshot().version)
+    intercept[IllegalArgumentException] {
+      table.versionAsOf(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+    }
+  }
+
   test("tombstone GC on the JSON surface requires an explicit horizon") {
     def spec(params: String) = graft.engine.JobConfig.parse(s"""{"job": {"content": [{
       "reader": {"name": "cdcreader", "parameter": {"path": "/log", "checkpoint": "/cp"}},
