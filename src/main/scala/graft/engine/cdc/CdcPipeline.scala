@@ -173,11 +173,21 @@ object CdcPipeline {
         case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
       }
       // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
-      // are reclaimed in the same epoch's sweep
+      // are reclaimed in the same epoch's sweep. A commit conflict (another
+      // writerId's stream won the version) must not kill THIS stream —
+      // expireTombstones has no rebase (by design: a maintenance rewrite
+      // of a stale file list), so skip and let the next cadence retry.
       if (cfg.expireTombstonesEvery > 0 && epoch > 0 &&
           epoch % cfg.expireTombstonesEvery == 0) {
         val maxLsn = table.currentSnapshot().maxLsn
-        if (maxLsn >= 0) table.expireTombstones(maxLsn - cfg.tombstoneRetainLsns)
+        if (maxLsn >= 0)
+          try table.expireTombstones(maxLsn - cfg.tombstoneRetainLsns)
+          catch {
+            case e: LakeTable.CommitConflictException =>
+              org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+                s"tombstone GC at epoch $epoch lost a commit race " +
+                  s"(${e.getMessage}); retrying at the next cadence")
+          }
       }
       if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
         table.vacuum(cfg.vacuumRetainVersions)

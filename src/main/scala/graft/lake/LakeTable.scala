@@ -406,7 +406,10 @@ final class LakeTable(
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "d*.parquet")
+      // delta files plus `s*` bulk-load SEED files ([[bulkLoad]]): the seed
+      // epoch is a change window and must reach tail consumers, while
+      // compaction rewrites (`b*`) stay excluded so rows never re-emit
+      .option("pathGlobFilter", "{d,s}*.parquet")
       .parquet(dataDir)
       .withColumn(OpCol, coalesce(col(OpCol), lit("U")))
       .withColumnRenamed(OpCol, "op")
@@ -1024,8 +1027,15 @@ final class LakeTable(
 
     val newVersion = snap.version + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // file-name prefix `s` (seed), manifest kind "b": every kind-driven
+    // path (pruning, compaction, resolution) treats these as ordinary base
+    // files, but the [[readStreamChanges]] file tail — which must EXCLUDE
+    // compaction rewrites (`b*`) to never re-emit rows — can still emit
+    // the seed epoch exactly once via its `{d,s}*` glob. Without the
+    // distinct prefix, a tail consumer attached to an onboarded table
+    // would permanently miss every seeded key that never changes again.
     val base = publish(out, s"$root/_staging-bl-$epoch-$nonce",
-      s"b$newVersion-$nonce", "b", numBuckets, reshuffle = false)
+      s"s$newVersion-$nonce", "b", numBuckets, reshuffle = false)
     val obsMap = obsIn.get
     def obsLong(k: String): Long = obsMap.get(k) match {
       case Some(n: java.lang.Number) => n.longValue
@@ -1470,12 +1480,7 @@ final class LakeTable(
     */
   def vacuum(retainVersions: Int = 0, staleStagingHours: Int = 24): Int = {
     val cur = currentSnapshot()
-    val retained = (math.max(0L, cur.version - retainVersions + 1) to cur.version)
-      .flatMap { v =>
-        val p = new Path(s"$snapDir/snap-$v.txt")
-        if (fs.exists(p)) readSnapshot(fs, p, v).addedDeltas.map(_.path) else Nil
-      }
-    val live = cur.files.map(_.path).toSet ++ retained
+    val live = cur.files.map(_.path).toSet ++ retainedDeltaPaths(cur, retainVersions)
     var n = 0
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>
@@ -1484,6 +1489,18 @@ final class LakeTable(
     n += sweepStaleStaging(staleStagingHours)
     n
   }
+
+  /** The delta-window paths the last `retainVersions` manifests reference —
+    * the LIVENESS definition shared by [[vacuum]] (what survives GC) and
+    * [[fsck]] (what counts as an orphan); one place so the two can never
+    * diverge.
+    */
+  private def retainedDeltaPaths(cur: Snapshot, retainVersions: Int): Seq[String] =
+    (math.max(0L, cur.version - retainVersions + 1) to cur.version)
+      .flatMap { v =>
+        val p = new Path(s"$snapDir/snap-$v.txt")
+        if (fs.exists(p)) readSnapshot(fs, p, v).addedDeltas.map(_.path) else Nil
+      }
 
   /** Time travel by WALL-CLOCK commit time (Iceberg `TIMESTAMP AS OF`
     * analog): the newest committed version whose commit time is ≤ `ts`.
@@ -1531,12 +1548,7 @@ final class LakeTable(
           }
         })
       }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
-    val retained = (math.max(0L, cur.version - retainVersions + 1) to cur.version)
-      .flatMap { v =>
-        val p = new Path(s"$snapDir/snap-$v.txt")
-        if (fs.exists(p)) readSnapshot(fs, p, v).addedDeltas.map(_.path) else Nil
-      }
-    val live = cur.files.map(_.path).toSet ++ retained
+    val live = cur.files.map(_.path).toSet ++ retainedDeltaPaths(cur, retainVersions)
     val dataP = new Path(dataDir)
     val orphans =
       if (!fs.exists(dataP)) 0
@@ -1574,6 +1586,17 @@ final class LakeTable(
     require(fs.exists(new Path(pointer)),
       s"no _current pointer under $root — refusing to expire manifests " +
         "(recovery scans anchor at snap-0)")
+    // pointer updates are best-effort (a writer can crash between claiming
+    // the snapshot and advancing the hint): pin the pointer AT the head we
+    // just walked to BEFORE deleting anything, else a stale hint could
+    // start the next probe inside the expired range and never reach the
+    // surviving manifests
+    val hint = readString(fs, new Path(pointer)).trim.toLong
+    if (hint < cur.version) {
+      val tmp = new Path(s"$pointer.tmp-exp${java.util.UUID.randomUUID().toString.take(8)}")
+      writeString(fs, tmp, cur.version.toString)
+      LakeTable.atomicReplace(fs, tmp, new Path(pointer))
+    }
     var n = 0
     (0L to (cur.version - retainVersions)).foreach { v =>
       val p = new Path(s"$snapDir/snap-$v.txt")
@@ -1596,11 +1619,15 @@ final class LakeTable(
   def sweepStaleStaging(staleHours: Int = 24): Int = {
     if (staleHours <= 0) return 0
     val horizon = System.currentTimeMillis() - staleHours * 3600000L
-    def newestMtime(p: Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +: fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
-    }
+    // a LIVE publish can rename/delete entries out from under the scan —
+    // a vanished path reads as "touched now" (Long.MaxValue), i.e. NOT
+    // stale, so the race can only ever keep a dir, never wrongly sweep one
+    def newestMtime(p: Path): Long =
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +: fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     var n = 0
     val rootPath = new Path(root)
     if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { f =>

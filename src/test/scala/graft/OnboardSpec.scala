@@ -93,6 +93,43 @@ class OnboardSpec extends SparkSpec {
     assert(diff === 0L, "replica must converge from the bulk-loaded first commit")
   }
 
+  test("the file tail emits the bulk-loaded seed epoch; compaction rewrites stay silent") {
+    // bulkLoad names its base files `s*` so readStreamChanges' {d,s} glob
+    // ships the onboarding epoch to tail consumers exactly once — without
+    // it, every seeded key that never changes again would be invisible to
+    // the file tail forever. Compaction rewrites keep the `b*` prefix and
+    // must stay excluded (no re-emission).
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val dir = tmpDir("onb-tail")
+    val src = LakeTable.create(spark, s"$dir/src", Model.keyCols, numBuckets = 4)
+    val snapshot = Seq(
+      ("s1", 0, "user", "seeded-1", None: Option[String], ts),
+      ("s2", 0, "user", "seeded-2", None: Option[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    CdcPipeline.bootstrap(src, snapshot, snapshotLsn = 10L)
+    // post-seed change + enough delta churn to trigger a compaction rewrite
+    (1 to 3).foreach { e =>
+      src.merge(Seq(("U", 10L + e, ts, "s1", 0, "user", s"upd-$e", None: Option[String]))
+        .toDF("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"), e.toLong)
+    }
+    src.compactAll()
+    val dst = LakeTable.create(spark, s"$dir/dst", Model.keyCols, numBuckets = 4)
+    val q = src.readStreamChanges(maxFilesPerTrigger = 8)
+      .writeStream
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        dst.merge(b, epoch, writerId = "cdc-tail"); ()
+      }
+      .start()
+    q.awaitTermination()
+    val state = dst.read().select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(state === Set(("s1", "upd-3"), ("s2", "seeded-2")),
+      s"tail must deliver seed + deltas, once each (got $state)")
+  }
+
   test("bootstrap onto a NON-empty table arbitrates through the MOR merge") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
