@@ -100,6 +100,36 @@ object SparkEntry {
         round(col("value"), 4).as("value_r"))
   }
 
+  /** Shared derivation for the transcript-level queries: the events table
+    * re-keyed as a turn table of the engine's input shape — conv_id =
+    * user_id, turn_idx = 0-based per-conversation rank by event_id, role
+    * cycling user/assistant/tool by event_id, text = props, tool set on
+    * every 5th event. Both engines derive it identically (row_number over a
+    * UNIQUE order key), so the oracles recompute the same turn table in SQL.
+    */
+  private def transcriptTurns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events").select(
+      col("user_id").as("conv_id"),
+      (row_number().over(w) - 1).as("turn_idx"),
+      when(pmod(col("event_id"), lit(3)) === 0, "user")
+        .when(pmod(col("event_id"), lit(3)) === 1, "assistant")
+        .otherwise("tool").as("role"),
+      col("props").as("text"),
+      col("event_type").as("etype"),
+      when(pmod(col("event_id"), lit(5)) === 0, col("event_type")).as("tool"),
+      col("value"), col("ts"))
+  }
+  private val transcriptTurnsSql = """
+      turns AS (SELECT user_id AS conv_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+                       CASE event_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+                       props AS text,
+                       event_type AS etype,
+                       CASE WHEN event_id % 5 = 0 THEN event_type END AS tool,
+                       value, ts
+                FROM events)"""
+
   private val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ===== classic relational sanity (bench anchors) ====================
@@ -1589,7 +1619,114 @@ object SparkEntry {
              (64 + (h % 64))::INT AS width,
              (64 + ((h // 256) % 64))::INT AS height,
              round((h % 1000) / 1000.0, 4) AS f0
-      FROM h"""))
+      FROM h""")),
+
+    // ===== conversation-level transcript operators ======================
+    // (pipeline/Transcripts.scala — whole-conversation views over the
+    // (conv_id, turn_idx) turn table: one hash aggregate each, turns
+    // idx-sorted INSIDE the aggregate so results are arrival-order-proof)
+
+    ("tr_stitch", (s, dir) => {
+      // stable-order reconstruction: the transcript text joined in turn_idx
+      // order; compared via md5 so the oracle pin is per-character exact
+      // without shipping megabyte strings through the compare
+      graft.pipeline.Transcripts.stitch(transcriptTurns(s, dir))
+        .select(col("conv_id"), col("n_turns"), col("n_chars"),
+          md5(to_binary(col("full_text"), lit("utf-8"))).as("text_md5"),
+          col("first_ts"), col("last_ts"))
+    }, Some(s"""
+      WITH $transcriptTurnsSql
+      SELECT conv_id, count(*)::BIGINT AS n_turns,
+             sum(length(text))::BIGINT AS n_chars,
+             md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM turns GROUP BY conv_id""")),
+
+    ("tr_integrity", (s, dir) => {
+      // structural audit: a lossy source (here: every turn with value <
+      // 0.05 dropped AFTER idx assignment) shows up as turn_idx gaps;
+      // same-role adjacency breaks counted in idx order
+      graft.pipeline.Transcripts.integrity(
+          transcriptTurns(s, dir).filter(col("value") >= 0.05))
+        .select(col("conv_id"), col("n_turns"), col("max_idx"),
+          col("n_gaps"), col("n_role_breaks").cast("long").as("n_role_breaks"))
+    }, Some(s"""
+      WITH $transcriptTurnsSql,
+      kept AS (SELECT * FROM turns WHERE value >= 0.05),
+      seq AS (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+              FROM kept)
+      SELECT conv_id, count(*)::BIGINT AS n_turns, max(turn_idx)::INT AS max_idx,
+             (max(turn_idx) + 1 - count(DISTINCT turn_idx))::BIGINT AS n_gaps,
+             sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT AS n_role_breaks
+      FROM seq GROUP BY conv_id""")),
+
+    ("tr_convdedup", (s, dir) => {
+      // conversation-LEVEL exact dedup: signature = md5 over the ordered
+      // turn sequence; groups sharing a signature are duplicate
+      // conversations, keep_conv the representative (Dedup.exact one level
+      // up the hierarchy). Signed over the OPENING prefix (first 3 turns'
+      // event-type shape) so duplicate groups exist at every test scale —
+      // full-sequence signatures are the same call without the filter
+      graft.pipeline.Transcripts.duplicateGroups(
+        transcriptTurns(s, dir).filter(col("turn_idx") < 3), sigCol = "etype")
+    }, Some(s"""
+      WITH $transcriptTurnsSql,
+      sigs AS (SELECT conv_id, md5(string_agg(etype, '' ORDER BY turn_idx)) AS sig
+               FROM turns WHERE turn_idx < 3 GROUP BY conv_id)
+      SELECT sig, count(*)::BIGINT AS n_convs, min(conv_id) AS keep_conv
+      FROM sigs GROUP BY sig HAVING count(*) > 1""")),
+
+    ("tr_tool_stats", (s, dir) => {
+      graft.pipeline.Transcripts.toolStats(transcriptTurns(s, dir))
+    }, Some(s"""
+      WITH $transcriptTurnsSql
+      SELECT tool, count(*)::BIGINT AS n_calls,
+             count(DISTINCT conv_id)::BIGINT AS n_convs,
+             round(avg(turn_idx), 4) AS avg_pos
+      FROM turns WHERE tool IS NOT NULL GROUP BY tool""")),
+
+    // ===== parity check (lake/Parity.scala) =============================
+
+    ("cdc_parity", (s, dir) => {
+      // migration validation: the LWW state vs a deliberately damaged
+      // replica — keys removed (user_id % 101), values corrupted (% 97),
+      // phantom keys added (% 103, shifted ids). The summary counts each
+      // violation class; the scale path (hash compare before the join) is
+      // what runs here, pinned against the oracle's exact FULL OUTER JOIN.
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      val state = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+      val damaged = state
+        .filter(pmod(col("user_id"), lit(101)) =!= 0)
+        .withColumn("value_r",
+          when(pmod(col("user_id"), lit(97)) === 0, col("value_r") + 1)
+            .otherwise(col("value_r")))
+        .unionByName(state.filter(pmod(col("user_id"), lit(103)) === 0)
+          .withColumn("user_id", col("user_id") + 10000000L))
+      graft.lake.Parity.summary(state, damaged, Seq("user_id", "event_type"))
+    }, Some("""
+      WITH state AS (
+        SELECT user_id, event_type, event_id AS lsn, round(value, 4) AS value_r
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1),
+      damaged AS (
+        SELECT user_id, event_type, lsn,
+               CASE WHEN user_id % 97 = 0 THEN value_r + 1 ELSE value_r END AS value_r
+        FROM state WHERE user_id % 101 <> 0
+        UNION ALL
+        SELECT user_id + 10000000 AS user_id, event_type, lsn, value_r
+        FROM state WHERE user_id % 103 = 0),
+      j AS (SELECT CASE WHEN r.user_id IS NULL THEN 'only_left'
+                        WHEN l.user_id IS NULL THEN 'only_right'
+                        WHEN l.lsn IS NOT DISTINCT FROM r.lsn
+                             AND l.value_r IS NOT DISTINCT FROM r.value_r THEN 'equal'
+                        ELSE 'differs' END AS parity_status
+            FROM state l FULL OUTER JOIN damaged r
+              ON l.user_id = r.user_id AND l.event_type = r.event_type)
+      SELECT parity_status, count(*)::BIGINT AS n_keys
+      FROM j GROUP BY parity_status"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

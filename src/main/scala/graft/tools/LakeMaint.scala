@@ -65,6 +65,16 @@ import graft.lake.LakeTable
   *                                 ledger watermark (sound under log
   *                                 reorder); keys from the arg or the
   *                                 target's PK metadata
+  *   parity <other> [exact]     — content-complete migration validation
+  *                                 ([[graft.lake.Parity]]): diff this
+  *                                 table's resolved state against `other`
+  *                                 (another lake root, or any
+  *                                 Spark-readable parquet path) on the key
+  *                                 columns. Prints the per-status summary
+  *                                 and up to 20 violating keys; exit 2 when
+  *                                 any key is not `equal`. Default compares
+  *                                 via per-row payload hashes (the 100 TB
+  *                                 shape); `exact` ships full payloads
   *   tail <dstRoot>             — apply the committed change log to another
   *                                 lake table (manifest-driven catch-up;
   *                                 the watermark is the destination's
@@ -219,6 +229,29 @@ object LakeMaint {
             keyCols = keys, writerId = "lake-mirror"))
         println(if (st.skipped) s"mirror $tbl already at source version ${st.sourceVersion}"
           else s"mirrored -> $tbl @v${st.sourceVersion} upserts=${st.upserts} deletes=${st.deletes}")
+      case "parity" =>
+        require(args.length >= 3, "parity <otherLakeRootOrParquetPath> [exact]")
+        val exact = args.length >= 4 && args(3) == "exact"
+        // `other` is a lake root when it carries a manifest dir; anything
+        // else is read as plain parquet (an export, an RDBMS dump staged to
+        // parquet, a foreign table's files)
+        val other =
+          try LakeTable.open(spark, args(2)).readInternal()
+          catch { case _: Exception => spark.read.parquet(args(2)) }
+        val keys = table.keyCols
+        val summary = graft.lake.Parity
+          .summary(table.readInternal(), other, keys, exact = exact)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bad = summary.filterNot(_._1 == graft.lake.Parity.Equal)
+        println(s"parity vs ${args(2)} (keys=${keys.mkString(",")}, " +
+          s"${if (exact) "exact" else "hash"}): " +
+          s"equal=${summary.getOrElse(graft.lake.Parity.Equal, 0L)} " +
+          bad.map { case (k, v) => s"$k=$v" }.mkString(" "))
+        if (bad.values.sum > 0) {
+          graft.lake.Parity.diff(table.readInternal(), other, keys, exact = exact)
+            .show(20, truncate = false)
+          sys.exit(2)
+        }
       case "tail" =>
         require(args.length >= 3, "tail <dstRoot>")
         // committed-manifest-driven (NOT readStreamChanges): change windows
