@@ -1726,7 +1726,97 @@ object SparkEntry {
             FROM state l FULL OUTER JOIN damaged r
               ON l.user_id = r.user_id AND l.event_type = r.event_type)
       SELECT parity_status, count(*)::BIGINT AS n_keys
-      FROM j GROUP BY parity_status"""))
+      FROM j GROUP BY parity_status""")),
+
+    ("cdc_scd2", (s, dir) => {
+      // SCD Type-2 history (lake/Scd2.scala): the events log replayed as 4
+      // contiguous-lsn commits into a lake table, with the history consumer
+      // syncing mid-stream and at the end (exercising both the incremental
+      // open-row close and the multi-version catch-up window). History rows
+      // are per (key, commit-that-touched-it) with [vf_lsn, vt_lsn)
+      // validity; the oracle recomputes the same intervals from per-commit
+      // LWW winners with a window lead() in SQL.
+      import org.apache.spark.sql.functions.{lit => l}
+      val histRoot = stageOnce(s"scd2:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+        val ev = t(s, dir, "events").select(
+          when(pmod(col("event_id"), l(7)) === 0, l("D")).otherwise(l("U")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"))
+        val mx = ev.agg(max("lsn")).head().getLong(0)
+        val src = graft.lake.LakeTable.create(s, s"$p/src",
+          Seq("user_id", "event_type"), numBuckets = 8)
+        val dst = graft.lake.Scd2.createDst(src, s"$p/hist")
+        for (e <- 0L to 3L) {
+          src.merge(ev.where(floor(col("lsn") * 4 / l(mx + 1)) === e), epoch = e)
+          if (e == 1L || e == 3L) graft.lake.Scd2.sync(src, dst)
+        }
+        s"$p/hist"
+      }
+      graft.lake.LakeTable.open(s, histRoot).read()
+        .select(col("user_id"), col("event_type"), col("scd_seq"),
+          col("vf_lsn"), col("vt_lsn"), col("is_current"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                        (event_id * 4) // ((SELECT max(event_id) FROM events) + 1) AS ep
+                 FROM events),
+      w AS (SELECT * FROM e
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type, ep ORDER BY lsn DESC) = 1),
+      seq AS (SELECT *, lead(lsn) OVER (PARTITION BY user_id, event_type ORDER BY ep) AS nlsn
+              FROM w)
+      SELECT user_id, event_type,
+             (CASE WHEN nlsn IS NULL THEN -1 ELSE lsn END)::BIGINT AS scd_seq,
+             lsn::BIGINT AS vf_lsn, nlsn::BIGINT AS vt_lsn,
+             (nlsn IS NULL) AS is_current,
+             round(value, 4) AS value_r
+      FROM seq WHERE op <> 'D'""")),
+
+    ("cdc_scd2_asof", (s, dir) => {
+      // the consumption path of the SCD2 history: point-in-time lookup —
+      // for every event, the dimension version valid AT ITS OWN lsn
+      // (engine/AsOf union-and-window join on vf_lsn: one exchange, no pair
+      // blow-up), with the [vf, vt) upper bound enforced after the fill so
+      // probes landing in a deleted gap resolve to NULL instead of the
+      // stale pre-delete version. Reuses the cdc_scd2 staged history table;
+      // intervals are disjoint per key, so each probe matches at most one.
+      queries("cdc_scd2")(s, dir) // stages the history table
+      val hist = graft.lake.LakeTable
+        .open(s, stageOnce[String](s"scd2:$dir")(sys.error("staged by cdc_scd2")))
+        .read()
+        .select(col("user_id"), col("event_type"), col("vf_lsn"),
+          col("vf_lsn").as("v_vf"), col("vt_lsn").as("v_vt"),
+          round(col("value"), 4).as("v_val"))
+      val probes = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id").as("plsn"))
+      val alive = col("v_vf").isNotNull &&
+        (col("v_vt").isNull || col("v_vt") > col("plsn"))
+      graft.engine.AsOf.join(probes, hist,
+          keys = Seq("user_id", "event_type"), leftTs = "plsn", rightTs = "vf_lsn",
+          valueCols = Seq("v_vf", "v_vt", "v_val"))
+        .select(col("user_id"), col("event_type"), col("plsn"),
+          alive.as("alive"),
+          when(alive, col("v_vf")).as("ver_vf"),
+          when(alive, col("v_val")).as("ver_value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                        (event_id * 4) // ((SELECT max(event_id) FROM events) + 1) AS ep
+                 FROM events),
+      w AS (SELECT * FROM e
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type, ep ORDER BY lsn DESC) = 1),
+      iv AS (SELECT user_id, event_type, lsn AS vf, value,
+                    lead(lsn) OVER (PARTITION BY user_id, event_type ORDER BY ep) AS vt, op
+             FROM w),
+      probes AS (SELECT user_id, event_type, event_id AS plsn FROM events)
+      SELECT p.user_id, p.event_type, p.plsn,
+             (i.vf IS NOT NULL) AS alive,
+             i.vf::BIGINT AS ver_vf,
+             round(i.value, 4) AS ver_value_r
+      FROM probes p LEFT JOIN iv i
+        ON i.user_id = p.user_id AND i.event_type = p.event_type AND i.op <> 'D'
+           AND i.vf <= p.plsn AND (i.vt IS NULL OR i.vt > p.plsn)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -265,7 +265,12 @@ object JobConfig {
       aggregations: Seq[(String, String)],
       jdbcUrl: String = "", jdbcTable: String = "", jdbcDialect: String = "",
       jdbcProps: Map[String, String] = Map.empty,
-      feedFormat: String = "")
+      feedFormat: String = "",
+      /** `history: true` — SCD Type-2 validity-interval table
+        * ([[graft.engine.cdc.CdcPipeline.Scd2Follower]]); layout derived
+        * from the ingest table ([[graft.lake.Scd2.createDst]])
+        */
+      history: Boolean = false)
 
   final case class Translated(
       reader: ReaderPlan,
@@ -703,12 +708,17 @@ object JobConfig {
             val keys = f.strList("primaryKey")
             require(aggs.isEmpty || keys.nonEmpty,
               "a rollup follower needs primaryKey (the group columns)")
+            val history = f.bool("history")
+            require(!history || (aggs.isEmpty && keys.isEmpty),
+              "a history (SCD2) follower derives its layout from the ingest " +
+                "table — it takes no aggregations or primaryKey")
             FollowerSpec(froot, keys,
               buckets = f.int("buckets", 32),
               distCols = f.strList("distributionColumns"),
               targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
               writerId = f.str("writerId"),
-              aggregations = aggs)
+              aggregations = aggs,
+              history = history)
           }
         })
 

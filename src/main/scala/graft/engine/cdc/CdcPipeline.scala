@@ -75,6 +75,13 @@ object CdcPipeline {
     */
   final case class FeedFollower(dir: String, format: String,
       keyCols: Seq[String] = Nil) extends Follower
+  /** SCD Type-2 history table co-maintained per epoch via
+    * [[graft.lake.Scd2.sync]]: one row per (key, epoch that touched it)
+    * with `[vf_lsn, vt_lsn)` validity bounds — the audit/warehouse shape.
+    * `dst` must carry the [[graft.lake.Scd2.createDst]] layout.
+    */
+  final case class Scd2Follower(dst: LakeTable,
+      writerId: String = "scd2") extends Follower
 
   final case class CdcConfig(
       logDir: String,
@@ -171,6 +178,7 @@ object CdcPipeline {
         case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
         case JdbcFollower(dest) => JdbcApply.sync(table, dest)
         case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
+        case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)
       }
       // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
       // are reclaimed in the same epoch's sweep. A commit conflict (another

@@ -1074,14 +1074,22 @@ final class LakeTable(
     * move files into data/ under collision-proof names, return the entries.
     */
   private def publish(df: DataFrame, staging: String, prefix: String, kind: String,
-      parallelism: Int, reshuffle: Boolean = true): Seq[FileEntry] = {
+      parallelism: Int, reshuffle: Boolean = true,
+      /** COMPUTED clustering expressions overriding `sortCols` for this one
+        * publish (the z-order rewrite, [[reclusterZOrder]]): evaluated on
+        * the fly for the task-local sort, never stored in the files
+        */
+      sortExprOverride: Option[Seq[Column]] = None): Seq[FileEntry] = {
     fs.delete(new Path(staging), true)
     val reparted = if (reshuffle) df.repartition(parallelism, col(BucketCol)) else df
     // under file slicing a reshuffled input (rebucketTo) is additionally
     // key-sorted within partitions so the slices are contiguous key ranges;
     // the reshuffle=false paths arrive (bucket, key)-sorted already
     val shaped =
-      if (kind == "b" && sortCols.nonEmpty && targetFileRows.isDefined)
+      if (kind == "b" && sortExprOverride.isDefined && targetFileRows.isDefined)
+        reparted.sortWithinPartitions(
+          col(BucketCol) +: (sortExprOverride.get ++ keyCols.map(col)): _*)
+      else if (kind == "b" && sortCols.nonEmpty && targetFileRows.isDefined)
         // sort-order clustering (see sortCols scaladoc): a task-local
         // re-sort — no exchange — so base slices are contiguous in the
         // clustering columns (key appended as tie-break); BucketCol first
@@ -1385,6 +1393,38 @@ final class LakeTable(
     val newBase = publish(resolved, s"$root/_staging-rc-$newVersion",
       s"b$newVersion-${java.util.UUID.randomUUID().toString.take(8)}", "b",
       buckets.size, reshuffle = true)
+    commitSnapshot(snap.copy(version = newVersion, rows = newBase.map(_.rows).sum,
+      files = newBase, addedDeltas = Nil, lsnHigh = -1L))
+  }
+
+  /** Z-ORDER rewrite: [[recluster]] with the interleaved [[ZOrder]] value of
+    * `zcols` as the clustering expression — multi-dimensional file skipping
+    * (the Delta `OPTIMIZE ZORDER BY` analog). After the rewrite every sliced
+    * base file covers a small range of EVERY z column, so `readWhere`
+    * windows on any of them prune (linear [[sortCols]] only serves its
+    * leading column). Costs one extra pass over the resolved table for the
+    * normalization bounds, then the same read+exchange+write as recluster.
+    *
+    * NON-STICKY, like Delta's: the manifest's `sortCols` is untouched, so a
+    * later compaction of a bucket that takes new deltas re-sorts THAT bucket
+    * back to its recorded order (clean buckets keep their z files). Re-run
+    * after heavy ingest, as an explicit maintenance op.
+    */
+  def reclusterZOrder(zcols: Seq[String]): Unit = {
+    require(targetFileRows.isDefined,
+      "z-order needs targetFileRows — clustering only tightens bounds when " +
+        "buckets slice into multiple files")
+    val snap = currentSnapshot()
+    require(snap.version >= 0, "nothing to recluster: no committed snapshot")
+    val buckets = snap.files.map(_.bucket).toSet
+    if (buckets.isEmpty) return
+    val resolved = resolvedBucketed(snap, buckets)
+    val bounds = ZOrder.boundsOf(resolved, zcols)
+    val z = ZOrder.zvalue(zcols, bounds)
+    val newVersion = snap.version + 1
+    val newBase = publish(resolved, s"$root/_staging-rz-$newVersion",
+      s"b$newVersion-${java.util.UUID.randomUUID().toString.take(8)}", "b",
+      buckets.size, reshuffle = true, sortExprOverride = Some(Seq(z)))
     commitSnapshot(snap.copy(version = newVersion, rows = newBase.map(_.rows).sum,
       files = newBase, addedDeltas = Nil, lsnHigh = -1L))
   }

@@ -26,6 +26,13 @@ import graft.lake.LakeTable
   *                                 (Iceberg rewrite_data_files with a new
   *                                 sort-order analog; needs a targetFileRows
   *                                 layout)
+  *   cluster zorder:<c1,c2>     — multi-dimensional variant
+  *                                 ([[LakeTable.reclusterZOrder]], the Delta
+  *                                 OPTIMIZE ZORDER analog): rewrite sorted
+  *                                 by the Morton interleave of 2–4 columns
+  *                                 so windows on ANY of them file-skip;
+  *                                 NON-STICKY (manifest sortCols untouched —
+  *                                 re-run after heavy ingest)
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
   *   where <pred> [limit]       — pruned predicate scan (readWhere): prints
@@ -57,6 +64,12 @@ import graft.lake.LakeTable
   *                                 last ts; default group conv_id) from the
   *                                 committed change log — only groups
   *                                 changed since the last refresh recompute
+  *   scd2 <dstRoot>             — incrementally extend an SCD Type-2
+  *                                 history table ([[graft.lake.Scd2]]): one
+  *                                 row per (key, commit that touched it)
+  *                                 with [vf_lsn, vt_lsn) validity bounds;
+  *                                 re-running appends only commits since the
+  *                                 last run
   *   mirror <jdbcUrl> <table> <dialect> [k1,k2]
   *                              — incremental catch-up of a LIVE database
   *                                 mirror ([[graft.engine.cdc.JdbcApply]]):
@@ -118,16 +131,26 @@ object LakeMaint {
         table.compactAll()
         println(s"compacted -> version ${table.currentSnapshot().version}")
       case "cluster" =>
-        require(args.length >= 3, "cluster <c1,c2|none>")
-        val cols = if (args(2) == "none") Nil
-          else args(2).split(",").toSeq.filter(_.nonEmpty)
-        // a FRESH handle with the override — `table`'s layout stays whatever
-        // the manifest recorded until recluster commits the new one
-        val t = LakeTable.open(spark, root, sortColsOverride = Some(cols))
-        t.recluster()
-        val s = t.currentSnapshot()
-        println(s"clustered by [${cols.mkString(",")}] -> version ${s.version} " +
-          s"files=${s.files.size} rows=${s.rows}")
+        require(args.length >= 3, "cluster <c1,c2|zorder:c1,c2|none>")
+        if (args(2).startsWith("zorder:")) {
+          // multi-dimensional rewrite (LakeTable.reclusterZOrder): NON-STICKY
+          // — the manifest's linear sortCols stays; re-run after heavy ingest
+          val zcols = args(2).stripPrefix("zorder:").split(",").toSeq.filter(_.nonEmpty)
+          table.reclusterZOrder(zcols)
+          val s = table.currentSnapshot()
+          println(s"z-order clustered by [${zcols.mkString(",")}] -> version " +
+            s"${s.version} files=${s.files.size} rows=${s.rows}")
+        } else {
+          val cols = if (args(2) == "none") Nil
+            else args(2).split(",").toSeq.filter(_.nonEmpty)
+          // a FRESH handle with the override — `table`'s layout stays whatever
+          // the manifest recorded until recluster commits the new one
+          val t = LakeTable.open(spark, root, sortColsOverride = Some(cols))
+          t.recluster()
+          val s = t.currentSnapshot()
+          println(s"clustered by [${cols.mkString(",")}] -> version ${s.version} " +
+            s"files=${s.files.size} rows=${s.rows}")
+        }
       case "expire" =>
         require(args.length >= 3, "expire <horizonLsn>")
         table.expireTombstones(args(2).toLong)
@@ -213,6 +236,22 @@ object LakeMaint {
         println(if (st.skipped) s"rollup ${args(2)} already at source head"
           else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
             s"groups physicalRows=${dst.currentSnapshot().rows}")
+      case "scd2" =>
+        require(args.length >= 3, "scd2 <dstRoot>")
+        // incrementally maintained SCD Type-2 history (Scd2 scaladoc): the
+        // destination's epoch lineage is the watermark, so re-running this
+        // command extends the history only with commits since the last run
+        val dstRoot = args(2)
+        val dfs = new org.apache.hadoop.fs.Path(dstRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dst =
+          if (dfs.exists(new org.apache.hadoop.fs.Path(s"$dstRoot/_snapshots/snap-0.txt")))
+            LakeTable.open(spark, dstRoot)
+          else graft.lake.Scd2.createDst(table, dstRoot)
+        val st = graft.lake.Scd2.sync(table, dst)
+        println(if (st.skipped) s"scd2 $dstRoot already at source head"
+          else s"scd2 -> $dstRoot @epoch ${st.epoch} rowsApplied=${st.rowsApplied} " +
+            s"historyRows=${dst.currentSnapshot().rows}")
       case "mirror" =>
         require(args.length >= 5, "mirror <jdbcUrl> <table> <dialect> [k1,k2]")
         val (url, tbl, dialect) = (args(2), args(3), graft.engine.Dialect.byName(args(4)))

@@ -350,6 +350,16 @@ object RunJob {
         val keys = if (f.keyCols.nonEmpty) f.keyCols else table.keyCols
         graft.engine.cdc.CdcPipeline.FeedFollower(
           rebasePath(f.root, ov.rebase), f.feedFormat, keys)
+      } else if (f.history) {
+        // SCD2 history table: layout is DERIVED from the ingest table
+        // (keys + scd_seq sentinel, distributed by the ingest key) so the
+        // open-row lookup stays bucket-pruned — see Scd2.createDst
+        val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),
+          keys = table.keyCols :+ graft.lake.Scd2.SeqCol,
+          buckets = table.numBuckets, distCols = table.keyCols,
+          targetFileRows = f.targetFileRows)
+        graft.engine.cdc.CdcPipeline.Scd2Follower(dst,
+          if (f.writerId.nonEmpty) f.writerId else "scd2")
       } else {
         val rollup = f.aggregations.nonEmpty
         val dst = openOrCreateLake(spark, rebasePath(f.root, ov.rebase),

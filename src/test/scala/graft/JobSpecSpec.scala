@@ -677,6 +677,56 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("streaming"))
   }
 
+  test("history follower: an SCD2 validity-interval table rides the streaming job from JSON") {
+    val cfg = Gen.GenConfig(nEvents = 6000L, nConvs = 80L, partitions = 4)
+    val work = tmpDir("cdcjob-h")
+    Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 4)
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$work/log", "checkpoint": "$work/cp", "maxFilesPerTrigger": 2}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/lake", "primaryKey": ["conv_id", "turn_idx"], "buckets": 4,
+        "followers": [{"path": "$work/hist", "history": true}]}}}]}}""")
+    RunJob.run(spark, spec)
+    val hist = LakeTable.open(spark, s"$work/hist")
+    assert(hist.keyCols === Seq("conv_id", "turn_idx", "scd_seq"))
+    val rows = hist.read()
+    // open rows are exactly the final LWW state
+    val open = rows.filter(col("is_current"))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val want = Gen.expectedState(spark, cfg).toDF()
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(open.exceptAll(want).count() + want.exceptAll(open).count() === 0L)
+    // interval soundness per key: bounds ordered, the chain is linked (each
+    // vt reaches at most the next interval's vf — strictly less across a
+    // delete→re-insert gap, equal otherwise), and the open row comes last
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id", "turn_idx").orderBy("vf_lsn")
+    val chain = rows
+      .withColumn("nvf", lead("vf_lsn", 1).over(w))
+      .withColumn("bad",
+        (col("vt_lsn").isNotNull && col("vt_lsn") <= col("vf_lsn")) ||
+        (col("nvf").isNotNull && (col("vt_lsn").isNull || col("vt_lsn") > col("nvf"))) ||
+        (col("is_current") && col("nvf").isNotNull))
+    assert(chain.filter(col("bad")).count() === 0L, "broken validity chain")
+    // re-running the drained job extends nothing
+    val n = rows.count()
+    RunJob.run(spark, spec)
+    assert(LakeTable.open(spark, s"$work/hist").read().count() === n)
+    // a history follower with aggregations is rejected at translate time
+    val bad = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "$work/log", "checkpoint": "$work/cp2"}},
+        "writer": {"name": "lakewriter", "parameter": {
+          "path": "$work/lake2", "primaryKey": ["conv_id", "turn_idx"],
+          "followers": [{"path": "$work/h2", "history": true,
+            "primaryKey": ["conv_id"],
+            "aggregations": [{"name": "n", "expr": "count(1)"}]}]}}}]}}"""))
+    }
+    assert(bad.getMessage.contains("history"))
+  }
+
   test("lakewriter sortColumns: clustered layout from JSON, rejected without targetFileRows") {
     val cfg = Gen.GenConfig(nEvents = 3000L, nConvs = 40L, partitions = 4)
     val work = tmpDir("cdcjob-sort")

@@ -25,11 +25,14 @@ class ReplayFuzzSpec extends SparkSpec {
 
   private def check(seed: Long, nEvents: Long, epochOf: Column => Column, nEpochs: Int,
       replayEpoch: Option[Int] = None,
-      via: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+      via: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
+      withScd2: Boolean = false): Unit = {
     val cfg = Gen.GenConfig(seed = seed, nEvents = nEvents, nConvs = 40L,
       maxTurns = 16, partitions = 4)
     val dir = tmpDir(s"fuzz$seed")
     val table = LakeTable.create(spark, dir, Model.keyCols, numBuckets = 4)
+    val histEach = if (withScd2)
+      Some(graft.lake.Scd2.createDst(table, tmpDir(s"fuzzh$seed") + "/h")) else None
 
     (0 until nEpochs).foreach { e =>
       val batch = via(Gen.changeEvents(spark, cfg).toDF()
@@ -38,12 +41,40 @@ class ReplayFuzzSpec extends SparkSpec {
       replayEpoch.filter(_ == e).foreach { _ =>
         table.merge(batch, e.toLong) // duplicate epoch delivery — must skip
       }
+      histEach.foreach(h => graft.lake.Scd2.sync(table, h))
     }
 
     val got = table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val want = Gen.expectedState(spark, cfg).toDF()
     val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
     assert(diff === 0L, s"seed=$seed: $diff rows differ from the global-LWW oracle")
+
+    // SCD2 rider: under the same arbitrary/duplicated/scrambled epoch
+    // boundaries, (a) the history's open rows must equal the oracle state,
+    // (b) validity chains must stay sound, (c) a consumer syncing once at
+    // the end must land on the SAME history as the per-epoch consumer
+    // (per-commit determinism)
+    histEach.foreach { h =>
+      val open = h.read().filter(col("is_current"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val openDiff = open.exceptAll(want).count() + want.exceptAll(open).count()
+      assert(openDiff === 0L, s"seed=$seed: scd2 open rows diverge by $openDiff")
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id", "turn_idx").orderBy("vf_lsn")
+      val bad = h.read()
+        .withColumn("nvf", lead("vf_lsn", 1).over(w))
+        .filter((col("vt_lsn").isNotNull && col("vt_lsn") <= col("vf_lsn")) ||
+          (col("nvf").isNotNull && (col("vt_lsn").isNull || col("vt_lsn") > col("nvf"))) ||
+          (col("is_current") && col("nvf").isNotNull))
+      assert(bad.count() === 0L, s"seed=$seed: scd2 validity chain broken")
+
+      val once = graft.lake.Scd2.createDst(table, tmpDir(s"fuzzo$seed") + "/o")
+      graft.lake.Scd2.sync(table, once)
+      val a = h.read(); val b = once.read()
+      val cadDiff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      assert(cadDiff === 0L, s"seed=$seed: scd2 cadence divergence $cadDiff")
+    }
   }
 
   test("round-robin epoch split reaches the oracle state") {
@@ -57,7 +88,13 @@ class ReplayFuzzSpec extends SparkSpec {
 
   test("hash-scrambled split (out-of-order across epochs) reaches the oracle state") {
     check(seed = 13L, nEvents = 3000L,
-      epochOf = i => pmod(xxhash64(i + 99L), lit(4)).cast("int"), nEpochs = 4)
+      epochOf = i => pmod(xxhash64(i + 99L), lit(4)).cast("int"), nEpochs = 4,
+      withScd2 = true)
+  }
+
+  test("scd2 rider under contiguous split with a duplicated epoch") {
+    check(seed = 17L, nEvents = 3000L, epochOf = i => floor(i / 1000L).cast("int"),
+      nEpochs = 3, replayEpoch = Some(1), withScd2 = true)
   }
 
   test("debezium encode→decode inside the replay still reaches the oracle state") {
