@@ -66,6 +66,19 @@ object Scd2 {
     LakeTable.create(src.spark, root, src.keyCols :+ SeqCol,
       numBuckets = src.numBuckets, distCols = src.keyCols)
 
+  /** The source state as of lsn `cut`, reconstructed from the history table
+    * alone: every interval covering `cut` (`vf ≤ cut < vt`, open = no upper
+    * bound). Unlike [[LakeTable.readVersion]] this needs no retained
+    * snapshots or data files — the history IS the archive, and the cut is a
+    * SOURCE lsn, not a commit number, so it composes with the upstream
+    * database's own notion of time.
+    */
+  def stateAt(dst: LakeTable, cut: Long): DataFrame =
+    dst.read()
+      .filter(col(ValidFromCol) <= cut &&
+        (col(ValidToCol).isNull || col(ValidToCol) > cut))
+      .drop(SeqCol, ValidFromCol, ValidToCol, CurrentCol)
+
   /** One incremental history refresh of `dst` from `src`'s committed change
     * log. Returns the LAST chunk's merge stats (`skipped = true` when
     * already at the source head).

@@ -80,11 +80,15 @@ class Scd2Spec extends SparkSpec {
     stageLifecycle(src)
     Scd2.sync(src, dst)
     // cut at lsn 4 = after the delete of b: only a@"hi" is alive
-    val cut = dst.read()
-      .filter(col("vf_lsn") <= 4 && (col("vt_lsn").isNull || col("vt_lsn") > 4))
+    val cut = Scd2.stateAt(dst, 4L)
       .select("conv_id", "turn_idx", "text").as[(String, Int, String)]
       .collect().toSet
     assert(cut === Set(("a", 0, "hi")))
+    // cut before everything: empty; cut at the head: the live state
+    assert(Scd2.stateAt(dst, 0L).count() === 0L)
+    val atHead = Scd2.stateAt(dst, Long.MaxValue)
+      .select("conv_id", "turn_idx", "text").as[(String, Int, String)].collect().toSet
+    assert(atHead === Set(("a", 0, "hi"), ("b", 0, "back")))
   }
 
   test("sync cadence and chunk size don't change the history (per-commit determinism)") {
