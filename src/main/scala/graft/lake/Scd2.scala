@@ -155,14 +155,25 @@ object Scd2 {
     */
   private def applyWindow(src: LakeTable, dst: LakeTable, lo: Long, hi: Long,
       writerId: String): LakeTable.MergeStats = {
-    val k = src.keyCols
     // per-VERSION windows (not one collapsed (lo, hi] window): each commit
     // that touched a key contributes its own history row, so the result is
     // independent of sync cadence. Each read costs only that commit's added
-    // deltas; schema may widen mid-window (additive evolution) → unionByName
+    // deltas; schema may widen mid-window (additive evolution) → unionByName.
+    // The frame feeds THREE consumers of one merge job (touched-key lookup,
+    // the filtered sequence, the sentinel floor join) — persist it so the
+    // delta files are read once, not once per branch; batch-sized by
+    // construction, released in the finally
     val changes = (lo + 1 to hi).map { v =>
       src.readChangesBetween(v - 1, v).withColumn("_v", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyChanges(src, dst, changes, hi, writerId)
+    finally changes.unpersist()
+  }
+
+  private def applyChanges(src: LakeTable, dst: LakeTable, changes: DataFrame,
+      hi: Long, writerId: String): LakeTable.MergeStats = {
+    val k = src.keyCols
 
     // per-key lsn floor at the chunk boundary, from the sentinel rows of the
     // touched keys (bucket-pruned exact-key fetch; tombstone sentinels

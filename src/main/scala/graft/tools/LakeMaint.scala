@@ -70,6 +70,11 @@ import graft.lake.LakeTable
   *                                 with [vf_lsn, vt_lsn) validity bounds;
   *                                 re-running appends only commits since the
   *                                 last run
+  *   stateat <lsn> [limit]      — (on an scd2 HISTORY table) print the
+  *                                 source state as of a source lsn,
+  *                                 reconstructed from validity intervals
+  *                                 alone ([[graft.lake.Scd2.stateAt]] — no
+  *                                 retained snapshots needed)
   *   mirror <jdbcUrl> <table> <dialect> [k1,k2]
   *                              — incremental catch-up of a LIVE database
   *                                 mirror ([[graft.engine.cdc.JdbcApply]]):
@@ -236,6 +241,15 @@ object LakeMaint {
         println(if (st.skipped) s"rollup ${args(2)} already at source head"
           else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
             s"groups physicalRows=${dst.currentSnapshot().rows}")
+      case "stateat" =>
+        require(args.length >= 3, "stateat <lsnCut> [limit] — run against an scd2 history table")
+        require(table.keyCols.lastOption.contains(graft.lake.Scd2.SeqCol),
+          s"stateat reads an SCD2 history table (key ending in " +
+            s"${graft.lake.Scd2.SeqCol}); this table is keyed " +
+            s"${table.keyCols.mkString(",")} — point at the history root")
+        val cutState = graft.lake.Scd2.stateAt(table, args(2).toLong)
+        println(s"state as of lsn ${args(2)}: ${cutState.count()} rows")
+        cutState.show(if (args.length >= 4) args(3).toInt else 20, truncate = false)
       case "scd2" =>
         require(args.length >= 3, "scd2 <dstRoot>")
         // incrementally maintained SCD Type-2 history (Scd2 scaladoc): the
