@@ -686,6 +686,63 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM live""")),
 
+    ("cdc_route", (s, dir) => {
+      // MULTI-TABLE demultiplex (engine/cdc/CdcPipeline.startRouted): one
+      // Debezium stream interleaving two tables' changes (events split by
+      // event_id parity, table names stamped in source.db/source.table)
+      // fans out through the JSON surface's lakewriter `routes` into two
+      // lake tables, each merged under its own epoch lineage. Surface =
+      // both destinations' resolved states tagged by route; oracle = the
+      // same per-table LWW recomputed in SQL. Proves the router never
+      // cross-contaminates (a misrouted row would flip a winner) and that
+      // both tables converge from ONE checkpointed tail.
+      val p = stageOnce(s"route:$dir") {
+        import graft.sources.CdcEnvelope
+        val p = java.nio.file.Files.createTempDirectory("graft-route").toString
+        val ev = t(s, dir, "events").select(
+          when(pmod(col("event_id"), lit(7)) === 0, "D")
+            .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"),
+          pmod(col("event_id"), lit(2)).as("par"))
+        val cols = Seq("user_id", "event_type", "value")
+        CdcEnvelope.encodeDebezium(ev.where(col("par") === 0), cols,
+            Seq("user_id", "event_type"), tableRef = Some("shop.orders"))
+          .unionAll(CdcEnvelope.encodeDebezium(ev.where(col("par") === 1), cols,
+            Seq("user_id", "event_type"), tableRef = Some("shop.items")))
+          .repartition(4).write.mode("append").text(s"$p/log")
+        val routeCols = """[{"name": "user_id", "type": "long"},
+          {"name": "event_type", "type": "string"},
+          {"name": "value", "type": "double"}]"""
+        graft.tools.RunJob.run(s, graft.engine.JobConfig.parse(s"""{"job": {"content": [{
+          "reader": {"name": "cdcreader", "parameter": {
+            "path": "$p/log", "format": "debezium", "checkpoint": "$p/cp"}},
+          "writer": {"name": "lakewriter", "parameter": {
+            "routes": [
+              {"table": "shop.orders", "path": "$p/orders",
+               "primaryKey": ["user_id", "event_type"], "buckets": 4,
+               "column": $routeCols},
+              {"table": "shop.items", "path": "$p/items",
+               "primaryKey": ["user_id", "event_type"], "buckets": 4,
+               "column": $routeCols}
+            ]}}}]}}"""))
+        p
+      }
+      def state(sub: String, tag: String) =
+        graft.lake.LakeTable.open(s, s"$p/$sub").read()
+          .select(lit(tag).as("tbl"), col("user_id"), col("event_type"),
+            round(col("value"), 4).as("value_r"))
+      state("orders", "orders").unionAll(state("items", "items"))
+    }, Some("""
+      WITH e AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'orders' ELSE 'items' END AS tbl,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+                        event_id AS lsn, user_id, event_type, value
+                 FROM events)
+      SELECT tbl, user_id, event_type, round(value, 4) AS value_r FROM e
+      QUALIFY row_number() OVER (PARTITION BY tbl, user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'""")),
+
     ("cdc_feed_outbox", (s, dir) => {
       // broker-less outbox (engine/cdc/CdcFeed.scala): the source lake
       // ingests in two epochs and CdcFeed.sync runs after EACH, so the feed

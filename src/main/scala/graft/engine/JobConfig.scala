@@ -160,7 +160,12 @@ object JobConfig {
         * batch reader loads the source's consistent state and it merges as
         * one insert epoch stamped `lsn` ([[graft.engine.cdc.CdcPipeline.bootstrap]])
         */
-      bootstrap: Option[CdcBootstrap] = None) extends ReaderPlan
+      bootstrap: Option[CdcBootstrap] = None,
+      /** single-table filter over a MULTI-TABLE envelope stream
+        * (`"db.table"` or `"table"`) — only matching envelopes decode;
+        * see [[graft.engine.cdc.CdcPipeline.CdcConfig.tableFilter]]
+        */
+      tableFilter: Option[String] = None) extends ReaderPlan
   /** `cdcreader.parameter.bootstrap`: `{lsn, reader: {name, parameter}}` —
     * the Debezium snapshot-mode analog for onboarding an EXISTING table
     * onto the tail. `plan` is any batch reader (jdbc with splitPk probe,
@@ -246,7 +251,13 @@ object JobConfig {
         * follower's `primaryKey` are the group columns); see
         * [[graft.engine.cdc.CdcPipeline.Follower]]
         */
-      followers: Seq[FollowerSpec] = Nil) extends WriterPlan
+      followers: Seq[FollowerSpec] = Nil,
+      /** MULTI-TABLE demultiplex: with `routes` set the paired cdcreader's
+        * stream fans out into one lake table per route
+        * ([[graft.engine.cdc.CdcPipeline.startRouted]]); the lakewriter's
+        * own `path`/`primaryKey` are then omitted
+        */
+      routes: Seq[RouteSpec] = Nil) extends WriterPlan
 
   /** one `followers` entry on a lakewriter (the streaming analog of a
     * standalone lakereader→lakewriter job, sharing its config shape).
@@ -272,6 +283,17 @@ object JobConfig {
         */
       history: Boolean = false)
 
+  /** one `routes` entry on a lakewriter — a destination of the MULTI-TABLE
+    * demultiplex ([[graft.engine.cdc.CdcPipeline.Route]]): envelopes whose
+    * table metadata matches `table` merge into the lake table at `root`
+    * with their OWN payload schema (`column` typed specs; omitted ⇒ the
+    * transcript shape)
+    */
+  final case class RouteSpec(table: String, root: String,
+      keyCols: Seq[String], buckets: Int, distCols: Seq[String],
+      targetFileRows: Option[Long], sortCols: Seq[String], writerId: String,
+      payload: Option[org.apache.spark.sql.types.StructType])
+
   final case class Translated(
       reader: ReaderPlan,
       transforms: Seq[Transformers.Transform],
@@ -286,10 +308,28 @@ object JobConfig {
     // MERGE-applied by key, and the lake sink only accepts change events
     // (or a lakereader's replication/rollup window)
     (reader, writer) match {
-      case (_: CdcRead, _: LakeWrite) =>
+      case (cr: CdcRead, lw: LakeWrite) =>
         require(c.transforms.isEmpty,
           "cdcreader content takes no transformer chain — change events are " +
             "applied verbatim (transform downstream of the lake table instead)")
+        if (lw.routes.nonEmpty) {
+          require(cr.format != "parquet",
+            "lakewriter routes read envelope table metadata — parquet " +
+              "change logs carry none (run one content per table instead)")
+          require(cr.tableFilter.isEmpty,
+            "cdcreader table filter and lakewriter routes are exclusive — " +
+              "routes already scope each destination to its table")
+          require(cr.bootstrap.isEmpty,
+            "bootstrap onboarding targets a single-table lakewriter — " +
+              "onboard each routed destination with its own job, then " +
+              "start the routed tail")
+          require(cr.payload.isEmpty,
+            "a routed cdcreader takes no top-level column specs — each " +
+              "route carries its own payload schema")
+          val dup = lw.routes.groupBy(_.table).collect { case (t, rs) if rs.size > 1 => t }
+          require(dup.isEmpty,
+            s"duplicate route table(s): ${dup.mkString(", ")}")
+        }
       case (cr: CdcRead, jw: JdbcWrite) =>
         // live-database destination: the streaming MERGE-apply
         // ([[graft.engine.cdc.CdcPipeline.startJdbc]]) — the reference's
@@ -500,6 +540,10 @@ object JobConfig {
         }
         CdcBootstrap(plan, b.long("lsn"))
       }
+      val tableFilter = Some(p.str("table")).filter(_.nonEmpty)
+      require(tableFilter.isEmpty || fmt != "parquet",
+        "cdcreader table filter reads envelope table metadata — parquet " +
+          "change logs carry none (tail one log per table instead)")
       CdcRead(path, fmt, ckpt,
         maxFilesPerTrigger = p.int("maxFilesPerTrigger", 4),
         continuous = continuous,
@@ -507,7 +551,8 @@ object JobConfig {
         dlqDir = Some(p.str("dlqPath")).filter(_.nonEmpty),
         toolColumn = p.bool("toolColumn", default = true),
         payload = payload,
-        bootstrap = bootstrap)
+        bootstrap = bootstrap,
+        tableFilter = tableFilter)
 
     case "lakereader" =>
       val root = p.str("path")
@@ -646,7 +691,50 @@ object JobConfig {
 
     case "lakewriter" =>
       val root = p.str("path")
-      require(root.nonEmpty, "lakewriter: path (the lake table root) is required")
+      // multi-table demultiplex: each route is its own destination table
+      // with its own layout and payload schema (column typed specs)
+      val routes = p.listConf("routes").map { r =>
+        require(r.str("table").nonEmpty && r.str("path").nonEmpty,
+          "lakewriter route entries need 'table' (the envelope's db.table " +
+            "or table) and 'path' (the destination lake root)")
+        val payload = r.get("column") match {
+          case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
+            val cols = r.listConf("column").map { c =>
+              require(c.str("name").nonEmpty,
+                "route column specs need a 'name' (and optionally a 'type')")
+              SyncJob.ColumnSpec(index = -1, name = c.str("name"),
+                colType = c.str("type", "string"))
+            }
+            Some(SyncJob.schemaFor(cols))
+          case _ => None
+        }
+        val sc = r.strList("sortColumns")
+        require(sc.isEmpty || r.long("targetFileRows", 0L) > 0L,
+          "route sortColumns needs targetFileRows — clustering only " +
+            "tightens bounds when buckets slice into multiple files")
+        RouteSpec(r.str("table"), r.str("path"),
+          keyCols = r.strList("primaryKey"),
+          buckets = r.int("buckets", 32),
+          distCols = r.strList("distributionColumns"),
+          targetFileRows = Some(r.long("targetFileRows", 0L)).filter(_ > 0L),
+          sortCols = sc,
+          writerId = r.str("writerId", graft.lake.LakeTable.DefaultWriter),
+          payload = payload)
+      }
+      require(root.nonEmpty || routes.nonEmpty,
+        "lakewriter: path (the lake table root) is required (or 'routes' " +
+          "for a multi-table demultiplex)")
+      require(root.isEmpty || routes.isEmpty,
+        "lakewriter: path and routes are exclusive — a routed writer's " +
+          "destinations are the route entries")
+      if (routes.nonEmpty) {
+        require(p.listConf("followers").isEmpty,
+          "lakewriter routes take no followers — attach a follower to a " +
+            "single-table stream on the route's destination instead")
+        require(p.int("vacuumEvery", 0) == 0 && p.int("expireTombstonesEvery", 0) == 0,
+          "lakewriter routes take no vacuum/tombstone cadence — run " +
+            "maintenance per destination (LakeMaint) for now")
+      }
       LakeWrite(root,
         keyCols = p.strList("primaryKey"),
         buckets = p.int("buckets", 32),
@@ -671,6 +759,7 @@ object JobConfig {
               "tightens bounds when buckets slice into multiple files")
           sc
         },
+        routes = routes,
         followers = p.listConf("followers").map { f =>
           if (f.str("jdbcUrl").nonEmpty) {
             // live-database mirror follower

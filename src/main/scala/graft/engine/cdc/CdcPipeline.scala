@@ -153,7 +153,20 @@ object CdcPipeline {
         * shape — the `cdcreader` JSON surface exposes it as named, typed
         * `column` specs like the reference's readers.
         */
-      payloadSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      payloadSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      /** single-table consumption of a MULTI-TABLE envelope stream: a real
+        * binlog/WAL tail interleaves every table's changes, and decoding a
+        * foreign table's envelope against this table's payload schema
+        * would quietly null-fill its columns (or worse, alias same-named
+        * ones) — so with a filter set (`"db.table"` or `"table"`,
+        * [[graft.sources.CdcEnvelope.tableMatches]]), only matching lines
+        * reach the decoder. Lines WITHOUT table metadata are kept (a
+        * single-table feed synthesized without stamping stays consumable);
+        * malformed lines still decode to null lsn and divert to the DLQ.
+        * Envelope formats only. For N destinations out of one stream, see
+        * [[startRouted]].
+        */
+      tableFilter: Option[String] = None)
 
   /** The tailed log's full change-event schema: `op`/`lsn` + payload. */
   private def eventSchema(cfg: CdcConfig): org.apache.spark.sql.types.StructType =
@@ -201,6 +214,27 @@ object CdcPipeline {
         table.vacuum(cfg.vacuumRetainVersions)
     }
 
+  /** One envelope format's decode: raw JSON-line column `value` →
+    * canonical (op, lsn, payload...) + passthrough. Canal/maxwell get the
+    * destination's key columns so key-changing updates fan out into
+    * tombstone+upsert (debezium emits the pair natively).
+    */
+  private def decodeEnvelope(format: String, df: org.apache.spark.sql.DataFrame,
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String], passthrough: Seq[String]): org.apache.spark.sql.DataFrame =
+    format match {
+      case "debezium" =>
+        graft.sources.CdcEnvelope.debezium(df, "value", payloadSchema, passthrough)
+      case "canal" =>
+        graft.sources.CdcEnvelope.canal(df, "value", payloadSchema,
+          passthrough = passthrough, keyCols = keyCols)
+      case "maxwell" =>
+        graft.sources.CdcEnvelope.maxwell(df, "value", payloadSchema, passthrough,
+          keyCols = keyCols)
+      case other => throw new IllegalArgumentException(
+        s"not an envelope format: '$other' (debezium|canal|maxwell)")
+    }
+
   /** Shared streaming harness: build the tail source (per [[CdcConfig.format]]),
     * divert malformed envelope lines to the DLQ, and hand each cleaned
     * micro-batch to `apply` — the lake MERGE for [[start]], the live-database
@@ -228,23 +262,26 @@ object CdcPipeline {
         val raw = spark.readStream
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
           .text(cfg.logDir)
+        // multi-table stream, single-table consumer: drop OTHER tables'
+        // well-formed envelopes before the decode (they are valid changes,
+        // not dirty records — never DLQ'd); metadata-less and malformed
+        // lines pass through so compat and the DLQ policy are unchanged
+        val scoped = cfg.tableFilter match {
+          case Some(ref) =>
+            val (_, tbl) = graft.sources.CdcEnvelope.tableRefs(env, col("value"))
+            raw.filter(
+              graft.sources.CdcEnvelope.tableMatches(env, col("value"), ref) ||
+                tbl.isNull)
+          case None => raw
+        }
         // with a DLQ configured, the raw line rides along so the dirty
         // record lands in the dead-letter dir VERBATIM (reference semantics:
         // dirty records are collected, not reconstructed). The passthrough
         // column is renamed up front — a payload schema may legitimately
         // contain a column named `value` (the text source's default name)
         val keep = if (cfg.dlqDir.isDefined) Seq(RawCol) else Nil
-        val src0 = if (cfg.dlqDir.isDefined) raw.withColumn(RawCol, col("value")) else raw
-        // canal/maxwell get the destination's key columns so key-changing
-        // updates fan out into tombstone+upsert (debezium emits the pair
-        // natively)
-        env match {
-          case "debezium" => graft.sources.CdcEnvelope.debezium(src0, "value", payloadSchema, keep)
-          case "canal" => graft.sources.CdcEnvelope.canal(src0, "value", payloadSchema,
-            passthrough = keep, keyCols = keyCols)
-          case _ => graft.sources.CdcEnvelope.maxwell(src0, "value", payloadSchema, keep,
-            keyCols = keyCols)
-        }
+        val src0 = if (cfg.dlqDir.isDefined) scoped.withColumn(RawCol, col("value")) else scoped
+        decodeEnvelope(env, src0, payloadSchema, keyCols, keep)
       case other => throw new IllegalArgumentException(
         s"unsupported CDC log format '$other' (parquet|debezium|canal|maxwell)")
     }
@@ -292,6 +329,100 @@ object CdcPipeline {
     val q = start(spark, table, cfg.copy(availableNow = true))
     q.awaitTermination()
     table.currentSnapshot().lastEpochFor(cfg.writerId) + 1
+  }
+
+  /** One destination of a routed (multi-table) tail: envelopes whose table
+    * metadata matches `table` ("db.table" or bare "table",
+    * [[graft.sources.CdcEnvelope.tableMatches]]) decode against
+    * `payloadSchema` and MERGE into `dest`.
+    */
+  final case class Route(table: String, dest: LakeTable,
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      writerId: String = LakeTable.DefaultWriter)
+
+  /** DEMULTIPLEX one multi-table envelope tail into N lake tables — the
+    * shape a real binlog/WAL subscription has (Canal and Maxwell publish
+    * one stream per INSTANCE; Debezium Server's single-topic mode likewise),
+    * where every table's changes arrive interleaved in one total order.
+    *
+    * Per micro-batch: the raw lines are staged once (persist), the table
+    * name is extracted per line with a native JSON-path expression (no full
+    * decode), and each route filters its own lines and decodes them against
+    * its OWN payload schema before the ordinary [[LakeTable.merge]]. Lines
+    * with no parseable table metadata land in the DLQ (a routed stream
+    * REQUIRES table stamps — nothing else says which schema applies); lines
+    * of tables no route claims are skipped (valid changes for tables this
+    * consumer doesn't maintain — the Debezium `table.include.list` analog).
+    *
+    * EXACTLY-ONCE per destination falls out of the same epoch-lineage
+    * contract as everything else: each route's merge commits under its
+    * destination's `(writerId, epoch)` lineage, so a crash BETWEEN routes
+    * replays the epoch and the already-committed destinations skip it —
+    * no cross-table transaction is needed because each table's end state
+    * is independently idempotent. Destinations therefore must be DISTINCT
+    * tables (or distinct writerIds on a shared table).
+    *
+    * Scale shape: R routes cost R narrow filter+decode passes over the
+    * PERSISTED micro-batch (one storage read total) plus R batch-sized
+    * merges; nothing is table-sized. The routes' merges run sequentially
+    * inside the epoch — at very large R, split the subscription into
+    * several routed streams (own checkpoint each) rather than one giant
+    * route list.
+    */
+  def startRouted(spark: SparkSession, cfg: CdcConfig,
+      routes: Seq[Route]): StreamingQuery = {
+    require(routes.nonEmpty, "routed tail needs at least one route")
+    require(cfg.format != "parquet",
+      "routing reads envelope table metadata — parquet change logs carry " +
+        "none (tail one log per table instead)")
+    val dup = routes.groupBy(_.table).collect { case (t, rs) if rs.size > 1 => t }
+    require(dup.isEmpty, s"duplicate route table(s): ${dup.mkString(", ")} — " +
+      "one destination per table (a second consumer is its own stream)")
+    val destDup = routes.groupBy(r => (r.dest.root, r.writerId))
+      .collect { case (k, rs) if rs.size > 1 => k }
+    require(destDup.isEmpty,
+      s"routes share a (destination, writerId) lineage: ${destDup.mkString(", ")} — " +
+        "two routes merging into one table need distinct writerIds")
+
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .text(cfg.logDir)
+    val writer = raw.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val (db, tbl) = graft.sources.CdcEnvelope.tableRefs(cfg.format, col("value"))
+        val batch = batch0.select(col("value"), db.as("_db"), tbl.as("_tbl")).persist()
+        try {
+          // no table metadata ⇒ unroutable ⇒ dirty record (overwrite keeps
+          // epoch replays idempotent, as in the single-table DLQ path)
+          cfg.dlqDir.foreach { dlq =>
+            batch.filter(col("_tbl").isNull).select("value")
+              .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
+          }
+          routes.foreach { r =>
+            val mine = r.table.split("\\.", 2) match {
+              case Array(d, t) => col("_db") === d && col("_tbl") === t
+              case _ => col("_tbl") === r.table
+            }
+            val decoded = decodeEnvelope(cfg.format,
+                batch.filter(mine).select("value"),
+                r.payloadSchema, r.dest.keyCols, passthrough = Nil)
+              .filter(col("lsn").isNotNull)
+            r.dest.merge(decoded, epoch, r.writerId)
+          }
+        } finally { batch.unpersist(); () }
+      }
+    ((cfg.availableNow, cfg.triggerInterval) match {
+      case (true, _) => writer.trigger(Trigger.AvailableNow())
+      case (false, Some(interval)) => writer.trigger(Trigger.ProcessingTime(interval))
+      case (false, None) => writer
+    }).start()
+  }
+
+  /** Run a routed replay to completion (AvailableNow). */
+  def replayAllRouted(spark: SparkSession, cfg: CdcConfig,
+      routes: Seq[Route]): Unit = {
+    startRouted(spark, cfg.copy(availableNow = true), routes).awaitTermination()
   }
 
   /** Initial-snapshot ONBOARDING (the Debezium snapshot-mode analog; the

@@ -32,6 +32,42 @@ import graft.core.Model
   */
 object CdcEnvelope {
 
+  /** The (database, table) the envelope's change belongs to, as raw-string
+    * columns pulled from `envelopeCol` WITHOUT a full decode — Debezium
+    * stamps them in the `source` block (`source.db` / `source.table`, per
+    * the published event-envelope layout), Canal and Maxwell at the top
+    * level (`database` / `table`). A real binlog/WAL tail interleaves every
+    * table's changes in one stream, so routing has to read the table name
+    * BEFORE committing to a payload schema; `get_json_object` is a native
+    * Catalyst path extraction (codegen'd, no UDF), cheap enough to run as a
+    * pre-filter over raw lines. Returns null columns for malformed lines
+    * and for envelopes that carry no table metadata (e.g. a single-table
+    * feed synthesized without it).
+    */
+  def tableRefs(format: String, envelopeCol: Column): (Column, Column) =
+    format match {
+      case "debezium" =>
+        (get_json_object(envelopeCol, "$.source.db"),
+          get_json_object(envelopeCol, "$.source.table"))
+      case "canal" | "maxwell" =>
+        (get_json_object(envelopeCol, "$.database"),
+          get_json_object(envelopeCol, "$.table"))
+      case other => throw new IllegalArgumentException(
+        s"no table metadata in CDC format '$other' (debezium|canal|maxwell)")
+    }
+
+  /** True where the envelope's change belongs to `ref` — `"db.table"`
+    * matches both parts, a bare `"table"` matches the table name under any
+    * database. Null (no table metadata / malformed line) never matches.
+    */
+  def tableMatches(format: String, envelopeCol: Column, ref: String): Column = {
+    val (db, tbl) = tableRefs(format, envelopeCol)
+    ref.split("\\.", 2) match {
+      case Array(d, t) => db === d && tbl === t
+      case _ => tbl === ref
+    }
+  }
+
   /** Envelope struct type for a Debezium change event carrying `payload`
     * row images.
     */
@@ -41,7 +77,9 @@ object CdcEnvelope {
     StructField("op", StringType, nullable = true),
     StructField("ts_ms", LongType, nullable = true),
     StructField("source", StructType(Seq(
-      StructField("lsn", LongType, nullable = true))), nullable = true)))
+      StructField("lsn", LongType, nullable = true),
+      StructField("db", StringType, nullable = true),
+      StructField("table", StringType, nullable = true))), nullable = true)))
 
   /** Decode Debezium envelopes from string column `envelopeCol`.
     * `op` mapping: `c` (create) / `r` (snapshot read) → I, `u` → U,
@@ -76,7 +114,9 @@ object CdcEnvelope {
     StructField("type", StringType, nullable = true),
     StructField("id", LongType, nullable = true),
     StructField("es", LongType, nullable = true),
-    StructField("ts", LongType, nullable = true)))
+    StructField("ts", LongType, nullable = true),
+    StructField("database", StringType, nullable = true),
+    StructField("table", StringType, nullable = true)))
 
   /** Decode Canal flat-JSON messages. One envelope may carry N row images
     * (`data` array) — each becomes its own change event; `lsn` is the
@@ -154,7 +194,9 @@ object CdcEnvelope {
     StructField("type", StringType, nullable = true),
     StructField("ts", LongType, nullable = true),
     StructField("xid", LongType, nullable = true),
-    StructField("position", StringType, nullable = true)))
+    StructField("position", StringType, nullable = true),
+    StructField("database", StringType, nullable = true),
+    StructField("table", StringType, nullable = true)))
 
   /** Decode Maxwell envelopes. `lsn` prefers the binlog position parsed
     * from `position` (`"file.NNNNNN:offset"`) — composed as
@@ -201,34 +243,57 @@ object CdcEnvelope {
   private def payloadStruct(payloadCols: Seq[String]): Column =
     struct(payloadCols.map(col): _*)
 
-  /** Canonical (op, lsn, payload...) → Debezium JSON strings. */
-  def encodeDebezium(df: DataFrame, payloadCols: Seq[String], keyCols: Seq[String]): DataFrame = {
+  /** `"db.table"` / `"table"` → (database column, table column) for the
+    * encoders' table stamping (inverse of [[tableRefs]]).
+    */
+  private def refCols(tableRef: Option[String]): (Column, Column) =
+    tableRef match {
+      case Some(r) => r.split("\\.", 2) match {
+        case Array(d, t) => (lit(d), lit(t))
+        case _ => (lit(null).cast(StringType), lit(r))
+      }
+      case None => (lit(null).cast(StringType), lit(null).cast(StringType))
+    }
+
+  /** Canonical (op, lsn, payload...) → Debezium JSON strings. `tableRef`
+    * ("db.table" or "table") stamps `source.db`/`source.table` so the
+    * stream can feed a routed ([[tableMatches]]) consumer.
+    */
+  def encodeDebezium(df: DataFrame, payloadCols: Seq[String], keyCols: Seq[String],
+      tableRef: Option[String] = None): DataFrame = {
     val isD = col("op") === Model.OpDelete
     // delete events carry only the key image in `before` (Debezium with
     // REPLICA IDENTITY DEFAULT); upserts carry the full row in `after`
     val keyImage = struct(keyCols.map(col): _*)
+    val (db, tbl) = refCols(tableRef)
     df.select(to_json(struct(
       when(isD, keyImage).otherwise(lit(null)).as("before"),
       when(isD, lit(null)).otherwise(payloadStruct(payloadCols)).as("after"),
       when(isD, "d").when(col("op") === Model.OpUpdate, "u").otherwise("c").as("op"),
       (col("lsn") * 1000L).as("ts_ms"),
-      struct(col("lsn").as("lsn")).as("source"))).as("value"))
+      struct(col("lsn").as("lsn"), db.as("db"), tbl.as("table")).as("source"))).as("value"))
   }
 
   /** Canonical → Canal flat JSON (one row image per message, so the decoded
     * `lsn` is `id * stride + 0`; pass `lsn * stride` invertibility via
     * stride 1).
     */
-  def encodeCanal(df: DataFrame, payloadCols: Seq[String]): DataFrame =
+  def encodeCanal(df: DataFrame, payloadCols: Seq[String],
+      tableRef: Option[String] = None): DataFrame = {
+    val (db, tbl) = refCols(tableRef)
     df.select(to_json(struct(
       array(payloadStruct(payloadCols)).as("data"),
       when(col("op") === Model.OpDelete, "DELETE")
         .when(col("op") === Model.OpUpdate, "UPDATE").otherwise("INSERT").as("type"),
       col("lsn").as("id"),
-      (col("lsn") * 1000L).as("es"))).as("value"))
+      (col("lsn") * 1000L).as("es"),
+      db.as("database"), tbl.as("table"))).as("value"))
+  }
 
   /** Canonical → Maxwell JSON. */
-  def encodeMaxwell(df: DataFrame, payloadCols: Seq[String]): DataFrame =
+  def encodeMaxwell(df: DataFrame, payloadCols: Seq[String],
+      tableRef: Option[String] = None): DataFrame = {
+    val (db, tbl) = refCols(tableRef)
     df.select(to_json(struct(
       payloadStruct(payloadCols).as("data"),
       when(col("op") === Model.OpDelete, "delete")
@@ -237,5 +302,7 @@ object CdcEnvelope {
       col("lsn").as("xid"),
       // inverse of the decoder's fileSeq<<40|offset composition
       concat(lit("binlog."), lpad(shiftrightunsigned(col("lsn"), 40).cast("string"), 6, "0"),
-        lit(":"), col("lsn").bitwiseAND(lit((1L << 40) - 1))).as("position"))).as("value"))
+        lit(":"), col("lsn").bitwiseAND(lit((1L << 40) - 1))).as("position"),
+      db.as("database"), tbl.as("table"))).as("value"))
+  }
 }

@@ -170,7 +170,8 @@ object RunJob {
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
       triggerInterval = cdc.triggerInterval,
-      payloadSchema = cdc.payload)
+      payloadSchema = cdc.payload,
+      tableFilter = cdc.tableFilter)
     val dest = graft.engine.cdc.CdcPipeline.JdbcDest(
       dialect = jw.dialect, url = jw.url, table = jw.table,
       columns = jw.columns.filterNot(_ == "*"),
@@ -302,6 +303,7 @@ object RunJob {
       case other => throw new IllegalArgumentException(
         s"lakewriter requires cdcreader (got $other)") // translate() guards this
     }
+    if (lw.routes.nonEmpty) return runCdcRouted(spark, cdc, lw, ov)
     val root = rebasePath(lw.root, ov.rebase)
     val table = openOrCreateLake(spark, root, lw.keyCols, lw.buckets,
       lw.distCols, lw.targetFileRows, lw.sortCols)
@@ -391,7 +393,8 @@ object RunJob {
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
       triggerInterval = cdc.triggerInterval,
       followers = followers,
-      payloadSchema = cdc.payload)
+      payloadSchema = cdc.payload,
+      tableFilter = cdc.tableFilter)
     // job stats are the manifest-stat delta across the run: two cheap
     // metadata reads, no table scan (the 100 TB-safe way to count)
     def statTotals(): (Long, Long) = {
@@ -404,6 +407,48 @@ object RunJob {
     val t0 = System.nanoTime()
     val q = graft.engine.cdc.CdcPipeline.start(spark, table, cfg)
     q.awaitTermination() // availableNow stops at end-of-log; continuous tails until killed
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (rows1, bytes1) = statTotals()
+    SyncJob.JobResult(rowsWritten = rows1 - rows0, rowsBad = 0L,
+      seconds = secs, bytesWritten = bytes1 - bytes0)
+  }
+
+  /** Multi-table demultiplex: the cdcreader's envelope stream fans out
+    * into one lake table per `routes` entry
+    * ([[graft.engine.cdc.CdcPipeline.startRouted]]). Each destination
+    * opens/creates with its own layout; job stats are the manifest-stat
+    * delta summed across destinations (metadata reads, no data scan).
+    */
+  private def runCdcRouted(spark: SparkSession, cdc: JobConfig.CdcRead,
+      lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
+    val routes = lw.routes.map { r =>
+      val dest = openOrCreateLake(spark, rebasePath(r.root, ov.rebase),
+        r.keyCols, r.buckets, r.distCols, r.targetFileRows, r.sortCols)
+      val base = if (cdc.toolColumn) graft.core.Model.changeEventSchema
+        else graft.core.Model.changeEventSchemaV1
+      val payload = r.payload.getOrElse(org.apache.spark.sql.types.StructType(
+        base.fields.filterNot(f => f.name == "op" || f.name == "lsn")))
+      graft.engine.cdc.CdcPipeline.Route(r.table, dest, payload, r.writerId)
+    }
+    val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
+      logDir = rebasePath(cdc.logDir, ov.rebase),
+      checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
+      maxFilesPerTrigger = cdc.maxFilesPerTrigger,
+      availableNow = !cdc.continuous,
+      toolColumn = cdc.toolColumn,
+      format = cdc.format,
+      dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
+      triggerInterval = cdc.triggerInterval)
+    def statTotals(): (Long, Long) = routes.map { r =>
+      val m = r.dest.metrics()
+        .agg(org.apache.spark.sql.functions.sum("rowsApplied"),
+          org.apache.spark.sql.functions.sum("bytesIn")).head()
+      (if (m.isNullAt(0)) 0L else m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+    }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val (rows0, bytes0) = statTotals()
+    val t0 = System.nanoTime()
+    val q = graft.engine.cdc.CdcPipeline.startRouted(spark, cfg, routes)
+    q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     val (rows1, bytes1) = statTotals()
     SyncJob.JobResult(rowsWritten = rows1 - rows0, rowsBad = 0L,
@@ -489,6 +534,13 @@ object RunJob {
         }
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
+      case lw: JobConfig.LakeWrite if lw.routes.nonEmpty =>
+        s"lake-route (${lw.routes.length} tables, one epoch lineage each)" +
+          lw.routes.map(r => s"\n    route: ${r.table} -> ${r.root} " +
+            s"key=(${r.keyCols.mkString(",")}) buckets=${r.buckets}" +
+            s" writerId=${r.writerId}" +
+            r.payload.map(ps => s" cols=${ps.fieldNames.length}").getOrElse("")
+          ).mkString
       case lw: JobConfig.LakeWrite =>
         s"lake-merge ${lw.root} key=(${lw.keyCols.mkString(",")}) " +
           s"buckets=${lw.buckets} writerId=${lw.writerId}" +

@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.JobConfig
+import graft.engine.cdc.CdcPipeline
+import graft.lake.LakeTable
+import graft.sources.CdcEnvelope
+import graft.tools.RunJob
+
+/** Multi-table CDC: one envelope stream interleaving several tables'
+  * changes, demultiplexed into one lake table per route
+  * ([[CdcPipeline.startRouted]]) — the shape a real binlog/WAL subscription
+  * has. Each destination's final state must equal an independent per-table
+  * LWW oracle; exactly-once must hold across checkpoint resume AND across a
+  * full re-tail with a fresh checkpoint (epoch lineage); a single-table
+  * consumer with `tableFilter` must ignore foreign tables' envelopes.
+  */
+class CdcRouteSpec extends SparkSpec {
+
+  private val ordersSchema = StructType(Seq(
+    StructField("id", LongType), StructField("status", StringType),
+    StructField("amt", DoubleType)))
+  private val itemsSchema = StructType(Seq(
+    StructField("sku", StringType), StructField("qty", IntegerType)))
+
+  /** deterministic canonical change events for the `orders` table: ~1/5
+    * deletes, duplicate keys across lsns (LWW exercises), key = id
+    */
+  private def ordersEvents(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      when(col("id") % 5 === 4, "D").when(col("id") % 3 === 0, "U")
+        .otherwise("I").as("op"),
+      col("id").as("lsn"),
+      (col("id") % 40).as("id"),
+      concat(lit("s"), (col("id") % 7).cast("string")).as("status"),
+      round(col("id") * 1.25, 2).as("amt"))
+  }
+
+  /** ... and for the `items` table: string key, different width */
+  private def itemsEvents(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      when(col("id") % 11 === 10, "D").otherwise("I").as("op"),
+      col("id").as("lsn"),
+      concat(lit("sku-"), (col("id") % 25).cast("string")).as("sku"),
+      (col("id") % 100).cast("int").as("qty"))
+  }
+
+  /** independent per-table LWW oracle over the canonical events */
+  private def lww(ev: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("lsn").desc)
+    ev.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("op") =!= "D").drop("_rn", "op")
+  }
+
+  private def assertSame(got: DataFrame, want: DataFrame, what: String): Unit = {
+    val d = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert(d === 0L, s"$what: $d differing rows")
+  }
+
+  /** write the interleaved multi-table debezium stream as JSONL chunks */
+  private def writeStream3(logDir: String, nOrders: Int, nItems: Int): Unit = {
+    val orders = CdcEnvelope.encodeDebezium(ordersEvents(nOrders),
+      Seq("id", "status", "amt"), Seq("id"), tableRef = Some("shop.orders"))
+    val items = CdcEnvelope.encodeDebezium(itemsEvents(nItems),
+      Seq("sku", "qty"), Seq("sku"), tableRef = Some("shop.items"))
+    // a third table NO route claims — must be skipped, not DLQ'd
+    val misc = CdcEnvelope.encodeDebezium(
+      spark.range(30).select(lit("I").as("op"), col("id").as("lsn"),
+        col("id").as("k"), lit("x").as("v")),
+      Seq("k", "v"), Seq("k"), tableRef = Some("shop.audit_log"))
+    orders.unionAll(items).unionAll(misc)
+      .repartition(6).write.mode("append").text(logDir)
+  }
+
+  test("routed demultiplex reaches each table's exact LWW state") {
+    val logDir = tmpDir("route-log")
+    val cp = tmpDir("route-cp")
+    val dlq = tmpDir("route-dlq")
+    writeStream3(logDir, nOrders = 4000, nItems = 3000)
+    // one malformed line and one table-less line → only they reach the DLQ
+    import spark.implicits._
+    Seq("{ not json", """{"before":null,"after":{"id":1},"op":"c","ts_ms":1,"source":{"lsn":1}}""")
+      .toDF("value").coalesce(1).write.mode("append").text(logDir)
+
+    val ordersT = LakeTable.create(spark, tmpDir("route-orders"), Seq("id"), numBuckets = 4)
+    val itemsT = LakeTable.create(spark, tmpDir("route-items"), Seq("sku"), numBuckets = 4)
+    val cfg = CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 3,
+      format = "debezium", dlqDir = Some(dlq))
+    val routes = Seq(
+      CdcPipeline.Route("shop.orders", ordersT, ordersSchema), // qualified
+      CdcPipeline.Route("items", itemsT, itemsSchema)) // bare table name
+    CdcPipeline.replayAllRouted(spark, cfg, routes)
+
+    assertSame(ordersT.read().select("id", "status", "amt"),
+      lww(ordersEvents(4000), Seq("id")).drop("lsn"), "orders")
+    assertSame(itemsT.read().select("sku", "qty"),
+      lww(itemsEvents(3000), Seq("sku")).drop("lsn"), "items")
+    // the unclaimed table landed nowhere; the two unroutable lines are the
+    // ONLY dirty records (valid foreign-table envelopes are not dirty)
+    val dirty = spark.read.text(dlq + "/*").as[String].collect().toSeq
+    assert(dirty.length === 2, s"dlq: $dirty")
+    assert(dirty.exists(_.startsWith("{ not json")))
+  }
+
+  test("routed resume and fresh-checkpoint re-tail stay exactly-once") {
+    val logDir = tmpDir("route2-log")
+    val cp = tmpDir("route2-cp")
+    writeStream3(logDir, nOrders = 2000, nItems = 1500)
+    val ordersT = LakeTable.create(spark, tmpDir("route2-orders"), Seq("id"), numBuckets = 4)
+    val itemsT = LakeTable.create(spark, tmpDir("route2-items"), Seq("sku"), numBuckets = 4)
+    val routes = Seq(
+      CdcPipeline.Route("shop.orders", ordersT, ordersSchema),
+      CdcPipeline.Route("shop.items", itemsT, itemsSchema))
+    val cfg = CdcPipeline.CdcConfig(logDir, cp, maxFilesPerTrigger = 2, format = "debezium")
+    CdcPipeline.replayAllRouted(spark, cfg, routes)
+    val v1 = (ordersT.currentSnapshot().version, itemsT.currentSnapshot().version)
+
+    // same checkpoint: the resumed tail finds no new files, commits nothing
+    CdcPipeline.replayAllRouted(spark, cfg, routes)
+    assert((ordersT.currentSnapshot().version, itemsT.currentSnapshot().version) === v1)
+
+    // FRESH checkpoint: every envelope re-delivers as epochs 0..k, all of
+    // which the destinations' (writerId, epoch) lineage already covers —
+    // the merges skip, state is unchanged (the crash-and-lose-the-
+    // checkpoint disaster drill)
+    val cfg2 = cfg.copy(checkpointDir = tmpDir("route2-cp-fresh"))
+    CdcPipeline.replayAllRouted(spark, cfg2, routes)
+    assertSame(ordersT.read().select("id", "status", "amt"),
+      lww(ordersEvents(2000), Seq("id")).drop("lsn"), "orders after re-tail")
+    assertSame(itemsT.read().select("sku", "qty"),
+      lww(itemsEvents(1500), Seq("sku")).drop("lsn"), "items after re-tail")
+  }
+
+  test("tableFilter scopes a single-table consumer of a multi-table stream") {
+    val logDir = tmpDir("filter-log")
+    writeStream3(logDir, nOrders = 1000, nItems = 800)
+    // metadata-less envelopes of the SAME shape as orders stay consumable
+    // (compat with feeds synthesized before table stamping)
+    val extra = ordersEvents(1000).where(col("lsn") % 2 === 0)
+      .select(col("op"), (col("lsn") + 100000L).as("lsn"),
+        col("id"), col("status"), col("amt"))
+    CdcEnvelope.encodeDebezium(extra, Seq("id", "status", "amt"), Seq("id"))
+      .coalesce(1).write.mode("append").text(logDir)
+
+    val dest = LakeTable.create(spark, tmpDir("filter-dest"), Seq("id"), numBuckets = 4)
+    val cfg = CdcPipeline.CdcConfig(logDir, tmpDir("filter-cp"),
+      format = "debezium", payloadSchema = Some(ordersSchema),
+      tableFilter = Some("shop.orders"))
+    CdcPipeline.replayAll(spark, dest, cfg)
+
+    val want = lww(ordersEvents(1000).unionAll(extra), Seq("id")).drop("lsn")
+    assertSame(dest.read().select("id", "status", "amt"), want, "filtered orders")
+  }
+
+  test("canal and maxwell stamp and extract table metadata") {
+    val ev = ordersEvents(50)
+    for ((fmt, enc) <- Seq[(String, DataFrame => DataFrame)](
+        "canal" -> (df => CdcEnvelope.encodeCanal(df, Seq("id", "status", "amt"),
+          tableRef = Some("shop.orders"))),
+        "maxwell" -> (df => CdcEnvelope.encodeMaxwell(df, Seq("id", "status", "amt"),
+          tableRef = Some("shop.orders"))))) {
+      val enc0 = enc(ev)
+      val (db, tbl) = CdcEnvelope.tableRefs(fmt, col("value"))
+      val refs = enc0.select(db.as("db"), tbl.as("tbl")).distinct().collect()
+      assert(refs.length === 1 && refs(0).getString(0) === "shop" &&
+        refs(0).getString(1) === "orders", s"$fmt refs: ${refs.toSeq}")
+      val matched = enc0.where(CdcEnvelope.tableMatches(fmt, col("value"), "shop.orders")).count()
+      assert(matched === 50L, s"$fmt qualified match")
+      assert(enc0.where(CdcEnvelope.tableMatches(fmt, col("value"), "orders")).count() === 50L)
+      assert(enc0.where(CdcEnvelope.tableMatches(fmt, col("value"), "other.orders")).count() === 0L)
+    }
+  }
+
+  test("routed jobs run from the JSON job-spec surface") {
+    val logDir = tmpDir("jroute-log")
+    val cp = tmpDir("jroute-cp")
+    writeStream3(logDir, nOrders = 1200, nItems = 900)
+    val oDir = tmpDir("jroute-orders")
+    val iDir = tmpDir("jroute-items")
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$logDir", "format": "debezium", "checkpoint": "$cp"}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "routes": [
+          {"table": "shop.orders", "path": "$oDir", "primaryKey": ["id"],
+           "buckets": 4, "column": [
+             {"name": "id", "type": "long"}, {"name": "status", "type": "string"},
+             {"name": "amt", "type": "double"}]},
+          {"table": "shop.items", "path": "$iDir", "primaryKey": ["sku"],
+           "buckets": 4, "column": [
+             {"name": "sku", "type": "string"}, {"name": "qty", "type": "int"}]}
+        ]}}}]}}""")
+    val res = RunJob.run(spark, spec).head
+    assert(res.rowsWritten > 0L)
+    val ordersT = LakeTable.open(spark, oDir)
+    val itemsT = LakeTable.open(spark, iDir)
+    assertSame(ordersT.read().select("id", "status", "amt"),
+      lww(ordersEvents(1200), Seq("id")).drop("lsn"), "json orders")
+    assertSame(itemsT.read().select("sku", "qty"),
+      lww(itemsEvents(900), Seq("sku")).drop("lsn"), "json items")
+  }
+
+  test("plan-time validation rejects contradictory routed configs") {
+    def translate(writerParams: String, readerExtra: String = ""): Unit = {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "/x", "format": "debezium", "checkpoint": "/c"$readerExtra}},
+        "writer": {"name": "lakewriter", "parameter": {$writerParams}}}]}}"""))
+      ()
+    }
+    val routes = """"routes": [{"table": "t", "path": "/t", "primaryKey": ["k"]}]"""
+    // path+routes exclusive; filter+routes exclusive; parquet has no metadata
+    assert(intercept[IllegalArgumentException] {
+      translate(s""""path": "/y", $routes""")
+    }.getMessage.contains("exclusive"))
+    assert(intercept[IllegalArgumentException] {
+      translate(routes, readerExtra = """, "table": "t"""")
+    }.getMessage.contains("exclusive"))
+    assert(intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "cdcreader", "parameter": {
+          "path": "/x", "format": "parquet", "checkpoint": "/c"}},
+        "writer": {"name": "lakewriter", "parameter": {$routes}}}]}}"""))
+    }.getMessage.contains("table metadata"))
+    // duplicate route tables
+    assert(intercept[IllegalArgumentException] {
+      translate(""""routes": [
+        {"table": "t", "path": "/t1", "primaryKey": ["k"]},
+        {"table": "t", "path": "/t2", "primaryKey": ["k"]}]""")
+    }.getMessage.contains("duplicate"))
+  }
+}
