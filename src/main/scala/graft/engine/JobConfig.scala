@@ -257,7 +257,12 @@ object JobConfig {
         * ([[graft.engine.cdc.CdcPipeline.startRouted]]); the lakewriter's
         * own `path`/`primaryKey` are then omitted
         */
-      routes: Seq[RouteSpec] = Nil) extends WriterPlan
+      routes: Seq[RouteSpec] = Nil,
+      /** routed mode: max routes whose merges overlap within one epoch
+        * (`routeParallelism`; 1 = sequential) — see
+        * [[graft.engine.cdc.CdcPipeline.CdcConfig.routeParallelism]]
+        */
+      routeParallelism: Int = 1) extends WriterPlan
 
   /** one `followers` entry on a lakewriter (the streaming analog of a
     * standalone lakereader→lakewriter job, sharing its config shape).
@@ -731,9 +736,6 @@ object JobConfig {
         require(p.listConf("followers").isEmpty,
           "lakewriter routes take no followers — attach a follower to a " +
             "single-table stream on the route's destination instead")
-        require(p.int("vacuumEvery", 0) == 0 && p.int("expireTombstonesEvery", 0) == 0,
-          "lakewriter routes take no vacuum/tombstone cadence — run " +
-            "maintenance per destination (LakeMaint) for now")
       }
       LakeWrite(root,
         keyCols = p.strList("primaryKey"),
@@ -760,6 +762,14 @@ object JobConfig {
           sc
         },
         routes = routes,
+        routeParallelism = {
+          val n = p.int("routeParallelism", 1)
+          require(n >= 1, s"lakewriter routeParallelism must be >= 1 (got $n)")
+          require(n == 1 || routes.nonEmpty,
+            "lakewriter routeParallelism applies to routed (multi-table) " +
+              "writers only")
+          n
+        },
         followers = p.listConf("followers").map { f =>
           if (f.str("jdbcUrl").nonEmpty) {
             // live-database mirror follower

@@ -166,7 +166,15 @@ object CdcPipeline {
         * Envelope formats only. For N destinations out of one stream, see
         * [[startRouted]].
         */
-      tableFilter: Option[String] = None)
+      tableFilter: Option[String] = None,
+      /** [[startRouted]] only: max routes whose merges overlap within one
+        * epoch (each is an independent table/lineage; Spark runs actions
+        * submitted from multiple threads concurrently). 1 = sequential.
+        * Epoch latency tends to max(route) instead of sum(route) — size it
+        * so the overlapped merges' shuffles fit the cluster, not at the
+        * route count.
+        */
+      routeParallelism: Int = 1)
 
   /** The tailed log's full change-event schema: `op`/`lsn` + payload. */
   private def eventSchema(cfg: CdcConfig): org.apache.spark.sql.types.StructType =
@@ -399,7 +407,7 @@ object CdcPipeline {
             batch.filter(col("_tbl").isNull).select("value")
               .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
           }
-          routes.foreach { r =>
+          def applyOne(r: Route): Unit = {
             val mine = r.table.split("\\.", 2) match {
               case Array(d, t) => col("_db") === d && col("_tbl") === t
               case _ => col("_tbl") === r.table
@@ -409,6 +417,46 @@ object CdcPipeline {
                 r.payloadSchema, r.dest.keyCols, passthrough = Nil)
               .filter(col("lsn").isNotNull)
             r.dest.merge(decoded, epoch, r.writerId)
+            // per-destination maintenance rides the stream exactly as on a
+            // single-table tail — same cadence/horizon policy for every
+            // route (tables under one subscription share a source, so one
+            // re-delivery horizon is the honest shape)
+            if (cfg.expireTombstonesEvery > 0 && epoch > 0 &&
+                epoch % cfg.expireTombstonesEvery == 0) {
+              val maxLsn = r.dest.currentSnapshot().maxLsn
+              if (maxLsn >= 0)
+                try r.dest.expireTombstones(maxLsn - cfg.tombstoneRetainLsns)
+                catch {
+                  case e: LakeTable.CommitConflictException =>
+                    org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+                      s"route ${r.table}: tombstone GC at epoch $epoch lost a " +
+                        s"commit race (${e.getMessage}); retrying at the next cadence")
+                }
+            }
+            if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
+              r.dest.vacuum(cfg.vacuumRetainVersions)
+          }
+          // the routes' merges are INDEPENDENT (distinct tables / lineages),
+          // so they may overlap: with routeParallelism > 1 they run on a
+          // bounded pool and epoch latency approaches max(route) instead of
+          // sum(route) — Spark schedules concurrent actions from multiple
+          // threads. Any route's failure fails the epoch (it replays; the
+          // committed routes skip by lineage), preserving exactly-once.
+          if (cfg.routeParallelism <= 1 || routes.size == 1) routes.foreach(applyOne)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(cfg.routeParallelism, routes.size))
+            try {
+              val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val fs = routes.map(r => scala.concurrent.Future(applyOne(r))(ec))
+              // surface the FIRST failure; await all so no merge outlives
+              // the epoch (a straggler crossing epochs would race itself)
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(fs)(
+                  scala.collection.BuildFrom.buildFromIterableOps, ec),
+                scala.concurrent.duration.Duration.Inf)
+              ()
+            } finally { pool.shutdown(); () }
           }
         } finally { batch.unpersist(); () }
       }

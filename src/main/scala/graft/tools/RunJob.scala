@@ -436,9 +436,14 @@ object RunJob {
       maxFilesPerTrigger = cdc.maxFilesPerTrigger,
       availableNow = !cdc.continuous,
       toolColumn = cdc.toolColumn,
+      vacuumEvery = lw.vacuumEvery,
+      vacuumRetainVersions = lw.vacuumRetainVersions,
+      expireTombstonesEvery = lw.expireTombstonesEvery,
+      tombstoneRetainLsns = lw.tombstoneRetainLsns,
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
-      triggerInterval = cdc.triggerInterval)
+      triggerInterval = cdc.triggerInterval,
+      routeParallelism = lw.routeParallelism)
     def statTotals(): (Long, Long) = routes.map { r =>
       val m = r.dest.metrics()
         .agg(org.apache.spark.sql.functions.sum("rowsApplied"),
@@ -535,7 +540,9 @@ object RunJob {
         s"jdbc[${d.name}] $url $table mode=$mode batch=$bs\n    sql: $sql" +
           (if (preSql.nonEmpty) s"\n    preSql: ${preSql.mkString("; ")}" else "")
       case lw: JobConfig.LakeWrite if lw.routes.nonEmpty =>
-        s"lake-route (${lw.routes.length} tables, one epoch lineage each)" +
+        s"lake-route (${lw.routes.length} tables, one epoch lineage each" +
+          (if (lw.routeParallelism > 1) s", parallelism=${lw.routeParallelism}" else "") +
+          ")" +
           lw.routes.map(r => s"\n    route: ${r.table} -> ${r.root} " +
             s"key=(${r.keyCols.mkString(",")}) buckets=${r.buckets}" +
             s" writerId=${r.writerId}" +

@@ -137,6 +137,55 @@ class CdcRouteSpec extends SparkSpec {
       lww(itemsEvents(1500), Seq("sku")).drop("lsn"), "items after re-tail")
   }
 
+  test("parallel route merges reach the same states as sequential") {
+    val logDir = tmpDir("rpar-log")
+    writeStream3(logDir, nOrders = 2500, nItems = 2000)
+    def replay(parallelism: Int): (DataFrame, DataFrame) = {
+      val o = LakeTable.create(spark, tmpDir(s"rpar-o$parallelism"), Seq("id"), numBuckets = 4)
+      val i = LakeTable.create(spark, tmpDir(s"rpar-i$parallelism"), Seq("sku"), numBuckets = 4)
+      CdcPipeline.replayAllRouted(spark,
+        CdcPipeline.CdcConfig(logDir, tmpDir(s"rpar-cp$parallelism"),
+          maxFilesPerTrigger = 3, format = "debezium",
+          routeParallelism = parallelism),
+        Seq(CdcPipeline.Route("shop.orders", o, ordersSchema),
+          CdcPipeline.Route("shop.items", i, itemsSchema)))
+      (o.read().select("id", "status", "amt"), i.read().select("sku", "qty"))
+    }
+    val (o1, i1) = replay(1)
+    val (o2, i2) = replay(2)
+    assertSame(o2, o1, "orders par-vs-seq")
+    assertSame(i2, i1, "items par-vs-seq")
+    assertSame(o2, lww(ordersEvents(2500), Seq("id")).drop("lsn"), "orders par oracle")
+  }
+
+  test("per-destination tombstone GC and vacuum ride the routed stream") {
+    val logDir = tmpDir("rgc-log")
+    writeStream3(logDir, nOrders = 3000, nItems = 2400)
+    val o = LakeTable.create(spark, tmpDir("rgc-o"), Seq("id"), numBuckets = 4)
+    val i = LakeTable.create(spark, tmpDir("rgc-i"), Seq("sku"), numBuckets = 4)
+    CdcPipeline.replayAllRouted(spark,
+      CdcPipeline.CdcConfig(logDir, tmpDir("rgc-cp"),
+        maxFilesPerTrigger = 1, format = "debezium",
+        expireTombstonesEvery = 2, tombstoneRetainLsns = 100L,
+        vacuumEvery = 2, vacuumRetainVersions = 2),
+      Seq(CdcPipeline.Route("shop.orders", o, ordersSchema),
+        CdcPipeline.Route("shop.items", i, itemsSchema)))
+    // state is still the LWW oracle's, and expirable tombstones are gone
+    // from BOTH destinations (GC ran per route, not just on one table)
+    assertSame(o.read().select("id", "status", "amt"),
+      lww(ordersEvents(3000), Seq("id")).drop("lsn"), "orders after GC")
+    assertSame(i.read().select("sku", "qty"),
+      lww(itemsEvents(2400), Seq("sku")).drop("lsn"), "items after GC")
+    for ((t, name) <- Seq((o, "orders"), (i, "items"))) {
+      val snap = t.currentSnapshot()
+      val horizon = snap.maxLsn - 100L
+      val paths = snap.files.map(f => s"${t.root}/data/${f.path}")
+      val expirable = spark.read.parquet(paths: _*)
+        .where(col("_op") === "D" && col("_lsn") < lit(horizon)).count()
+      assert(expirable === 0L, s"$name kept $expirable expirable tombstones")
+    }
+  }
+
   test("tableFilter scopes a single-table consumer of a multi-table stream") {
     val logDir = tmpDir("filter-log")
     writeStream3(logDir, nOrders = 1000, nItems = 800)
