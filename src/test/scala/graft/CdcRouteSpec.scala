@@ -207,6 +207,46 @@ class CdcRouteSpec extends SparkSpec {
     assertSame(dest.read().select("id", "status", "amt"), want, "filtered orders")
   }
 
+  test("a route's schema evolves additively across a stream restart") {
+    // phase 1: orders WITHOUT amt; phase 2 (appended after the first drain,
+    // restarted with the extended route schema): orders WITH amt — the
+    // destination unions additively, old rows null-fill (the same
+    // contract as the single-table tail's late `tool` column)
+    val logDir = tmpDir("revo-log")
+    val cp = tmpDir("revo-cp")
+    val narrow = StructType(ordersSchema.fields.filterNot(_.name == "amt"))
+    CdcEnvelope.encodeDebezium(
+        ordersEvents(800).drop("amt").where(col("op") =!= "D"),
+        Seq("id", "status"), Seq("id"), tableRef = Some("shop.orders"))
+      .coalesce(2).write.mode("append").text(logDir)
+    val dest = LakeTable.create(spark, tmpDir("revo-dest"), Seq("id"), numBuckets = 4)
+    CdcPipeline.replayAllRouted(spark,
+      CdcPipeline.CdcConfig(logDir, cp, format = "debezium"),
+      Seq(CdcPipeline.Route("shop.orders", dest, narrow)))
+    assert(!dest.read().columns.contains("amt"))
+
+    // phase 2 touches only half the keys, so null-fill stays observable
+    val wide = ordersEvents(1600)
+      .where(col("lsn") >= 800 && col("op") =!= "D" && col("id") < 20)
+    CdcEnvelope.encodeDebezium(wide, Seq("id", "status", "amt"), Seq("id"),
+        tableRef = Some("shop.orders"))
+      .coalesce(2).write.mode("append").text(logDir)
+    CdcPipeline.replayAllRouted(spark,
+      CdcPipeline.CdcConfig(logDir, cp, format = "debezium"),
+      Seq(CdcPipeline.Route("shop.orders", dest, ordersSchema)))
+
+    val got = dest.read().select("id", "status", "amt")
+    val all = ordersEvents(800).drop("amt")
+      .withColumn("amt", lit(null).cast("double"))
+      .select("op", "lsn", "id", "status", "amt")
+      .where(col("op") =!= "D")
+      .unionAll(wide.select("op", "lsn", "id", "status", "amt"))
+    assertSame(got, lww(all, Seq("id")).drop("lsn"), "evolved orders")
+    // keys untouched by phase 2 carry a null amt (additive null-fill)
+    assert(got.where(col("amt").isNull).count() ===
+      lww(all, Seq("id")).where(col("amt").isNull).count())
+  }
+
   test("canal and maxwell stamp and extract table metadata") {
     val ev = ordersEvents(50)
     for ((fmt, enc) <- Seq[(String, DataFrame => DataFrame)](
