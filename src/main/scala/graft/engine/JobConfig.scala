@@ -297,7 +297,16 @@ object JobConfig {
   final case class RouteSpec(table: String, root: String,
       keyCols: Seq[String], buckets: Int, distCols: Seq[String],
       targetFileRows: Option[Long], sortCols: Seq[String], writerId: String,
-      payload: Option[org.apache.spark.sql.types.StructType])
+      payload: Option[org.apache.spark.sql.types.StructType],
+      /** per-destination downstreams co-maintained each epoch (same shape
+        * as the lakewriter's own `followers`)
+        */
+      followers: Seq[FollowerSpec] = Nil,
+      /** per-destination initial-snapshot onboarding (`{lsn, reader}` —
+        * each routed table full-loads from its OWN batch source before the
+        * shared tail starts; see [[graft.engine.cdc.CdcPipeline.bootstrap]])
+        */
+      bootstrap: Option[CdcBootstrap] = None)
 
   final case class Translated(
       reader: ReaderPlan,
@@ -308,7 +317,7 @@ object JobConfig {
 
   def translate(spec: Spec): Seq[Translated] = spec.contents.map { c =>
     val reader = translateReader(c.readerName, c.reader, spec.channel)
-    val writer = translateWriter(c.writerName, c.writer)
+    val writer = translateWriter(c.writerName, c.writer, spec.channel)
     // the streaming pair is all-or-nothing: change events only make sense
     // MERGE-applied by key, and the lake sink only accepts change events
     // (or a lakereader's replication/rollup window)
@@ -522,29 +531,7 @@ object JobConfig {
       // initial-snapshot onboarding: a nested BATCH reader seeds the lake
       // before the tail starts (Debezium snapshot mode; the reference's
       // closest shape is a full batch job re-run with a where watermark)
-      val bootstrap = p.get("bootstrap").map { _ =>
-        val b = new Conf(p.get("bootstrap").orNull)
-        val rName = b.str("reader.name")
-        require(rName.nonEmpty,
-          "cdcreader bootstrap needs a nested reader ({name, parameter})")
-        require(b.has("lsn"),
-          "cdcreader bootstrap needs 'lsn' — the consistent point the " +
-            "snapshot reflects (changes with lsn <= it); the tailed log " +
-            "must reach back at least that far")
-        val plan = translateReader(rName, new Conf(b.get("reader.parameter").orNull), channel)
-        plan match {
-          case _: CdcRead => throw new IllegalArgumentException(
-            "cdcreader bootstrap reader must be a batch source (the " +
-              "snapshot load), not another cdcreader")
-          case lr: LakeRead =>
-            require(lr.aggregations.isEmpty && lr.fromVersion.isEmpty,
-              "cdcreader bootstrap lakereader must be a plain state export " +
-                "(no aggregations, no fromVersion) — the snapshot is payload " +
-                "rows, not a change set")
-          case _ => ()
-        }
-        CdcBootstrap(plan, b.long("lsn"))
-      }
+      val bootstrap = parseBootstrap(p, channel)
       val tableFilter = Some(p.str("table")).filter(_.nonEmpty)
       require(tableFilter.isEmpty || fmt != "parquet",
         "cdcreader table filter reads envelope table metadata — parquet " +
@@ -615,7 +602,92 @@ object JobConfig {
     case other => throw new UnsupportedPlugin(other, "unknown reader plugin")
   }
 
-  def translateWriter(name: String, p: Conf): WriterPlan = name match {
+  /** `{lsn, reader: {name, parameter}}` under `p.bootstrap` — the
+    * initial-snapshot onboarding shape, shared by the cdcreader and by
+    * routed lakewriter entries (each routed destination onboards from its
+    * own batch source).
+    */
+  private def parseBootstrap(p: Conf, channel: Int): Option[CdcBootstrap] =
+    p.get("bootstrap").map { _ =>
+      val b = new Conf(p.get("bootstrap").orNull)
+      val rName = b.str("reader.name")
+      require(rName.nonEmpty,
+        "bootstrap needs a nested reader ({name, parameter})")
+      require(b.has("lsn"),
+        "bootstrap needs 'lsn' — the consistent point the " +
+          "snapshot reflects (changes with lsn <= it); the tailed log " +
+          "must reach back at least that far")
+      val plan = translateReader(rName, new Conf(b.get("reader.parameter").orNull), channel)
+      plan match {
+        case _: CdcRead => throw new IllegalArgumentException(
+          "bootstrap reader must be a batch source (the " +
+            "snapshot load), not another cdcreader")
+        case lr: LakeRead =>
+          require(lr.aggregations.isEmpty && lr.fromVersion.isEmpty,
+            "bootstrap lakereader must be a plain state export " +
+              "(no aggregations, no fromVersion) — the snapshot is payload " +
+              "rows, not a change set")
+        case _ => ()
+      }
+      CdcBootstrap(plan, b.long("lsn"))
+    }
+
+  /** `followers` entries — shared by the lakewriter and by routed entries
+    * (each routed destination may co-maintain its own downstreams).
+    */
+  private def parseFollowers(p: Conf): Seq[FollowerSpec] =
+    p.listConf("followers").map { f =>
+      if (f.str("jdbcUrl").nonEmpty) {
+        // live-database mirror follower
+        require(f.str("table").nonEmpty && f.str("dialect").nonEmpty,
+          "a jdbc follower needs table and dialect alongside jdbcUrl")
+        Dialect.byName(f.str("dialect")) // validate at plan time
+        FollowerSpec("", keyCols = f.strList("onConflictColumn"),
+          buckets = 0, distCols = Nil, targetFileRows = None,
+          writerId = f.str("writerId"), aggregations = Nil,
+          jdbcUrl = f.str("jdbcUrl"), jdbcTable = f.str("table"),
+          jdbcDialect = f.str("dialect"),
+          jdbcProps = Map("user" -> f.str("username"),
+            "password" -> f.str("password")))
+      } else if (f.str("format").nonEmpty) {
+        // outbound envelope feed follower (broker-less outbox)
+        val fdir = f.str("path")
+        require(fdir.nonEmpty, "a feed follower needs path (the feed directory)")
+        val fmt = f.str("format").toLowerCase
+        require(Set("debezium", "canal", "maxwell")(fmt),
+          s"feed follower format must be debezium|canal|maxwell (got '$fmt')")
+        FollowerSpec(fdir, keyCols = f.strList("onConflictColumn"),
+          buckets = 0, distCols = Nil, targetFileRows = None,
+          writerId = "", aggregations = Nil, feedFormat = fmt)
+      } else {
+        val froot = f.str("path")
+        require(froot.nonEmpty,
+          "lakewriter follower: path (or jdbcUrl for a mirror, or " +
+            "format for an envelope feed) is required")
+        val aggs = f.listConf("aggregations").map { a =>
+          val (n, e) = (a.str("name"), a.str("expr"))
+          require(n.nonEmpty && e.nonEmpty,
+            "follower aggregation entries need both 'name' and 'expr'")
+          (n, e)
+        }
+        val keys = f.strList("primaryKey")
+        require(aggs.isEmpty || keys.nonEmpty,
+          "a rollup follower needs primaryKey (the group columns)")
+        val history = f.bool("history")
+        require(!history || (aggs.isEmpty && keys.isEmpty),
+          "a history (SCD2) follower derives its layout from the ingest " +
+            "table — it takes no aggregations or primaryKey")
+        FollowerSpec(froot, keys,
+          buckets = f.int("buckets", 32),
+          distCols = f.strList("distributionColumns"),
+          targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
+          writerId = f.str("writerId"),
+          aggregations = aggs,
+          history = history)
+      }
+    }
+
+  def translateWriter(name: String, p: Conf, channel: Int = 1): WriterPlan = name match {
     case "streamwriter" =>
       StreamWrite(p.str("fieldDelimiter", "\t"), p.bool("print"))
 
@@ -724,7 +796,9 @@ object JobConfig {
           targetFileRows = Some(r.long("targetFileRows", 0L)).filter(_ > 0L),
           sortCols = sc,
           writerId = r.str("writerId", graft.lake.LakeTable.DefaultWriter),
-          payload = payload)
+          payload = payload,
+          followers = parseFollowers(r),
+          bootstrap = parseBootstrap(r, channel))
       }
       require(root.nonEmpty || routes.nonEmpty,
         "lakewriter: path (the lake table root) is required (or 'routes' " +
@@ -734,8 +808,8 @@ object JobConfig {
           "destinations are the route entries")
       if (routes.nonEmpty) {
         require(p.listConf("followers").isEmpty,
-          "lakewriter routes take no followers — attach a follower to a " +
-            "single-table stream on the route's destination instead")
+          "a routed lakewriter takes no top-level followers — put each " +
+            "follower on its route entry (routes[].followers)")
       }
       LakeWrite(root,
         keyCols = p.strList("primaryKey"),
@@ -770,56 +844,7 @@ object JobConfig {
               "writers only")
           n
         },
-        followers = p.listConf("followers").map { f =>
-          if (f.str("jdbcUrl").nonEmpty) {
-            // live-database mirror follower
-            require(f.str("table").nonEmpty && f.str("dialect").nonEmpty,
-              "a jdbc follower needs table and dialect alongside jdbcUrl")
-            Dialect.byName(f.str("dialect")) // validate at plan time
-            FollowerSpec("", keyCols = f.strList("onConflictColumn"),
-              buckets = 0, distCols = Nil, targetFileRows = None,
-              writerId = f.str("writerId"), aggregations = Nil,
-              jdbcUrl = f.str("jdbcUrl"), jdbcTable = f.str("table"),
-              jdbcDialect = f.str("dialect"),
-              jdbcProps = Map("user" -> f.str("username"),
-                "password" -> f.str("password")))
-          } else if (f.str("format").nonEmpty) {
-            // outbound envelope feed follower (broker-less outbox)
-            val fdir = f.str("path")
-            require(fdir.nonEmpty, "a feed follower needs path (the feed directory)")
-            val fmt = f.str("format").toLowerCase
-            require(Set("debezium", "canal", "maxwell")(fmt),
-              s"feed follower format must be debezium|canal|maxwell (got '$fmt')")
-            FollowerSpec(fdir, keyCols = f.strList("onConflictColumn"),
-              buckets = 0, distCols = Nil, targetFileRows = None,
-              writerId = "", aggregations = Nil, feedFormat = fmt)
-          } else {
-            val froot = f.str("path")
-            require(froot.nonEmpty,
-              "lakewriter follower: path (or jdbcUrl for a mirror, or " +
-                "format for an envelope feed) is required")
-            val aggs = f.listConf("aggregations").map { a =>
-              val (n, e) = (a.str("name"), a.str("expr"))
-              require(n.nonEmpty && e.nonEmpty,
-                "follower aggregation entries need both 'name' and 'expr'")
-              (n, e)
-            }
-            val keys = f.strList("primaryKey")
-            require(aggs.isEmpty || keys.nonEmpty,
-              "a rollup follower needs primaryKey (the group columns)")
-            val history = f.bool("history")
-            require(!history || (aggs.isEmpty && keys.isEmpty),
-              "a history (SCD2) follower derives its layout from the ingest " +
-                "table — it takes no aggregations or primaryKey")
-            FollowerSpec(froot, keys,
-              buckets = f.int("buckets", 32),
-              distCols = f.strList("distributionColumns"),
-              targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
-              writerId = f.str("writerId"),
-              aggregations = aggs,
-              history = history)
-          }
-        })
+        followers = parseFollowers(p))
 
     case w if outOfScope.contains(w) => throw new UnsupportedPlugin(w, outOfScope(w))
 

@@ -188,19 +188,24 @@ object CdcPipeline {
         if (cfg.toolColumn) Model.changeEventSchema else Model.changeEventSchemaV1
     }
 
+  /** One epoch's follower syncs — shared by the single-table tail and each
+    * routed destination. Runs BEFORE the vacuum step so a reclaimed delta
+    * window can never be one a follower still needs (lag stays ≤ 1 epoch).
+    */
+  private def syncFollowers(table: LakeTable, followers: Seq[Follower]): Unit =
+    followers.foreach {
+      case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
+      case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
+      case JdbcFollower(dest) => JdbcApply.sync(table, dest)
+      case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
+      case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)
+    }
+
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery =
     startWith(spark, cfg, table.keyCols) { (batch, epoch) =>
       table.merge(batch, epoch, cfg.writerId)
-      // followers sync BEFORE the vacuum step so a reclaimed delta window
-      // can never be one a follower still needs (lag stays ≤ 1 epoch)
-      cfg.followers.foreach {
-        case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
-        case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
-        case JdbcFollower(dest) => JdbcApply.sync(table, dest)
-        case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
-        case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)
-      }
+      syncFollowers(table, cfg.followers)
       // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
       // are reclaimed in the same epoch's sweep. A commit conflict (another
       // writerId's stream won the version) must not kill THIS stream —
@@ -346,7 +351,12 @@ object CdcPipeline {
     */
   final case class Route(table: String, dest: LakeTable,
       payloadSchema: org.apache.spark.sql.types.StructType,
-      writerId: String = LakeTable.DefaultWriter)
+      writerId: String = LakeTable.DefaultWriter,
+      /** downstream tables co-maintained per epoch for THIS destination —
+        * replicas / rollups / mirrors / feeds / SCD2, the same machinery
+        * as a single-table tail's [[CdcConfig.followers]]
+        */
+      followers: Seq[Follower] = Nil)
 
   /** DEMULTIPLEX one multi-table envelope tail into N lake tables — the
     * shape a real binlog/WAL subscription has (Canal and Maxwell publish
@@ -417,6 +427,7 @@ object CdcPipeline {
                 r.payloadSchema, r.dest.keyCols, passthrough = Nil)
               .filter(col("lsn").isNotNull)
             r.dest.merge(decoded, epoch, r.writerId)
+            syncFollowers(r.dest, r.followers)
             // per-destination maintenance rides the stream exactly as on a
             // single-table tail — same cadence/horizon policy for every
             // route (tables under one subscription share a source, so one

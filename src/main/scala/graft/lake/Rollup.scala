@@ -56,12 +56,31 @@ object Rollup {
     * refresh): the rollup lands on the aggregate of snapshot `toVersion`
     * exactly, and the next unpinned sync continues from there. Default is
     * the current source head.
+    *
+    * GROUP-COLUMN STABILITY CONTRACT: dirty groups are read from the change
+    * window's NEW row images (and tombstones, which carry key columns
+    * only), so a group is re-aggregated when a row lands IN it — not when a
+    * row silently leaves it. Group columns must therefore be stable per key
+    * (key columns or columns an update never changes): grouping by a
+    * MUTATING payload column leaves the row's OLD group stale until that
+    * group next changes for some other reason, and grouping by a non-key
+    * payload column also misses delete-driven vanishes (a tombstone's
+    * payload is null). Key-derived groups — the transcript `conv_id`
+    * rollup, any key prefix — satisfy the contract by construction; a
+    * non-key grouping warns at sync time.
     */
   def sync(src: LakeTable, dst: LakeTable, aggs: Seq[Column],
       writerId: String = "rollup",
       toVersion: Option[Long] = None): LakeTable.MergeStats = {
     require(aggs.nonEmpty, "rollup needs at least one aggregate column")
     val groupCols = dst.keyCols
+    if (!groupCols.forall(src.keyCols.contains))
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"rollup ${dst.root}: group columns (${groupCols.mkString(",")}) are " +
+          s"not all source key columns (${src.keyCols.mkString(",")}) — the " +
+          "incremental refresh is only sound if updates never CHANGE a " +
+          "row's group columns and deletes are group-irrelevant; a mutating " +
+          "group column leaves the old group stale (see Rollup.sync scaladoc)")
     val head = toVersion.getOrElse(src.currentSnapshot().version)
     val since = dst.currentSnapshot().lastEpochFor(writerId)
     if (head <= since)

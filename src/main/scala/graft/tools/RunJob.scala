@@ -322,7 +322,51 @@ object RunJob {
     }
     // followers: same open-or-create + role-scoped writerId defaults as a
     // standalone lakereader→lakewriter job (runLakePair), attached per epoch
-    val followers = lw.followers.map { f =>
+    val followers = buildFollowers(spark, table, lw.followers, ov)
+    val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
+      logDir = rebasePath(cdc.logDir, ov.rebase),
+      checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
+      maxFilesPerTrigger = cdc.maxFilesPerTrigger,
+      availableNow = !cdc.continuous,
+      toolColumn = cdc.toolColumn,
+      vacuumEvery = lw.vacuumEvery,
+      vacuumRetainVersions = lw.vacuumRetainVersions,
+      expireTombstonesEvery = lw.expireTombstonesEvery,
+      tombstoneRetainLsns = lw.tombstoneRetainLsns,
+      writerId = lw.writerId,
+      format = cdc.format,
+      dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
+      triggerInterval = cdc.triggerInterval,
+      followers = followers,
+      payloadSchema = cdc.payload,
+      tableFilter = cdc.tableFilter)
+    // job stats are the manifest-stat delta across the run: two cheap
+    // metadata reads, no table scan (the 100 TB-safe way to count)
+    def statTotals(): (Long, Long) = {
+      val r = table.metrics()
+        .agg(org.apache.spark.sql.functions.sum("rowsApplied"),
+          org.apache.spark.sql.functions.sum("bytesIn")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (rows0, bytes0) = statTotals()
+    val t0 = System.nanoTime()
+    val q = graft.engine.cdc.CdcPipeline.start(spark, table, cfg)
+    q.awaitTermination() // availableNow stops at end-of-log; continuous tails until killed
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (rows1, bytes1) = statTotals()
+    SyncJob.JobResult(rowsWritten = rows1 - rows0, rowsBad = 0L,
+      seconds = secs, bytesWritten = bytes1 - bytes0)
+  }
+
+  /** Follower specs → live followers: same open-or-create + role-scoped
+    * writerId defaults as a standalone lakereader→lakewriter job
+    * (runLakePair), attached per epoch. `table` is the ingest destination
+    * the followers trail (key defaults derive from it).
+    */
+  private def buildFollowers(spark: SparkSession, table: graft.lake.LakeTable,
+      followers: Seq[JobConfig.FollowerSpec],
+      ov: Overrides): Seq[graft.engine.cdc.CdcPipeline.Follower] =
+    followers.map { f =>
       if (f.jdbcUrl.nonEmpty) {
         // live-database mirror: keys from onConflictColumn or, like the
         // reference's writers, the target's PK metadata
@@ -378,46 +422,14 @@ object RunJob {
         } else graft.engine.cdc.CdcPipeline.ReplicaFollower(dst, wid)
       }
     }
-    val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
-      logDir = rebasePath(cdc.logDir, ov.rebase),
-      checkpointDir = rebasePath(cdc.checkpoint, ov.rebase),
-      maxFilesPerTrigger = cdc.maxFilesPerTrigger,
-      availableNow = !cdc.continuous,
-      toolColumn = cdc.toolColumn,
-      vacuumEvery = lw.vacuumEvery,
-      vacuumRetainVersions = lw.vacuumRetainVersions,
-      expireTombstonesEvery = lw.expireTombstonesEvery,
-      tombstoneRetainLsns = lw.tombstoneRetainLsns,
-      writerId = lw.writerId,
-      format = cdc.format,
-      dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
-      triggerInterval = cdc.triggerInterval,
-      followers = followers,
-      payloadSchema = cdc.payload,
-      tableFilter = cdc.tableFilter)
-    // job stats are the manifest-stat delta across the run: two cheap
-    // metadata reads, no table scan (the 100 TB-safe way to count)
-    def statTotals(): (Long, Long) = {
-      val r = table.metrics()
-        .agg(org.apache.spark.sql.functions.sum("rowsApplied"),
-          org.apache.spark.sql.functions.sum("bytesIn")).head()
-      (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val (rows0, bytes0) = statTotals()
-    val t0 = System.nanoTime()
-    val q = graft.engine.cdc.CdcPipeline.start(spark, table, cfg)
-    q.awaitTermination() // availableNow stops at end-of-log; continuous tails until killed
-    val secs = (System.nanoTime() - t0) / 1e9
-    val (rows1, bytes1) = statTotals()
-    SyncJob.JobResult(rowsWritten = rows1 - rows0, rowsBad = 0L,
-      seconds = secs, bytesWritten = bytes1 - bytes0)
-  }
 
   /** Multi-table demultiplex: the cdcreader's envelope stream fans out
     * into one lake table per `routes` entry
     * ([[graft.engine.cdc.CdcPipeline.startRouted]]). Each destination
-    * opens/creates with its own layout; job stats are the manifest-stat
-    * delta summed across destinations (metadata reads, no data scan).
+    * opens/creates with its own layout and may onboard from its own
+    * bootstrap source and trail its own followers; job stats are the
+    * manifest-stat delta summed across destinations (metadata reads, no
+    * data scan).
     */
   private def runCdcRouted(spark: SparkSession, cdc: JobConfig.CdcRead,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
@@ -428,7 +440,17 @@ object RunJob {
         else graft.core.Model.changeEventSchemaV1
       val payload = r.payload.getOrElse(org.apache.spark.sql.types.StructType(
         base.fields.filterNot(f => f.name == "op" || f.name == "lsn")))
-      graft.engine.cdc.CdcPipeline.Route(r.table, dest, payload, r.writerId)
+      // per-route initial-snapshot onboarding, exactly-once under its own
+      // lineage (the single-table path's contract, one route at a time)
+      r.bootstrap.foreach { bs =>
+        val bwid = s"${r.writerId}-bootstrap"
+        if (dest.currentSnapshot().lastEpochFor(bwid) < 0L) {
+          val snapshot = buildInput(spark, bs.plan, ov)
+          graft.engine.cdc.CdcPipeline.bootstrap(dest, snapshot, bs.lsn, bwid)
+        }
+      }
+      graft.engine.cdc.CdcPipeline.Route(r.table, dest, payload, r.writerId,
+        followers = buildFollowers(spark, dest, r.followers, ov))
     }
     val cfg = graft.engine.cdc.CdcPipeline.CdcConfig(
       logDir = rebasePath(cdc.logDir, ov.rebase),
@@ -546,7 +568,15 @@ object RunJob {
           lw.routes.map(r => s"\n    route: ${r.table} -> ${r.root} " +
             s"key=(${r.keyCols.mkString(",")}) buckets=${r.buckets}" +
             s" writerId=${r.writerId}" +
-            r.payload.map(ps => s" cols=${ps.fieldNames.length}").getOrElse("")
+            r.payload.map(ps => s" cols=${ps.fieldNames.length}").getOrElse("") +
+            r.bootstrap.map(b =>
+              s"\n      bootstrap[lsn=${b.lsn}]: ${reader(b.plan)}").getOrElse("") +
+            r.followers.map(f => "\n      follower: " +
+              (if (f.jdbcUrl.nonEmpty) s"jdbc-mirror[${f.jdbcDialect}] ${f.jdbcUrl} ${f.jdbcTable}"
+               else if (f.feedFormat.nonEmpty) s"feed[${f.feedFormat}] ${f.root}"
+               else if (f.history) s"scd2 ${f.root}"
+               else if (f.aggregations.isEmpty) s"replica ${f.root}"
+               else s"rollup ${f.root} group=(${f.keyCols.mkString(",")})")).mkString
           ).mkString
       case lw: JobConfig.LakeWrite =>
         s"lake-merge ${lw.root} key=(${lw.keyCols.mkString(",")}) " +

@@ -207,6 +207,74 @@ class CdcRouteSpec extends SparkSpec {
     assertSame(dest.read().select("id", "status", "amt"), want, "filtered orders")
   }
 
+  test("per-route followers co-maintain each destination's downstreams") {
+    val logDir = tmpDir("rfol-log")
+    writeStream3(logDir, nOrders = 2000, nItems = 1600)
+    val ordersT = LakeTable.create(spark, tmpDir("rfol-o"), Seq("id"), numBuckets = 4)
+    val itemsT = LakeTable.create(spark, tmpDir("rfol-i"), Seq("sku"), numBuckets = 4)
+    // orders trails a full replica; items trails an envelope-feed outbox
+    val ordersRep = LakeTable.create(spark, tmpDir("rfol-orep"), Seq("id"), numBuckets = 4)
+    val feedDir = tmpDir("rfol-ifeed")
+    CdcPipeline.replayAllRouted(spark,
+      CdcPipeline.CdcConfig(logDir, tmpDir("rfol-cp"),
+        maxFilesPerTrigger = 2, format = "debezium"),
+      Seq(
+        CdcPipeline.Route("shop.orders", ordersT, ordersSchema,
+          followers = Seq(CdcPipeline.ReplicaFollower(ordersRep))),
+        CdcPipeline.Route("shop.items", itemsT, itemsSchema,
+          followers = Seq(CdcPipeline.FeedFollower(feedDir, "debezium", Seq("sku"))))))
+    // the replica converges to its OWN route's state (never the other's)
+    assertSame(ordersRep.read().select("id", "status", "amt"),
+      ordersT.read().select("id", "status", "amt"), "orders replica")
+    // the items feed replays to the items state (tombstones included)
+    val feed = spark.read.text(feedDir)
+    val replayed = lww(CdcEnvelope.debezium(feed, "value", itemsSchema), Seq("sku"))
+    assertSame(replayed.select("sku", "qty"),
+      itemsT.read().select("sku", "qty"), "items feed replay")
+  }
+
+  test("per-route bootstrap onboards one destination from its own snapshot") {
+    // orders: snapshot at L0=1000 + an overlapped tail 0..2000 (convergence
+    // contract); items: cold start from the same tail. JSON surface E2E.
+    val p = tmpDir("rboot")
+    val logDir = s"$p/log"
+    writeStream3(logDir, nOrders = 2000, nItems = 1200)
+    // the consistent orders snapshot at lsn 1000: LWW over events < 1000
+    val snap = lww(ordersEvents(1000), Seq("id")).drop("lsn")
+    snap.write.parquet(s"$p/snapshot")
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "cdcreader", "parameter": {
+        "path": "$logDir", "format": "debezium", "checkpoint": "$p/cp"}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "routes": [
+          {"table": "shop.orders", "path": "$p/orders", "primaryKey": ["id"],
+           "buckets": 4,
+           "column": [{"name": "id", "type": "long"},
+                      {"name": "status", "type": "string"},
+                      {"name": "amt", "type": "double"}],
+           "bootstrap": {"lsn": 999,
+             "reader": {"name": "hdfsreader", "parameter": {
+               "path": "$p/snapshot", "fileType": "parquet"}}},
+           "followers": [{"path": "$p/orders-replica"}]},
+          {"table": "shop.items", "path": "$p/items", "primaryKey": ["sku"],
+           "buckets": 4,
+           "column": [{"name": "sku", "type": "string"},
+                      {"name": "qty", "type": "int"}]}
+        ]}}}]}}""")
+    RunJob.run(spark, spec)
+    // orders converges to the full-replay LWW state (snapshot outranks its
+    // own overlapped history; the tail covers everything after)
+    assertSame(LakeTable.open(spark, s"$p/orders").read().select("id", "status", "amt"),
+      lww(ordersEvents(2000), Seq("id")).drop("lsn"), "onboarded orders")
+    assertSame(LakeTable.open(spark, s"$p/orders-replica").read().select("id", "status", "amt"),
+      lww(ordersEvents(2000), Seq("id")).drop("lsn"), "onboarded orders replica")
+    assertSame(LakeTable.open(spark, s"$p/items").read().select("sku", "qty"),
+      lww(itemsEvents(1200), Seq("sku")).drop("lsn"), "cold-start items")
+    // re-run: bootstrap skips (own lineage), tail resumes, nothing reapplies
+    val res2 = RunJob.run(spark, spec).head
+    assert(res2.rowsWritten === 0L, s"re-run applied ${res2.rowsWritten} rows")
+  }
+
   test("a route's schema evolves additively across a stream restart") {
     // phase 1: orders WITHOUT amt; phase 2 (appended after the first drain,
     // restarted with the extended route schema): orders WITH amt — the
