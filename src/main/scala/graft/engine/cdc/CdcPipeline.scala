@@ -422,10 +422,22 @@ object CdcPipeline {
               case Array(d, t) => col("_db") === d && col("_tbl") === t
               case _ => col("_tbl") === r.table
             }
-            val decoded = decodeEnvelope(cfg.format,
-                batch.filter(mine).select("value"),
+            val lines = batch.filter(mine).select("value")
+            // a tabled line whose BODY fails to decode (missing lsn,
+            // truncate/DDL envelope) is a dirty record for ITS route —
+            // same policy as the single-table tail's null-lsn diversion
+            val decoded0 = cfg.dlqDir match {
+              case Some(dlq) =>
+                val d = decodeEnvelope(cfg.format,
+                  lines.withColumn(RawCol, col("value")),
+                  r.payloadSchema, r.dest.keyCols, passthrough = Seq(RawCol))
+                d.filter(col("lsn").isNull).select(RawCol)
+                  .write.mode("overwrite").text(s"$dlq/epoch=$epoch-${r.table}")
+                d.drop(RawCol)
+              case None => decodeEnvelope(cfg.format, lines,
                 r.payloadSchema, r.dest.keyCols, passthrough = Nil)
-              .filter(col("lsn").isNotNull)
+            }
+            val decoded = decoded0.filter(col("lsn").isNotNull)
             r.dest.merge(decoded, epoch, r.writerId)
             syncFollowers(r.dest, r.followers)
             // per-destination maintenance rides the stream exactly as on a

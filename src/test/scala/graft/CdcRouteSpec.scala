@@ -83,9 +83,12 @@ class CdcRouteSpec extends SparkSpec {
     val cp = tmpDir("route-cp")
     val dlq = tmpDir("route-dlq")
     writeStream3(logDir, nOrders = 4000, nItems = 3000)
-    // one malformed line and one table-less line → only they reach the DLQ
+    // one malformed line, one table-less line, and one TABLED line with no
+    // row image (a debezium truncate) → exactly these three reach the DLQ
     import spark.implicits._
-    Seq("{ not json", """{"before":null,"after":{"id":1},"op":"c","ts_ms":1,"source":{"lsn":1}}""")
+    Seq("{ not json",
+        """{"before":null,"after":{"id":1},"op":"c","ts_ms":1,"source":{"lsn":1}}""",
+        """{"before":null,"after":null,"op":"t","ts_ms":1,"source":{"lsn":9,"db":"shop","table":"orders"}}""")
       .toDF("value").coalesce(1).write.mode("append").text(logDir)
 
     val ordersT = LakeTable.create(spark, tmpDir("route-orders"), Seq("id"), numBuckets = 4)
@@ -101,11 +104,13 @@ class CdcRouteSpec extends SparkSpec {
       lww(ordersEvents(4000), Seq("id")).drop("lsn"), "orders")
     assertSame(itemsT.read().select("sku", "qty"),
       lww(itemsEvents(3000), Seq("sku")).drop("lsn"), "items")
-    // the unclaimed table landed nowhere; the two unroutable lines are the
-    // ONLY dirty records (valid foreign-table envelopes are not dirty)
+    // the unclaimed table landed nowhere; the two unroutable lines plus
+    // the routed-but-bodyless truncate are the ONLY dirty records (valid
+    // foreign-table envelopes are not dirty)
     val dirty = spark.read.text(dlq + "/*").as[String].collect().toSeq
-    assert(dirty.length === 2, s"dlq: $dirty")
+    assert(dirty.length === 3, s"dlq: $dirty")
     assert(dirty.exists(_.startsWith("{ not json")))
+    assert(dirty.exists(_.contains(""""op":"t"""")), s"truncate not dead-lettered: $dirty")
   }
 
   test("routed resume and fresh-checkpoint re-tail stay exactly-once") {
