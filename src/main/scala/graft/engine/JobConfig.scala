@@ -340,9 +340,19 @@ object JobConfig {
           require(cr.payload.isEmpty,
             "a routed cdcreader takes no top-level column specs — each " +
               "route carries its own payload schema")
-          val dup = lw.routes.groupBy(_.table).collect { case (t, rs) if rs.size > 1 => t }
-          require(dup.isEmpty,
-            s"duplicate route table(s): ${dup.mkString(", ")}")
+          // same ambiguity rule as CdcPipeline.startRouted: a bare table
+          // name matches any database, so it may not coexist with another
+          // route of the same table
+          val byPart = lw.routes.groupBy(r =>
+            graft.sources.CdcEnvelope.refTablePart(r.table))
+          val overlap = byPart.collect {
+            case (t, rs) if rs.size > 1 &&
+              (rs.map(_.table).distinct.size < rs.size ||
+                rs.exists(!_.table.contains('.'))) => t
+          }
+          require(overlap.isEmpty,
+            s"overlapping route table(s): ${overlap.mkString(", ")} — " +
+              "qualify both as db.table, or drop the duplicate")
         }
       case (cr: CdcRead, jw: JdbcWrite) =>
         // live-database destination: the streaming MERGE-apply
@@ -365,6 +375,10 @@ object JobConfig {
       case (_: CdcRead, _) => throw new IllegalArgumentException(
         s"cdcreader must pair with lakewriter or an RDBMS writer (got ${c.writerName})")
       case (lr: LakeRead, lw: LakeWrite) =>
+        require(lw.routes.isEmpty,
+          "lakewriter routes demultiplex a cdcreader envelope stream — a " +
+            "lakereader source is single-table (run one content per " +
+            "destination instead)")
         require(c.transforms.isEmpty,
           "lakereader→lakewriter content takes no transformer chain — the " +
             "change window is applied verbatim (transform downstream, or " +
@@ -774,6 +788,10 @@ object JobConfig {
         require(r.str("table").nonEmpty && r.str("path").nonEmpty,
           "lakewriter route entries need 'table' (the envelope's db.table " +
             "or table) and 'path' (the destination lake root)")
+        require(r.strList("primaryKey").nonEmpty,
+          s"route ${r.str("table")}: primaryKey is required — a routed " +
+            "destination carries its own payload shape, so there is no " +
+            "sensible default merge key")
         val payload = r.get("column") match {
           case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
             val cols = r.listConf("column").map { c =>

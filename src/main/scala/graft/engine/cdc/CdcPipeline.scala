@@ -393,9 +393,20 @@ object CdcPipeline {
     require(cfg.format != "parquet",
       "routing reads envelope table metadata — parquet change logs carry " +
         "none (tail one log per table instead)")
-    val dup = routes.groupBy(_.table).collect { case (t, rs) if rs.size > 1 => t }
-    require(dup.isEmpty, s"duplicate route table(s): ${dup.mkString(", ")} — " +
-      "one destination per table (a second consumer is its own stream)")
+    // ambiguity guard: two routes may not claim the same envelopes. Exact
+    // duplicates aside, a BARE route ("orders") matches its table under ANY
+    // database, so it overlaps every qualified route of that table
+    // ("shop.orders") — reject the mix rather than double-apply changes.
+    val byPart = routes.groupBy(r => graft.sources.CdcEnvelope.refTablePart(r.table))
+    val overlap = byPart.collect {
+      case (t, rs) if rs.size > 1 &&
+        (rs.map(_.table).distinct.size < rs.size || rs.exists(!_.table.contains('.'))) => t
+    }
+    require(overlap.isEmpty,
+      s"overlapping route table(s) on ${overlap.mkString(", ")} — a bare " +
+        "table name matches any database, so it cannot coexist with " +
+        "another route of the same table (qualify both as db.table), and " +
+        "one destination per table (a second consumer is its own stream)")
     val destDup = routes.groupBy(r => (r.dest.root, r.writerId))
       .collect { case (k, rs) if rs.size > 1 => k }
     require(destDup.isEmpty,
@@ -418,27 +429,35 @@ object CdcPipeline {
               .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
           }
           def applyOne(r: Route): Unit = {
-            val mine = r.table.split("\\.", 2) match {
-              case Array(d, t) => col("_db") === d && col("_tbl") === t
-              case _ => col("_tbl") === r.table
-            }
+            val mine = graft.sources.CdcEnvelope.refMatches(
+              r.table, col("_db"), col("_tbl"))
             val lines = batch.filter(mine).select("value")
             // a tabled line whose BODY fails to decode (missing lsn,
             // truncate/DDL envelope) is a dirty record for ITS route —
-            // same policy as the single-table tail's null-lsn diversion
-            val decoded0 = cfg.dlqDir match {
+            // same policy as the single-table tail's null-lsn diversion.
+            // The decoded frame is staged once (persist) so the DLQ scan
+            // and the merge share one from_json pass, and the DLQ write
+            // job only runs when there IS a dirty line
+            cfg.dlqDir match {
               case Some(dlq) =>
                 val d = decodeEnvelope(cfg.format,
-                  lines.withColumn(RawCol, col("value")),
-                  r.payloadSchema, r.dest.keyCols, passthrough = Seq(RawCol))
-                d.filter(col("lsn").isNull).select(RawCol)
-                  .write.mode("overwrite").text(s"$dlq/epoch=$epoch-${r.table}")
-                d.drop(RawCol)
-              case None => decodeEnvelope(cfg.format, lines,
-                r.payloadSchema, r.dest.keyCols, passthrough = Nil)
+                    lines.withColumn(RawCol, col("value")),
+                    r.payloadSchema, r.dest.keyCols, passthrough = Seq(RawCol))
+                  .persist()
+                try {
+                  val dirty = d.filter(col("lsn").isNull).select(RawCol)
+                  if (!dirty.isEmpty)
+                    dirty.write.mode("overwrite").text(s"$dlq/epoch=$epoch-${r.table}")
+                  r.dest.merge(d.filter(col("lsn").isNotNull).drop(RawCol),
+                    epoch, r.writerId)
+                } finally { d.unpersist(); () }
+              case None =>
+                r.dest.merge(
+                  decodeEnvelope(cfg.format, lines, r.payloadSchema,
+                    r.dest.keyCols, passthrough = Nil)
+                    .filter(col("lsn").isNotNull),
+                  epoch, r.writerId)
             }
-            val decoded = decoded0.filter(col("lsn").isNotNull)
-            r.dest.merge(decoded, epoch, r.writerId)
             syncFollowers(r.dest, r.followers)
             // per-destination maintenance rides the stream exactly as on a
             // single-table tail — same cadence/horizon policy for every
@@ -472,13 +491,15 @@ object CdcPipeline {
             try {
               val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
               val fs = routes.map(r => scala.concurrent.Future(applyOne(r))(ec))
-              // surface the FIRST failure; await all so no merge outlives
-              // the epoch (a straggler crossing epochs would race itself)
-              scala.concurrent.Await.result(
-                scala.concurrent.Future.sequence(fs)(
-                  scala.collection.BuildFrom.buildFromIterableOps, ec),
-                scala.concurrent.duration.Duration.Inf)
-              ()
+              // await EVERY route before leaving the epoch — fail-fast
+              // (Future.sequence) would let in-flight stragglers outlive a
+              // failed epoch and race the restarted stream's replay of the
+              // same (table, writerId, epoch); only after all settle is the
+              // FIRST failure surfaced (it fails the epoch, which replays;
+              // committed routes skip by lineage)
+              fs.foreach(f => scala.concurrent.Await.ready(f,
+                scala.concurrent.duration.Duration.Inf))
+              fs.foreach(f => f.value.get.get)
             } finally { pool.shutdown(); () }
           }
         } finally { batch.unpersist(); () }

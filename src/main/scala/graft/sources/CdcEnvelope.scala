@@ -56,16 +56,29 @@ object CdcEnvelope {
         s"no table metadata in CDC format '$other' (debezium|canal|maxwell)")
     }
 
-  /** True where the envelope's change belongs to `ref` — `"db.table"`
-    * matches both parts, a bare `"table"` matches the table name under any
-    * database. Null (no table metadata / malformed line) never matches.
+  /** True where (dbCol, tblCol) matches `ref` — `"db.table"` matches both
+    * parts, a bare `"table"` matches the table name under any database.
+    * Null columns (no table metadata / malformed line) never match. The
+    * ONE place the ref-matching rule lives: the single-table filter and
+    * the router both go through it.
     */
+  def refMatches(ref: String, dbCol: Column, tblCol: Column): Column =
+    ref.split("\\.", 2) match {
+      case Array(d, t) => dbCol === d && tblCol === t
+      case _ => tblCol === ref
+    }
+
+  /** The bare table part of a ref ("db.table" → "table", "t" → "t"). */
+  def refTablePart(ref: String): String =
+    ref.split("\\.", 2) match {
+      case Array(_, t) => t
+      case _ => ref
+    }
+
+  /** True where the envelope's change belongs to `ref` (see [[refMatches]]). */
   def tableMatches(format: String, envelopeCol: Column, ref: String): Column = {
     val (db, tbl) = tableRefs(format, envelopeCol)
-    ref.split("\\.", 2) match {
-      case Array(d, t) => db === d && tbl === t
-      case _ => tbl === ref
-    }
+    refMatches(ref, db, tbl)
   }
 
   /** Envelope struct type for a Debezium change event carrying `payload`

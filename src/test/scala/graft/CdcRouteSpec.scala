@@ -390,11 +390,31 @@ class CdcRouteSpec extends SparkSpec {
           "path": "/x", "format": "parquet", "checkpoint": "/c"}},
         "writer": {"name": "lakewriter", "parameter": {$routes}}}]}}"""))
     }.getMessage.contains("table metadata"))
-    // duplicate route tables
+    // duplicate route tables — and a bare name overlapping a qualified one
+    // (a bare ref matches its table under ANY database)
     assert(intercept[IllegalArgumentException] {
       translate(""""routes": [
         {"table": "t", "path": "/t1", "primaryKey": ["k"]},
         {"table": "t", "path": "/t2", "primaryKey": ["k"]}]""")
-    }.getMessage.contains("duplicate"))
+    }.getMessage.contains("overlapping"))
+    assert(intercept[IllegalArgumentException] {
+      translate(""""routes": [
+        {"table": "db.t", "path": "/t1", "primaryKey": ["k"]},
+        {"table": "t", "path": "/t2", "primaryKey": ["k"]}]""")
+    }.getMessage.contains("overlapping"))
+    // two QUALIFIED routes of the same table under different dbs are fine
+    translate(""""routes": [
+      {"table": "a.t", "path": "/t1", "primaryKey": ["k"]},
+      {"table": "b.t", "path": "/t2", "primaryKey": ["k"]}]""")
+    // a route without primaryKey has no sensible default merge key
+    assert(intercept[IllegalArgumentException] {
+      translate(""""routes": [{"table": "t", "path": "/t1"}]""")
+    }.getMessage.contains("primaryKey"))
+    // routes demultiplex a cdcreader stream — not a lakereader batch source
+    assert(intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "/src"}},
+        "writer": {"name": "lakewriter", "parameter": {$routes}}}]}}"""))
+    }.getMessage.contains("single-table"))
   }
 }
