@@ -368,6 +368,47 @@ class CdcRouteSpec extends SparkSpec {
       lww(itemsEvents(900), Seq("sku")).drop("lsn"), "json items")
   }
 
+  test("fuzz: routed replay equals per-table LWW under duplication and scramble") {
+    // the transcript workload (deletes, out-of-order lsn, late tool column)
+    // sharded by conversation across 3 tables, with a pseudo-random HALF of
+    // the lines delivered twice and file order scrambled — every
+    // destination must land on its restriction of the global LWW oracle
+    import graft.core.{Gen, Model}
+    val payloadCols = Seq("ts", "conv_id", "turn_idx", "role", "text", "tool")
+    val payloadSchema = StructType(Model.changeEventSchema.fields
+      .filterNot(f => f.name == "op" || f.name == "lsn"))
+    for (seed <- Seq(7L, 23L)) {
+      val cfg = Gen.GenConfig(seed = seed, nEvents = 12000L, nConvs = 60L,
+        maxTurns = 16, partitions = 4)
+      val ev = Gen.changeEvents(spark, cfg).toDF()
+      val shard = pmod(xxhash64(col("conv_id")), lit(3))
+      val enc = (0 until 3).map { k =>
+        CdcEnvelope.encodeDebezium(ev.where(shard === k), payloadCols,
+          Model.keyCols, tableRef = Some(s"db$k.conv"))
+      }.reduce(_ unionAll _)
+      val dup = enc.where(pmod(xxhash64(col("value")), lit(2)) === 0)
+      val log = tmpDir(s"rfz-log$seed")
+      enc.unionAll(dup).repartition(8).write.mode("append").text(log)
+      val routes = (0 until 3).map { k =>
+        CdcPipeline.Route(s"db$k.conv",
+          LakeTable.create(spark, tmpDir(s"rfz-d$seed-$k"), Model.keyCols, numBuckets = 4),
+          payloadSchema)
+      }
+      CdcPipeline.replayAllRouted(spark,
+        CdcPipeline.CdcConfig(log, tmpDir(s"rfz-cp$seed"),
+          maxFilesPerTrigger = 3, format = "debezium", routeParallelism = 2),
+        routes)
+      val want = Gen.expectedState(spark, cfg).toDF()
+      for (k <- 0 until 3) {
+        val wk = want.where(pmod(xxhash64(col("conv_id")), lit(3)) === k)
+        val got = routes(k).dest.read()
+          .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        val d = got.exceptAll(wk).count() + wk.exceptAll(got).count()
+        assert(d === 0L, s"seed=$seed table db$k.conv: $d rows differ")
+      }
+    }
+  }
+
   test("plan-time validation rejects contradictory routed configs") {
     def translate(writerParams: String, readerExtra: String = ""): Unit = {
       JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
