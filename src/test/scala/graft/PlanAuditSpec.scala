@@ -42,6 +42,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"transformer chain must be narrow:\n$plan")
   }
 
+  test("routed table-ref filter and decode are narrow — no exchange before the merge") {
+    // the per-route pipeline (match table refs → from_json decode → null-lsn
+    // filter) must stay inside the scan stage: its only shuffle is the
+    // LWW merge's own exchange, added later. A wide routing stage would
+    // multiply per-epoch latency by the route count at scale.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val ps = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val lines = spark.range(2000).select(
+      concat(lit("""{"before":null,"after":{"id":"""), col("id"),
+        lit(""","v":"x"},"op":"c","ts_ms":1,"source":{"lsn":"""), col("id"),
+        lit(""","db":"d","table":"t"}}""")).as("value"))
+    val (db, tbl) = graft.sources.CdcEnvelope.tableRefs("debezium", col("value"))
+    val routed = graft.sources.CdcEnvelope.debezium(
+        lines.withColumn("_db", db).withColumn("_tbl", tbl)
+          .filter(graft.sources.CdcEnvelope.refMatches("d.t", col("_db"), col("_tbl")))
+          .select("value"),
+        "value", ps)
+      .filter(col("lsn").isNotNull)
+    val plan = planOf(routed)
+    assert(!plan.contains("Exchange"), s"routing must be narrow:\n$plan")
+    assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
+  }
+
   test("MOR read shuffles only dirty buckets (clean buckets bypass the window)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
