@@ -77,8 +77,13 @@ object CdcFeed {
       return FeedStats(since, srcVersion, 0L, 0, skipped = true)
     val from = since + 1
 
-    val changes = (if (since < 0) src.readChangesBootstrap()
-                   else src.readChangesSince(since))
+    // PIN the window at srcVersion: the marker will record `to=srcVersion`,
+    // so the scan must read exactly that cut — an unpinned head read would
+    // include a concurrent writer's later commits and re-export them when
+    // the next window starts past the marker (duplicate delivery with no
+    // crash involved)
+    val changes = (if (since < 0) src.readChangesBootstrap(srcVersion)
+                   else src.readChangesBetween(since, srcVersion))
       .withColumnRenamed(LakeTable.OpCol, "op")
       .withColumnRenamed(LakeTable.LsnCol, "lsn")
     val payloadCols = changes.columns.toSeq.filterNot(c => c == "op" || c == "lsn")

@@ -262,6 +262,9 @@ object CdcPipeline {
     val schema = eventSchema(cfg)
     val payloadSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
+    require(cfg.tableFilter.isEmpty || cfg.format != "parquet",
+      "tableFilter reads envelope table metadata — parquet change logs " +
+        "carry none (tail one log per table instead)")
     val src = cfg.format match {
       case "parquet" =>
         spark.readStream
@@ -311,19 +314,23 @@ object CdcPipeline {
         // dead-letter dir (if configured) and NEVER reaches the LWW merge —
         // the reference's error-limiter dirty-record semantics for a tail,
         // where a bad record is collected away rather than failing the job
-        val batch = cfg.dlqDir match {
+        cfg.dlqDir match {
           case Some(dlq) if isEnvelope =>
             val b = batch0.persist()
-            b.filter(col("lsn").isNull).select(RawCol)
-              // overwrite => idempotent on epoch replay (no duplicate dirty rows)
-              .write.mode("overwrite").text(s"$dlq/epoch=$epoch")
-            val clean = b.filter(col("lsn").isNotNull).drop(RawCol)
-            clean
-          case _ if isEnvelope => batch0.filter(col("lsn").isNotNull)
-          case _ => batch0
+            // unpersist even when the apply throws (a failed epoch replays;
+            // the leaked cache would otherwise accumulate per retry)
+            try {
+              val dirty = b.filter(col("lsn").isNull).select(RawCol)
+              // overwrite => idempotent on epoch replay (no duplicate dirty
+              // rows); skipped entirely on a clean batch (no empty dirs, no
+              // extra write job in the epoch's critical path)
+              if (!dirty.isEmpty)
+                dirty.write.mode("overwrite").text(s"$dlq/epoch=$epoch")
+              apply(b.filter(col("lsn").isNotNull).drop(RawCol), epoch)
+            } finally { b.unpersist(); () }
+          case _ if isEnvelope => apply(batch0.filter(col("lsn").isNotNull), epoch)
+          case _ => apply(batch0, epoch)
         }
-        apply(batch, epoch)
-        if (cfg.dlqDir.isDefined && isEnvelope) batch0.unpersist()
         if (dbg) System.err.println(
           f"[cdc] epoch $epoch exit wall=${System.currentTimeMillis()} took=${(System.nanoTime() - t0) / 1e9}%.2f s")
         ()
@@ -416,6 +423,19 @@ object CdcPipeline {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.logDir)
+    // one pool for the stream's lifetime (NOT per micro-batch — a
+    // continuous tail would churn threads every epoch); daemon threads so
+    // an abandoned query never blocks JVM exit
+    lazy val routePool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(cfg.routeParallelism, routes.size),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-route-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
     val writer = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, epoch: Long) =>
@@ -486,21 +506,17 @@ object CdcPipeline {
           // committed routes skip by lineage), preserving exactly-once.
           if (cfg.routeParallelism <= 1 || routes.size == 1) routes.foreach(applyOne)
           else {
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(cfg.routeParallelism, routes.size))
-            try {
-              val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-              val fs = routes.map(r => scala.concurrent.Future(applyOne(r))(ec))
-              // await EVERY route before leaving the epoch — fail-fast
-              // (Future.sequence) would let in-flight stragglers outlive a
-              // failed epoch and race the restarted stream's replay of the
-              // same (table, writerId, epoch); only after all settle is the
-              // FIRST failure surfaced (it fails the epoch, which replays;
-              // committed routes skip by lineage)
-              fs.foreach(f => scala.concurrent.Await.ready(f,
-                scala.concurrent.duration.Duration.Inf))
-              fs.foreach(f => f.value.get.get)
-            } finally { pool.shutdown(); () }
+            val ec = scala.concurrent.ExecutionContext.fromExecutor(routePool)
+            val fs = routes.map(r => scala.concurrent.Future(applyOne(r))(ec))
+            // await EVERY route before leaving the epoch — fail-fast
+            // (Future.sequence) would let in-flight stragglers outlive a
+            // failed epoch and race the restarted stream's replay of the
+            // same (table, writerId, epoch); only after all settle is the
+            // FIRST failure surfaced (it fails the epoch, which replays;
+            // committed routes skip by lineage)
+            fs.foreach(f => scala.concurrent.Await.ready(f,
+              scala.concurrent.duration.Duration.Inf))
+            fs.foreach(f => f.value.get.get)
           }
         } finally { batch.unpersist(); () }
       }

@@ -425,8 +425,22 @@ final class LakeTable(
     * O(table), not O(history). [[Replicate.sync]] uses it when the
     * destination has no watermark yet.
     */
-  def readChangesBootstrap(): DataFrame = {
-    val s = currentSnapshot()
+  def readChangesBootstrap(): DataFrame =
+    readChangesBootstrapAt(currentSnapshot())
+
+  /** [[readChangesBootstrap]] pinned at snapshot `version` — a consumer
+    * that records "bootstrapped through version V" must read EXACTLY V's
+    * state, not whatever head a concurrent writer has advanced to between
+    * choosing V and scanning (the export would otherwise carry changes its
+    * own watermark claims not to, duplicating them on the next window).
+    */
+  def readChangesBootstrap(version: Long): DataFrame = {
+    val p = new Path(s"$snapDir/snap-$version.txt")
+    require(fs.exists(p), s"snapshot version $version does not exist")
+    readChangesBootstrapAt(readSnapshot(fs, p, version))
+  }
+
+  private def readChangesBootstrapAt(s: Snapshot): DataFrame = {
     if (s.files.isEmpty) {
       val stored = s.schema.getOrElse(StructType(Nil))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -744,22 +758,34 @@ final class LakeTable(
     *     counts — no second pass over the data, ever.
     *  2. Compaction (only for over-threshold buckets) + atomic commit.
     */
-  def merge(batch: DataFrame, epoch: Long,
-      writerId: String = DefaultWriter): MergeStats = {
-    val tStart = System.nanoTime()
-    val snap = currentSnapshot()
-    if (epoch <= snap.lastEpochFor(writerId))
-      return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, snap.rows, 1.0)
-
-    // -- schema resolution (additive evolution) --------------------------
+  /** Shared ingest prep for [[merge]] and [[bulkLoad]] — ONE definition so
+    * the two ingest paths can never silently diverge on schema or
+    * tie-break rules. Performs:
+    *  - schema resolution (additive evolution + lossless type widening;
+    *    key column types are FROZEN: the bucket routing hashes the key's
+    *    RUNTIME type — murmur3 of an int != murmur3 of the same value as a
+    *    long — so a widened key would send new versions of existing keys
+    *    to a different bucket and break per-bucket LWW pruning),
+    *  - batch alignment to the unified schema (missing stored columns
+    *    null-fill; narrower batch columns cast up — lossless by
+    *    construction since unionSchemas only ever resolves wider),
+    *  - the ingest observation (rows/deletes/logical bytes/max lsn riding
+    *    the write job — zero extra jobs),
+    *  - the single-exchange LWW dedupe: partition by bucket (a pure
+    *    function of the key, so same-key rows colocate), sort
+    *    (bucket, key, lsn desc[, ts desc], payload-hash desc) once, keep
+    *    each key run's first row. The payload-hash tie-break makes
+    *    duplicate (lsn, ts) keys deterministic, so re-running the same
+    *    input reproduces byte-identical survivors.
+    * Returns (publish-shaped frame: payload + _lsn + _op + _bucket,
+    * unified stored schema, the observation to read after the write job).
+    */
+  private def prepareBatch(batch: DataFrame, snap: Snapshot,
+      obsName: String): (DataFrame, StructType, Observation) = {
     val batchPayload = StructType(batch.schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
     val storedOld: StructType = snap.schema.getOrElse(
       StructType(batchPayload.fields :+ StructField(LsnCol, LongType, nullable = false)))
     val storedNew: StructType = unionSchemas(storedOld, batchPayload)
-    // key columns may never change type, not even widening: the bucket
-    // routing hashes the key's RUNTIME type (murmur3 of an int != murmur3 of
-    // the same value as a long), so a widened key would send new versions of
-    // existing keys to a different bucket and break per-bucket LWW pruning
     keyCols.foreach { k =>
       require(storedOld(k).dataType == storedNew(k).dataType,
         s"key column '$k' changed type ${storedOld(k).dataType} -> " +
@@ -768,11 +794,6 @@ final class LakeTable(
     }
     val payloadCols: Seq[String] = storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
     val hasTs = payloadCols.contains("ts")
-
-    // -- align batch to unified schema ------------------------------------
-    // missing stored columns are null-filled; a batch column narrower than
-    // the (possibly just-widened) stored type is cast up — lossless by
-    // construction, since unionSchemas only ever resolves to the wider type
     var evs = batch
     payloadCols.foreach { c =>
       if (!evs.columns.contains(c))
@@ -780,36 +801,32 @@ final class LakeTable(
       else if (evs.schema(c).dataType != storedNew(c).dataType)
         evs = evs.withColumn(c, col(c).cast(storedNew(c).dataType))
     }
-    val obsIn = Observation(s"lake-in-$epoch")
+    val obsIn = Observation(obsName)
     evs = evs.observe(obsIn,
       count(lit(1)).as("rowsIn"),
       sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"),
-      // logical ingest bytes (reference GetByteSize semantics) — rides the
-      // same observation; zero extra jobs
       sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"),
       max(col("lsn")).as("maxLsnIn"))
-
-    // -- LWW dedupe within the batch ---------------------------------------
-    // Single-exchange plan: partition by bucket (a pure function of the key,
-    // so same-key rows colocate), sort (bucket, key, lsn desc[, ts desc])
-    // once, keep the first row of every key run. The resulting task data is
-    // already clustered+sorted by bucket, so the dynamic-partition parquet
-    // write needs no further exchange or sort. A key-partitioned window (or
-    // groupBy-agg) would shuffle a second time to lay out buckets.
-    // final tie-break: a stable hash of the payload, so duplicate keys with
-    // identical (lsn, ts) — e.g. batch upserts that stamp lsn = epoch — have
-    // a DETERMINISTIC winner independent of sort-arrival order (re-running
-    // the same input reproduces the same surviving rows)
     val payloadHash = xxhash64(payloadCols.map(col): _*)
     val ord =
       (if (hasTs) Seq(col("lsn").desc, col("ts").desc) else Seq(col("lsn").desc)) :+
         payloadHash.desc
     val latest = lwwWinnersBucketed(evs.withColumn(BucketCol, bucketExpr), ord)
-
-    val deltaOut = latest
+    val out = latest
       .withColumn(LsnCol, col("lsn"))
       .withColumnRenamed("op", OpCol)
       .select((payloadCols :+ LsnCol :+ OpCol :+ BucketCol).map(col): _*)
+    (out, storedNew, obsIn)
+  }
+
+  def merge(batch: DataFrame, epoch: Long,
+      writerId: String = DefaultWriter): MergeStats = {
+    val tStart = System.nanoTime()
+    val snap = currentSnapshot()
+    if (epoch <= snap.lastEpochFor(writerId))
+      return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, snap.rows, 1.0)
+
+    val (deltaOut, storedNew, obsIn) = prepareBatch(batch, snap, s"lake-in-$epoch")
 
     val dbg = sys.env.contains("GRAFT_MERGE_DEBUG")
     var tLast = System.nanoTime()
@@ -988,42 +1005,8 @@ final class LakeTable(
         s"${snap.rows} rows) — use merge, whose MOR read arbitrates " +
         "against stored rows")
 
-    // schema resolution + batch alignment: same rules as merge
-    val batchPayload = StructType(batch.schema.fields.filterNot(f => f.name == "op" || f.name == "lsn"))
-    val storedOld: StructType = snap.schema.getOrElse(
-      StructType(batchPayload.fields :+ StructField(LsnCol, LongType, nullable = false)))
-    val storedNew: StructType = unionSchemas(storedOld, batchPayload)
-    keyCols.foreach { k =>
-      require(storedOld(k).dataType == storedNew(k).dataType,
-        s"key column '$k' changed type ${storedOld(k).dataType} -> " +
-          s"${storedNew(k).dataType}: key types are frozen at table creation " +
-          "(bucket routing hashes the runtime type)")
-    }
-    val payloadCols: Seq[String] = storedNew.fieldNames.toSeq.filterNot(_ == LsnCol)
-    val hasTs = payloadCols.contains("ts")
-    var evs = batch
-    payloadCols.foreach { c =>
-      if (!evs.columns.contains(c))
-        evs = evs.withColumn(c, lit(null).cast(storedNew(c).dataType))
-      else if (evs.schema(c).dataType != storedNew(c).dataType)
-        evs = evs.withColumn(c, col(c).cast(storedNew(c).dataType))
-    }
-    val obsIn = Observation(s"lake-bulk-$epoch")
-    evs = evs.observe(obsIn,
-      count(lit(1)).as("rowsIn"),
-      sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletesIn"),
-      sum(graft.core.ByteSize.logicalBytes(evs)).as("bytesIn"),
-      max(col("lsn")).as("maxLsnIn"))
-
-    val payloadHash = xxhash64(payloadCols.map(col): _*)
-    val ord =
-      (if (hasTs) Seq(col("lsn").desc, col("ts").desc) else Seq(col("lsn").desc)) :+
-        payloadHash.desc
-    val latest = lwwWinnersBucketed(evs.withColumn(BucketCol, bucketExpr), ord)
-    val out = latest
-      .withColumn(LsnCol, col("lsn"))
-      .withColumnRenamed("op", OpCol)
-      .select((payloadCols :+ LsnCol :+ OpCol :+ BucketCol).map(col): _*)
+    // schema resolution + batch alignment + LWW dedupe: same rules as merge
+    val (out, storedNew, obsIn) = prepareBatch(batch, snap, s"lake-bulk-$epoch")
 
     val newVersion = snap.version + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -1218,9 +1201,14 @@ final class LakeTable(
     */
   private def nextSyntheticLsn(snap: Snapshot): Long = {
     val tracked = snap.maxLsn
-    if (tracked >= 0 && snap.version >= 0 &&
-        readSnapshot(fs, new Path(s"$snapDir/snap-0.txt"), 0L).maxLsn >= 0) {
-      // tracking has existed since version 0 — the running max is complete
+    // was maxLsn tracked since version 0 (⇒ the running max is complete)?
+    // A snap-0 reclaimed by expireSnapshots is indistinguishable from an
+    // untracked birth, so it takes the (correct, just slower) scan branch
+    // instead of crashing routine maintenance after routine metadata GC
+    val snap0 = new Path(s"$snapDir/snap-0.txt")
+    val trackedFromBirth = snap.version >= 0 && fs.exists(snap0) &&
+      readSnapshot(fs, snap0, 0L).maxLsn >= 0
+    if (tracked >= 0 && trackedFromBirth) {
       tracked + 1
     } else {
       val r = readInternal().agg(max(col(LsnCol))).head()
@@ -1462,6 +1450,14 @@ final class LakeTable(
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val base = dst.publish(resolvedAll, s"$dstRoot/_staging-rb-$nonce", s"b0-$nonce", "b",
       newBuckets, reshuffle = true)
+    // stamp the destination's birth maxLsn ONLY if the source's running max
+    // is COMPLETE (tracked since ITS version 0): a partial running max
+    // copied into the new table's snap-0 would make nextSyntheticLsn trust
+    // it ("tracked from birth") and mint maintenance lsns BELOW stored
+    // rows' _lsn — a deleteWhere that silently loses LWW to old rows
+    val srcSnap0 = new Path(s"$snapDir/snap-0.txt")
+    val maxLsnComplete = fs.exists(srcSnap0) &&
+      readSnapshot(fs, srcSnap0, 0L).maxLsn >= 0
     dst.commitSnapshot(Snapshot(
       version = 0L,
       lastEpoch = snap.lastEpoch,
@@ -1470,7 +1466,7 @@ final class LakeTable(
       files = base,
       addedDeltas = Nil,
       epochs = snap.epochs,
-      maxLsn = snap.maxLsn))
+      maxLsn = if (maxLsnComplete) snap.maxLsn else -1L))
     dst
   }
 
@@ -1518,13 +1514,31 @@ final class LakeTable(
     * 0 only the current snapshot's files survive — callers must know no
     * incremental consumer is behind.
     */
-  def vacuum(retainVersions: Int = 0, staleStagingHours: Int = 24): Int = {
+  def vacuum(retainVersions: Int = 0, staleStagingHours: Int = 24,
+      orphanGraceMinutes: Int = 60): Int = {
     val cur = currentSnapshot()
     val live = cur.files.map(_.path).toSet ++ retainedDeltaPaths(cur, retainVersions)
+    // a data file referenced by NO manifest at all is EITHER a crashed
+    // publish's leftover OR a concurrent writer's files renamed into data/
+    // but not yet committed (publish → commitSnapshot is not atomic; the
+    // manifest claim is independent, so the racer's commit would still
+    // SUCCEED and reference deleted files). The two are indistinguishable
+    // by name, so unknown files are reclaimed only past an age grace —
+    // any in-flight publish commits in seconds, crashed leftovers age out.
+    // Files some SURVIVING manifest references are committed history:
+    // reclaim immediately once outside the retention window.
+    val known = readAllSnapshots()
+      .flatMap(s => s.files.map(_.path) ++ s.addedDeltas.map(_.path)).toSet
+    val graceMs = orphanGraceMinutes * 60000L
+    val now = System.currentTimeMillis()
     var n = 0
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { f =>
-      if (!live.contains(f.getPath.getName)) { fs.delete(f.getPath, false); n += 1 }
+      val name = f.getPath.getName
+      if (!live.contains(name) &&
+          (known.contains(name) || now - f.getModificationTime > graceMs)) {
+        fs.delete(f.getPath, false); n += 1
+      }
     }
     n += sweepStaleStaging(staleStagingHours)
     n

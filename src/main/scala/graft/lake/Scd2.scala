@@ -180,9 +180,15 @@ object Scd2 {
     // included — that is the point). A still-empty destination (no committed
     // schema yet) has no floor.
     val dstEmpty = dst.currentSnapshot().files.isEmpty
-    def sentinels: DataFrame = dst.readChangesForKeys(
-      changes.select(k.map(col): _*).distinct()
-        .withColumn(SeqCol, lit(OpenSeq)))
+    // materialized ONCE: both the floor projection and closedOld's
+    // prev-open lookup read the sentinel rows, and readChangesForKeys runs
+    // a driver-side bucketsFor collect plus a bucket-pruned scan — a `def`
+    // here would pay that only-existing-data read twice per chunk
+    val sentinels: DataFrame =
+      if (dstEmpty) null
+      else dst.readChangesForKeys(
+        changes.select(k.map(col): _*).distinct()
+          .withColumn(SeqCol, lit(OpenSeq))).persist()
     val floor = if (dstEmpty) null else
       sentinels.select(k.map(col) :+ col(LakeTable.LsnCol).as("_floor"): _*)
 
@@ -260,6 +266,7 @@ object Scd2 {
     val out = closedNew.unionByName(openNew)
       .unionByName(closedOld, allowMissingColumns = true)
       .unionByName(closeCur, allowMissingColumns = true)
-    dst.merge(out, epoch = hi, writerId = writerId)
+    try dst.merge(out, epoch = hi, writerId = writerId)
+    finally { if (sentinels != null) { sentinels.unpersist(); () } }
   }
 }

@@ -112,6 +112,28 @@ class ConcurrencySpec extends SparkSpec {
     assert(t2.read().filter($"id" === 4L).count() === 0L)
   }
 
+  test("vacuum age-gates manifest-unknown files (a racer's uncommitted publish survives)") {
+    val root = tmpDir("vacgrace") + "/t"
+    val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
+    t.merge(batch(0, 0 until 50, "a"), epoch = 0L)
+    t.merge(batch(100, 0 until 50, "b"), epoch = 1L)
+    // a data file NO manifest references — indistinguishable from a
+    // concurrent writer's publish that has not committed yet
+    val racer = new java.io.File(s"$root/data/d99-deadbeef-racer.parquet")
+    java.nio.file.Files.writeString(racer.toPath, "in-flight")
+    // retainVersions=0: version-0's superseded deltas are manifest-KNOWN
+    // history → reclaimed immediately; the unknown fresh file survives
+    assert(t.vacuum(retainVersions = 0) > 0)
+    assert(racer.exists(), "vacuum deleted a fresh manifest-unknown file — " +
+      "a concurrent writer's published-but-uncommitted delta would be lost")
+    // once older than the grace window it is a crashed publish's leftover
+    assert(racer.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    t.vacuum(retainVersions = 0)
+    assert(!racer.exists(), "aged orphan not reclaimed")
+    // the table is intact throughout
+    assert(t.read().count() === 50L)
+  }
+
   test("commit survives a crash between snapshot claim and pointer update") {
     val root = tmpDir("hint") + "/t"
     val table = LakeTable.create(spark, root, Seq("id"), numBuckets = 4)
