@@ -172,7 +172,8 @@ class CdcRouteSpec extends SparkSpec {
       CdcPipeline.CdcConfig(logDir, tmpDir("rgc-cp"),
         maxFilesPerTrigger = 1, format = "debezium",
         expireTombstonesEvery = 2, tombstoneRetainLsns = 100L,
-        vacuumEvery = 2, vacuumRetainVersions = 2),
+        vacuumEvery = 2, vacuumRetainVersions = 2,
+        routeParallelism = 2), // GC/vacuum and merges overlap across routes
       Seq(CdcPipeline.Route("shop.orders", o, ordersSchema),
         CdcPipeline.Route("shop.items", i, itemsSchema)))
     // state is still the LWW oracle's, and expirable tombstones are gone
