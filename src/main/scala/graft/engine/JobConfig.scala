@@ -531,17 +531,7 @@ object JobConfig {
       }
       // named, typed column specs (the readers' standard shape) define the
       // payload schema for NON-transcript change logs; omitted ⇒ transcript
-      val payload = p.get("column") match {
-        case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
-          val cols = p.listConf("column").map { c =>
-            require(c.str("name").nonEmpty,
-              "cdcreader column specs need a 'name' (and optionally a 'type')")
-            SyncJob.ColumnSpec(index = -1, name = c.str("name"),
-              colType = c.str("type", "string"))
-          }
-          Some(SyncJob.schemaFor(cols))
-        case _ => None
-      }
+      val payload = parsePayloadSchema(p, "cdcreader")
       // initial-snapshot onboarding: a nested BATCH reader seeds the lake
       // before the tail starts (Debezium snapshot mode; the reference's
       // closest shape is a full batch job re-run with a where watermark)
@@ -644,6 +634,23 @@ object JobConfig {
         case _ => ()
       }
       CdcBootstrap(plan, b.long("lsn"))
+    }
+
+  /** named, typed `column` specs → change-event payload schema — shared by
+    * the cdcreader and by routed lakewriter entries (each route carries its
+    * own table shape); absent/empty ⇒ None (the transcript default)
+    */
+  private def parsePayloadSchema(p: Conf, what: String): Option[org.apache.spark.sql.types.StructType] =
+    p.get("column") match {
+      case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
+        val cols = p.listConf("column").map { c =>
+          require(c.str("name").nonEmpty,
+            s"$what column specs need a 'name' (and optionally a 'type')")
+          SyncJob.ColumnSpec(index = -1, name = c.str("name"),
+            colType = c.str("type", "string"))
+        }
+        Some(SyncJob.schemaFor(cols))
+      case _ => None
     }
 
   /** `followers` entries — shared by the lakewriter and by routed entries
@@ -792,17 +799,7 @@ object JobConfig {
           s"route ${r.str("table")}: primaryKey is required — a routed " +
             "destination carries its own payload shape, so there is no " +
             "sensible default merge key")
-        val payload = r.get("column") match {
-          case Some(n) if n.isArray && n.elements().asScala.nonEmpty =>
-            val cols = r.listConf("column").map { c =>
-              require(c.str("name").nonEmpty,
-                "route column specs need a 'name' (and optionally a 'type')")
-              SyncJob.ColumnSpec(index = -1, name = c.str("name"),
-                colType = c.str("type", "string"))
-            }
-            Some(SyncJob.schemaFor(cols))
-          case _ => None
-        }
+        val payload = parsePayloadSchema(r, "route")
         val sc = r.strList("sortColumns")
         require(sc.isEmpty || r.long("targetFileRows", 0L) > 0L,
           "route sortColumns needs targetFileRows — clustering only " +
