@@ -1728,7 +1728,7 @@ object SparkEntry {
         transcriptTurns(s, dir).filter(col("turn_idx") < 3), sigCol = "etype")
     }, Some(s"""
       WITH $transcriptTurnsSql,
-      sigs AS (SELECT conv_id, md5(string_agg(etype, '' ORDER BY turn_idx)) AS sig
+      sigs AS (SELECT conv_id, md5(string_agg(etype, chr(0) ORDER BY turn_idx)) AS sig
                FROM turns WHERE turn_idx < 3 GROUP BY conv_id)
       SELECT sig, count(*)::BIGINT AS n_convs, min(conv_id) AS keep_conv
       FROM sigs GROUP BY sig HAVING count(*) > 1""")),

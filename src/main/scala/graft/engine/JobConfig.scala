@@ -203,7 +203,15 @@ object JobConfig {
         * are canonical `(op, lsn, payload...)` — pair with `cdcwriter` for
         * an envelope JSONL feed any downstream CDC consumer can replay.
         */
-      fromVersion: Option[Long] = None) extends ReaderPlan
+      fromVersion: Option[Long] = None,
+      /** pin by TAG name instead of a version number ([[graft.lake.LakeTable.tag]]):
+        * resolved to the tagged version at run time, then used exactly as
+        * `toVersion` (snapshot export, rollup cut, change-window upper
+        * bound) — the config names the REPRODUCIBLE CUT ("train-cut-r3")
+        * rather than a number nobody remembers. Mutually exclusive with
+        * toVersion.
+        */
+      tag: Option[String] = None) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -231,6 +239,14 @@ object JobConfig {
         */
       expireTombstonesEvery: Int = 0,
       tombstoneRetainLsns: Long = 0L,
+      /** auto-pin a snapshot tag every N epochs, keep the newest `tagKeep`
+        * (`tagEvery`/`tagPrefix`/`tagKeep` —
+        * [[graft.engine.cdc.CdcPipeline.CdcConfig.tagEvery]]): durable
+        * reproducibility points on the stream, GC-exempt until rotated out
+        */
+      tagEvery: Int = 0,
+      tagPrefix: String = "epoch-",
+      tagKeep: Int = 8,
       /** optional distribution-key subset (`distributionColumns`) — bucket
         * on a key prefix for group locality ([[graft.lake.LakeTable.distCols]])
         */
@@ -560,14 +576,19 @@ object JobConfig {
         (n, e)
       }
       val fromVersion = Some(p.long("fromVersion", Long.MinValue)).filter(_ >= -1L)
-      require(!(fromVersion.contains(-1L) && p.long("toVersion", -1L) >= 0L),
+      val tagPin = Some(p.str("tag")).filter(_.nonEmpty)
+      require(tagPin.isEmpty || p.long("toVersion", -1L) < 0L,
+        "lakereader tag and toVersion are both version pins — set one")
+      require(!(fromVersion.contains(-1L) &&
+          (p.long("toVersion", -1L) >= 0L || tagPin.nonEmpty)),
         "bootstrap export (fromVersion -1) reads the current head — " +
-          "toVersion bounds windows (fromVersion ≥ 0) and rollup cuts")
+          "toVersion/tag bound windows (fromVersion ≥ 0) and rollup cuts")
       LakeRead(root, aggs,
         toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L),
         where = Some(p.str("where")).filter(_.nonEmpty),
         columns = p.strList("column").filterNot(_ == "*"),
-        fromVersion = fromVersion)
+        fromVersion = fromVersion,
+        tag = tagPin)
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 
@@ -841,6 +862,13 @@ object JobConfig {
           n
         },
         tombstoneRetainLsns = p.long("tombstoneRetainLsns", 0L),
+        tagEvery = p.int("tagEvery", 0),
+        tagPrefix = p.str("tagPrefix", "epoch-"),
+        tagKeep = {
+          val k = p.int("tagKeep", 8)
+          require(k >= 1, s"lakewriter tagKeep must be >= 1 (got $k)")
+          k
+        },
         distCols = p.strList("distributionColumns"),
         targetFileRows = Some(p.long("targetFileRows", 0L)).filter(_ > 0L),
         sortCols = {

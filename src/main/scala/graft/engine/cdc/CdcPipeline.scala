@@ -174,7 +174,21 @@ object CdcPipeline {
         * so the overlapped merges' shuffles fit the cluster, not at the
         * route count.
         */
-      routeParallelism: Int = 1)
+      routeParallelism: Int = 1,
+      /** auto-pin a snapshot TAG every N epochs (0 = never): right after
+        * the epoch's merge + follower syncs, the head is tagged
+        * `<tagPrefix><epoch>` ([[graft.lake.LakeTable.tag]]) — durable
+        * restore/reproducibility points on the stream DEEPER than the
+        * vacuum window (the tag lands before the same epoch's vacuum/
+        * tombstone-GC steps, so the pinned cut is never the one being
+        * swept). Bounded by [[tagKeep]] — a ring of pins, not a leak.
+        */
+      tagEvery: Int = 0,
+      tagPrefix: String = "epoch-",
+      /** newest auto-tags retained (same prefix, numeric suffix); older
+        * ones are dropped as each new pin lands
+        */
+      tagKeep: Int = 8)
 
   /** The tailed log's full change-event schema: `op`/`lsn` + payload. */
   private def eventSchema(cfg: CdcConfig): org.apache.spark.sql.types.StructType =
@@ -201,11 +215,30 @@ object CdcPipeline {
       case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)
     }
 
+  /** The [[CdcConfig.tagEvery]] cadence: pin `<tagPrefix><epoch>` on the
+    * head, then drop same-prefix auto-tags beyond the newest [[CdcConfig.tagKeep]]
+    * (numeric suffixes only — hand-made tags sharing the prefix but not the
+    * `<prefix><number>` shape are never touched). A replayed epoch re-points
+    * its own tag (`replace = true`), keeping the pin ↔ epoch mapping stable
+    * across restarts.
+    */
+  private def autoTag(table: LakeTable, cfg: CdcConfig, epoch: Long): Unit =
+    if (cfg.tagEvery > 0 && epoch > 0 && epoch % cfg.tagEvery == 0) {
+      table.tag(s"${cfg.tagPrefix}$epoch", replace = true)
+      table.tags().keys
+        .filter(_.startsWith(cfg.tagPrefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(cfg.tagPrefix).toLong)
+          .toOption.map(e => (n, e)))
+        .toSeq.sortBy(-_._2).drop(math.max(1, cfg.tagKeep))
+        .foreach { case (n, _) => table.dropTag(n) }
+    }
+
   /** Start the streaming MERGE; caller awaits termination. */
   def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery =
     startWith(spark, cfg, table.keyCols) { (batch, epoch) =>
       table.merge(batch, epoch, cfg.writerId)
       syncFollowers(table, cfg.followers)
+      autoTag(table, cfg, epoch)
       // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
       // are reclaimed in the same epoch's sweep. A commit conflict (another
       // writerId's stream won the version) must not kill THIS stream —
@@ -479,6 +512,7 @@ object CdcPipeline {
                   epoch, r.writerId)
             }
             syncFollowers(r.dest, r.followers)
+            autoTag(r.dest, cfg, epoch)
             // per-destination maintenance rides the stream exactly as on a
             // single-table tail — same cadence/horizon policy for every
             // route (tables under one subscription share a source, so one

@@ -157,6 +157,7 @@ final class LakeTable(
   private val dataDir = s"$root/data"
   private val snapDir = s"$root/_snapshots"
   private val pointer = s"$root/_current"
+  private val refsDir = s"$root/_refs"
 
   /** bucket of a row = pmod(hash(distribution key...), numBuckets) */
   private def bucketExpr = pmod(hash(distributionCols.map(col): _*), lit(numBuckets))
@@ -1517,7 +1518,8 @@ final class LakeTable(
   def vacuum(retainVersions: Int = 0, staleStagingHours: Int = 24,
       orphanGraceMinutes: Int = 60): Int = {
     val cur = currentSnapshot()
-    val live = cur.files.map(_.path).toSet ++ retainedDeltaPaths(cur, retainVersions)
+    val live = cur.files.map(_.path).toSet ++
+      retainedDeltaPaths(cur, retainVersions) ++ taggedFilePaths()
     // a data file referenced by NO manifest at all is EITHER a crashed
     // publish's leftover OR a concurrent writer's files renamed into data/
     // but not yet committed (publish → commitSnapshot is not atomic; the
@@ -1573,6 +1575,92 @@ final class LakeTable(
   /** [[read]] pinned to the state as of a wall-clock instant. */
   def readAsOf(ts: java.sql.Timestamp): DataFrame = readVersion(versionAsOf(ts))
 
+  // ---------------------------------------------------------- snapshot tags
+
+  /** Named snapshot TAGS (Iceberg table-refs analog): pin a committed
+    * version under a stable name so it survives GC. Retention everywhere
+    * else in this lake is a sliding WINDOW — [[vacuum]] keeps the head plus
+    * N delta windows, [[expireSnapshots]] the newest N manifests — but a
+    * reproducible cut (the exact corpus state a training run read, an audit
+    * baseline, a pre-migration safety point) needs a PIN, not a window.
+    * A tagged version's manifest is exempt from [[expireSnapshots]] and
+    * every data file it references is exempt from [[vacuum]] (and not
+    * counted as an orphan by [[fsck]]), so [[readTag]] reproduces the exact
+    * tagged state arbitrarily later. Storage cost: the tagged snapshot's
+    * FILE SET (shared with the head until compaction rewrites diverge) —
+    * its delta files are pinned as part of that state, not as readable
+    * change windows, so incremental consumers still live by the vacuum
+    * retention contract.
+    *
+    * Concurrency: a tag is one atomic ref-file write, and maintenance reads
+    * the ref set at its start. Tag a version while it is still inside the
+    * retention window (the normal shape: tag the head right after the
+    * commit you care about) — tagging an expired version fails sharply on
+    * the missing manifest, and a tag racing a CONCURRENT vacuum of the same
+    * about-to-expire version may pin a state whose files that vacuum
+    * already swept (the same advisory Iceberg's docs carry; [[fsck]]
+    * reports the damage as missing files).
+    *
+    * `version` -1 pins the current head. Re-pointing an existing tag
+    * requires `replace = true`. Returns the pinned version.
+    */
+  def tag(name: String, version: Long = -1L, replace: Boolean = false): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+ (it becomes a ref file name)")
+    val v = if (version < 0) currentSnapshot().version else version
+    require(v >= 0, s"cannot tag an empty table (no committed snapshot)")
+    require(fs.exists(new Path(s"$snapDir/snap-$v.txt")),
+      s"cannot tag version $v: its manifest does not exist (never committed, or expired)")
+    val ref = new Path(s"$refsDir/$name.ref")
+    require(replace || !fs.exists(ref),
+      s"tag '$name' already exists (at version ${readString(fs, ref).trim}) — " +
+        "pass replace=true to re-point it")
+    val tmp = new Path(s"$refsDir/.$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeString(fs, tmp, v.toString)
+    LakeTable.atomicReplace(fs, tmp, ref)
+    v
+  }
+
+  /** All tags: name → pinned version (metadata read, no data files). */
+  def tags(): Map[String, Long] = {
+    val d = new Path(refsDir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".ref"))
+      .map(f => f.getPath.getName.stripSuffix(".ref") ->
+        readString(fs, f.getPath).trim.toLong)
+      .toMap
+  }
+
+  /** The version a tag pins; sharp error on an unknown tag. */
+  def tagVersion(name: String): Long = {
+    val ref = new Path(s"$refsDir/$name.ref")
+    require(fs.exists(ref),
+      s"unknown tag '$name' (have: ${tags().keys.toSeq.sorted.mkString(", ")})")
+    readString(fs, ref).trim.toLong
+  }
+
+  /** [[readVersion]] pinned by tag name. */
+  def readTag(name: String): DataFrame = readVersion(tagVersion(name))
+
+  /** Remove a tag: the pinned version rejoins the normal retention window
+    * and the NEXT [[vacuum]]/[[expireSnapshots]] reclaims whatever nothing
+    * else retains. Returns false when the tag did not exist.
+    */
+  def dropTag(name: String): Boolean = fs.delete(new Path(s"$refsDir/$name.ref"), false)
+
+  /** Data-file paths pinned by tags — part of the LIVENESS definition
+    * shared by [[vacuum]] and [[fsck]], alongside [[retainedDeltaPaths]].
+    * A tag whose manifest is missing (the documented tag-vs-vacuum race)
+    * pins nothing, rather than failing every later maintenance run.
+    */
+  private def taggedFilePaths(): Set[String] =
+    tags().values.toSet.flatMap { (v: Long) =>
+      val p = new Path(s"$snapDir/snap-$v.txt")
+      if (fs.exists(p)) readSnapshot(fs, p, v).files.map(_.path).toSet
+      else Set.empty[String]
+    }
+
   /** Metadata consistency check (the ops `fsck`): verifies every file the
     * CURRENT snapshot references exists with the manifest's row count
     * (parquet footer read — no data scan), lists data files referenced by
@@ -1602,7 +1690,8 @@ final class LakeTable(
           }
         })
       }, Duration(10, java.util.concurrent.TimeUnit.MINUTES))
-    val live = cur.files.map(_.path).toSet ++ retainedDeltaPaths(cur, retainVersions)
+    val live = cur.files.map(_.path).toSet ++
+      retainedDeltaPaths(cur, retainVersions) ++ taggedFilePaths()
     val dataP = new Path(dataDir)
     val orphans =
       if (!fs.exists(dataP)) 0
@@ -1652,9 +1741,10 @@ final class LakeTable(
       LakeTable.atomicReplace(fs, tmp, new Path(pointer))
     }
     var n = 0
+    val pinned = tags().values.toSet // tagged manifests are GC-exempt
     (0L to (cur.version - retainVersions)).foreach { v =>
       val p = new Path(s"$snapDir/snap-$v.txt")
-      if (fs.exists(p)) { fs.delete(p, false); n += 1 }
+      if (!pinned.contains(v) && fs.exists(p)) { fs.delete(p, false); n += 1 }
     }
     n
   }

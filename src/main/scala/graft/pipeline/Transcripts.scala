@@ -77,12 +77,18 @@ object Transcripts {
     * texts, or same tool-call shapes — choose the column) collide on the
     * signature; grouping by it is exact whole-conversation dedup, the same
     * shape as [[Dedup.exact]] one level up the hierarchy.
+    *
+    * Turns are joined with a NUL separator so a value shift across a turn
+    * boundary — ("ab","c") vs ("a","bc") — changes the signature; only
+    * texts that themselves contain NUL at a boundary could still collide
+    * (not a reachable shape for transcript text).
     */
   def signatures(turns: DataFrame, convCol: String = "conv_id",
-      idxCol: String = "turn_idx", sigCol: String = "text"): DataFrame =
+      idxCol: String = "turn_idx", sigCol: String = "text",
+      sep: String = "\u0000"): DataFrame =
     turns.groupBy(col(convCol)).agg(
       md5(to_binary(array_join(transform(sortedTurns(col(idxCol), col(sigCol)),
-        t => t.getField("v")), ""), lit("utf-8"))).as("sig"),
+        t => t.getField("v")), sep), lit("utf-8"))).as("sig"),
       count(lit(1)).as("n_turns"))
 
   /** Duplicate-conversation groups: signature → how many conversations share

@@ -35,6 +35,19 @@ import graft.lake.LakeTable
   *                                 re-run after heavy ingest)
   *   expire <horizonLsn>        — GC tombstones older than the lsn horizon
   *   vacuum [retainVersions]    — delete unreferenced data files
+  *   tag <name> [version] [replace]
+  *                              — pin a committed version under a stable
+  *                                 name (Iceberg tag analog): the pinned
+  *                                 manifest survives expiresnapshots and
+  *                                 its data files survive vacuum, so the
+  *                                 exact tagged state (a training-corpus
+  *                                 cut, an audit baseline) stays readable
+  *                                 forever; default version = current head
+  *   tags                       — list tags (name -> version)
+  *   droptag <name>             — unpin: the version rejoins the normal
+  *                                 retention window on the next vacuum
+  *   readtag <name> [limit]     — print the tagged state (readVersion
+  *                                 pinned by name)
   *   where <pred> [limit]       — pruned predicate scan (readWhere): prints
   *                                 how many files the manifest's key-column
   *                                 bounds skipped, then the matching rows
@@ -164,6 +177,27 @@ object LakeMaint {
         val retain = if (args.length >= 3) args(2).toInt else 0
         val n = table.vacuum(retain)
         println(s"vacuumed $n unreferenced files (retained $retain versions of deltas)")
+      case "tag" =>
+        require(args.length >= 3, "tag <name> [version] [replace]")
+        val rest = args.drop(3)
+        val replace = rest.contains("replace")
+        val version = rest.filterNot(_ == "replace").headOption.map(_.toLong).getOrElse(-1L)
+        val v = table.tag(args(2), version, replace)
+        println(s"tag '${args(2)}' -> version $v (pinned against vacuum/expiresnapshots)")
+      case "tags" =>
+        val ts = table.tags()
+        if (ts.isEmpty) println("(no tags)")
+        else ts.toSeq.sortBy(_._1).foreach { case (n, v) => println(s"$n -> v$v") }
+      case "droptag" =>
+        require(args.length >= 3, "droptag <name>")
+        println(if (table.dropTag(args(2))) s"dropped tag '${args(2)}'"
+          else s"no tag '${args(2)}'")
+      case "readtag" =>
+        require(args.length >= 3, "readtag <name> [limit]")
+        val limit = if (args.length >= 4) args(3).toInt else 20
+        val v = table.tagVersion(args(2))
+        println(s"tag '${args(2)}' = version $v")
+        table.readTag(args(2)).show(limit, truncate = false)
       case "expiresnapshots" =>
         require(args.length >= 3, "expiresnapshots <retainVersions>")
         val n = table.expireSnapshots(args(2).toInt)

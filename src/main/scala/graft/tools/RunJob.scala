@@ -93,7 +93,7 @@ object RunJob {
         val changes0 =
           (if (fv < 0) table.readChangesBootstrap()
            else table.readChangesBetween(fv,
-             lr.toVersion.getOrElse(table.currentSnapshot().version)))
+             pinnedVersion(table, lr).getOrElse(table.currentSnapshot().version)))
             .withColumnRenamed(graft.lake.LakeTable.OpCol, "op")
             .withColumnRenamed(graft.lake.LakeTable.LsnCol, "lsn")
         val payloadCols = changes0.columns.filterNot(c => c == "op" || c == "lsn").toSeq
@@ -106,7 +106,7 @@ object RunJob {
         // stats-pruned scan (file skipping); a pinned version filters the
         // snapshot read (pruning metadata describes the head only).
         val table = graft.lake.LakeTable.open(spark, rebasePath(lr.root, ov.rebase))
-        val base = (lr.where, lr.toVersion) match {
+        val base = (lr.where, pinnedVersion(table, lr)) match {
           case (Some(w), None) =>
             table.readWhere(org.apache.spark.sql.functions.expr(w))
           case (Some(w), Some(v)) =>
@@ -198,6 +198,14 @@ object RunJob {
     * Replays are exactly-once by the same watermark the programmatic APIs
     * use: the destination's per-writer epoch lineage.
     */
+  /** A lakereader's version pin: `tag` resolved against the live table
+    * ([[graft.lake.LakeTable.tagVersion]] — sharp error on an unknown
+    * name), else the literal `toVersion`.
+    */
+  private def pinnedVersion(table: graft.lake.LakeTable,
+      lr: JobConfig.LakeRead): Option[Long] =
+    lr.tag.map(table.tagVersion).orElse(lr.toVersion)
+
   private def runLakePair(spark: SparkSession, lr: JobConfig.LakeRead,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
     val src = graft.lake.LakeTable.open(spark, rebasePath(lr.root, ov.rebase))
@@ -219,10 +227,11 @@ object RunJob {
         val aggs = lr.aggregations.map { case (n, e) =>
           org.apache.spark.sql.functions.expr(e).as(n)
         }
-        graft.lake.Rollup.sync(src, dst, aggs, writerId = wid, toVersion = lr.toVersion)
+        graft.lake.Rollup.sync(src, dst, aggs, writerId = wid,
+          toVersion = pinnedVersion(src, lr))
       } else {
-        require(lr.toVersion.isEmpty,
-          "toVersion pinning is a rollup feature — replication always tracks the head")
+        require(lr.toVersion.isEmpty && lr.tag.isEmpty,
+          "toVersion/tag pinning is a rollup feature — replication always tracks the head")
         graft.lake.Replicate.sync(src, dst, writerId = wid)
       }
     SyncJob.JobResult(rowsWritten = st.rowsApplied, rowsBad = 0L,
@@ -333,6 +342,9 @@ object RunJob {
       vacuumRetainVersions = lw.vacuumRetainVersions,
       expireTombstonesEvery = lw.expireTombstonesEvery,
       tombstoneRetainLsns = lw.tombstoneRetainLsns,
+      tagEvery = lw.tagEvery,
+      tagPrefix = lw.tagPrefix,
+      tagKeep = lw.tagKeep,
       writerId = lw.writerId,
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
@@ -462,6 +474,9 @@ object RunJob {
       vacuumRetainVersions = lw.vacuumRetainVersions,
       expireTombstonesEvery = lw.expireTombstonesEvery,
       tombstoneRetainLsns = lw.tombstoneRetainLsns,
+      tagEvery = lw.tagEvery,
+      tagPrefix = lw.tagPrefix,
+      tagKeep = lw.tagKeep,
       format = cdc.format,
       dlqDir = cdc.dlqDir.map(rebasePath(_, ov.rebase)),
       triggerInterval = cdc.triggerInterval,
@@ -529,9 +544,13 @@ object RunJob {
              s"rollup[${lr.aggregations.map { case (n, e) => s"$n=$e" }.mkString(", ")}]"
            else if (lr.fromVersion.nonEmpty)
              s"changes[${if (lr.fromVersion.get < 0) "bootstrap"
-               else s"(${lr.fromVersion.get}, ${lr.toVersion.map(_.toString).getOrElse("head")}]"}]"
+               else s"(${lr.fromVersion.get}, ${lr.tag.map("tag:" + _)
+                 .orElse(lr.toVersion.map(_.toString)).getOrElse("head")}]"}]"
            else "replicate/export") +
-          (if (lr.fromVersion.isEmpty) lr.toVersion.map(v => s" @v$v").getOrElse("") else "") +
+          (if (lr.fromVersion.isEmpty)
+             lr.tag.map(t => s" @tag:$t")
+               .orElse(lr.toVersion.map(v => s" @v$v")).getOrElse("")
+           else "") +
           lr.where.map(w => s" where[$w]").getOrElse("") +
           (if (lr.columns.nonEmpty) s" cols=(${lr.columns.mkString(",")})" else "")
       case c: JobConfig.CdcRead =>
@@ -587,6 +606,9 @@ object RunJob {
           (if (lw.expireTombstonesEvery > 0)
             s" expireTombstonesEvery=${lw.expireTombstonesEvery}" +
               s" retainLsns=${lw.tombstoneRetainLsns}" else "") +
+          (if (lw.tagEvery > 0)
+            s" tagEvery=${lw.tagEvery} prefix=${lw.tagPrefix} keep=${lw.tagKeep}"
+           else "") +
           lw.targetFileRows.map(n => s" targetFileRows=$n").getOrElse("") +
           lw.followers.map(f => "\n    follower: " +
             (if (f.jdbcUrl.nonEmpty)

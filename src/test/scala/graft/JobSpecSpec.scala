@@ -607,6 +607,49 @@ class JobSpecSpec extends SparkSpec {
     assert(bad.getMessage.contains("export"))
   }
 
+  test("lakereader tag pin: export reproduces the tagged cut after GC; pins are exclusive") {
+    val work = tmpDir("laketag")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 2)
+    def ev(lsn: Long, conv: String, text: String) =
+      Model.ChangeEvent("U", lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, 0, Some("user"), Some(text), None)
+    src.merge(Seq(ev(1, "a", "v1"), ev(2, "b", "v1")).toDF(), epoch = 0L)
+    src.tag("train-cut")
+    src.merge(Seq(ev(3, "a", "v2"), ev(4, "c", "v2")).toDF(), epoch = 1L)
+    src.compactAll()
+    // the harshest retention between the tag and the read-back
+    src.vacuum(0)
+    src.expireSnapshots(1)
+
+    def export(params: String, out: String): Long = {
+      val spec = JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src"$params}},
+        "writer": {"name": "hdfswriter", "parameter": {
+          "path": "$work/$out", "fileName": "exp", "fileType": "parquet",
+          "writeMode": "truncate"}}}]}}""")
+      RunJob.run(spark, spec).head.rowsWritten
+    }
+    assert(export(""",  "tag": "train-cut"""", "cut") === 2L)
+    val cut = spark.read.parquet(s"$work/cut/exp")
+    assert(cut.select("conv_id", "text").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet === Set(("a", "v1"), ("b", "v1")))
+    assert(export("", "head") === 3L) // the head moved on: a=v2, b=v1, c=v2
+    // a tag also bounds a change-window export (toVersion by name): the tag
+    // pins version 0 itself, so the window (0, tag] is empty by construction
+    assert(export(""",  "fromVersion": 0, "tag": "train-cut"""", "win") === 0L)
+
+    // double pin and unknown tag fail sharply
+    val dbl = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "tag": "train-cut", "toVersion": 0}},
+        "writer": {"name": "streamwriter", "parameter": {}}}]}}"""))
+    }
+    assert(dbl.getMessage.contains("one"))
+    val unk = intercept[IllegalArgumentException] { export(""",  "tag": "nope"""", "x") }
+    assert(unk.getMessage.contains("unknown tag"))
+  }
+
   // ------------------------------------------------------- cdc streaming pair
 
   test("cdcreader+lakewriter config: availableNow drain reaches the LWW state, replay is a no-op") {
