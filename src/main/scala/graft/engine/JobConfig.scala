@@ -211,7 +211,14 @@ object JobConfig {
         * rather than a number nobody remembers. Mutually exclusive with
         * toVersion.
         */
-      tag: Option[String] = None) extends ReaderPlan
+      tag: Option[String] = None,
+      /** pin by WALL-CLOCK commit time ([[graft.lake.LakeTable.versionAsOf]],
+        * the `TIMESTAMP AS OF` analog): `"yyyy-MM-dd HH:mm:ss[.fff]"` or ISO
+        * instant, resolved at run time to the newest version committed at or
+        * before it, then used exactly as `toVersion`. Mutually exclusive
+        * with toVersion/tag — one pin per read.
+        */
+      asOf: Option[String] = None) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -577,18 +584,21 @@ object JobConfig {
       }
       val fromVersion = Some(p.long("fromVersion", Long.MinValue)).filter(_ >= -1L)
       val tagPin = Some(p.str("tag")).filter(_.nonEmpty)
-      require(tagPin.isEmpty || p.long("toVersion", -1L) < 0L,
-        "lakereader tag and toVersion are both version pins — set one")
+      val asOfPin = Some(p.str("asOf")).filter(_.nonEmpty)
+      require(Seq(tagPin.nonEmpty, asOfPin.nonEmpty, p.long("toVersion", -1L) >= 0L)
+          .count(identity) <= 1,
+        "lakereader toVersion, tag and asOf are all version pins — set one")
       require(!(fromVersion.contains(-1L) &&
-          (p.long("toVersion", -1L) >= 0L || tagPin.nonEmpty)),
+          (p.long("toVersion", -1L) >= 0L || tagPin.nonEmpty || asOfPin.nonEmpty)),
         "bootstrap export (fromVersion -1) reads the current head — " +
-          "toVersion/tag bound windows (fromVersion ≥ 0) and rollup cuts")
+          "toVersion/tag/asOf bound windows (fromVersion ≥ 0) and rollup cuts")
       LakeRead(root, aggs,
         toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L),
         where = Some(p.str("where")).filter(_.nonEmpty),
         columns = p.strList("column").filterNot(_ == "*"),
         fromVersion = fromVersion,
-        tag = tagPin)
+        tag = tagPin,
+        asOf = asOfPin)
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 

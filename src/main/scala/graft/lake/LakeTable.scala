@@ -1798,6 +1798,24 @@ object LakeTable {
   val BucketCol = "_bucket"
   val OpCol = "_op"
 
+  /** Wall-clock pin parser shared by every surface that takes a timestamp
+    * string ([[LakeTable#versionAsOf]] callers: the `lakereader` JSON
+    * `asOf` param, `LakeMaint asof`): the JDBC escape shape
+    * `"yyyy-MM-dd HH:mm:ss[.fff]"`, its `'T'`-separated ISO-local twin
+    * (shell-friendly — no space to quote through sbt/spark-submit arg
+    * splitting; session default zone), or a full ISO-8601 instant
+    * (`...Z` / offset). Sharp error naming all three shapes otherwise.
+    */
+  def parseTimestamp(s: String): java.sql.Timestamp =
+    scala.util.Try(java.sql.Timestamp.valueOf(s))
+      .orElse(scala.util.Try(
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s))))
+      .orElse(scala.util.Try(
+        java.sql.Timestamp.from(java.time.Instant.parse(s))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp '$s' is none of 'yyyy-MM-dd HH:mm:ss[.fff]', " +
+          "ISO-local 'yyyy-MM-ddTHH:mm:ss', or an ISO-8601 instant"))
+
   /** Scoped TIMESTAMP_MICROS pin for lake staging writes (see the publish
     * comment). Depth-counted per session so overlapping publishes restore
     * the caller's value exactly once, when the LAST one finishes; a publish

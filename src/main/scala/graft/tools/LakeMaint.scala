@@ -48,6 +48,10 @@ import graft.lake.LakeTable
   *                                 retention window on the next vacuum
   *   readtag <name> [limit]     — print the tagged state (readVersion
   *                                 pinned by name)
+  *   asof <ts> [limit]          — print the state as of a wall-clock commit
+  *                                 time ('yyyy-MM-ddTHH:mm:ss', T-separated
+  *                                 so it survives arg splitting — the
+  *                                 TIMESTAMP AS OF analog, readAsOf)
   *   where <pred> [limit]       — pruned predicate scan (readWhere): prints
   *                                 how many files the manifest's key-column
   *                                 bounds skipped, then the matching rows
@@ -198,6 +202,13 @@ object LakeMaint {
         val v = table.tagVersion(args(2))
         println(s"tag '${args(2)}' = version $v")
         table.readTag(args(2)).show(limit, truncate = false)
+      case "asof" =>
+        require(args.length >= 3, "asof <yyyy-MM-ddTHH:mm:ss> [limit]")
+        val ts = LakeTable.parseTimestamp(args(2))
+        val limit = if (args.length >= 4) args(3).toInt else 20
+        val v = table.versionAsOf(ts)
+        println(s"as of $ts = version $v")
+        table.readVersion(v).show(limit, truncate = false)
       case "expiresnapshots" =>
         require(args.length >= 3, "expiresnapshots <retainVersions>")
         val n = table.expireSnapshots(args(2).toInt)

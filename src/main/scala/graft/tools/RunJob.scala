@@ -200,11 +200,16 @@ object RunJob {
     */
   /** A lakereader's version pin: `tag` resolved against the live table
     * ([[graft.lake.LakeTable.tagVersion]] — sharp error on an unknown
-    * name), else the literal `toVersion`.
+    * name), else `asOf` wall-clock commit time
+    * ([[graft.lake.LakeTable.versionAsOf]] — sharp error before the
+    * retention horizon), else the literal `toVersion`.
     */
   private def pinnedVersion(table: graft.lake.LakeTable,
       lr: JobConfig.LakeRead): Option[Long] =
-    lr.tag.map(table.tagVersion).orElse(lr.toVersion)
+    lr.tag.map(table.tagVersion)
+      .orElse(lr.asOf.map(s =>
+        table.versionAsOf(graft.lake.LakeTable.parseTimestamp(s))))
+      .orElse(lr.toVersion)
 
   private def runLakePair(spark: SparkSession, lr: JobConfig.LakeRead,
       lw: JobConfig.LakeWrite, ov: Overrides): SyncJob.JobResult = {
@@ -230,8 +235,8 @@ object RunJob {
         graft.lake.Rollup.sync(src, dst, aggs, writerId = wid,
           toVersion = pinnedVersion(src, lr))
       } else {
-        require(lr.toVersion.isEmpty && lr.tag.isEmpty,
-          "toVersion/tag pinning is a rollup feature — replication always tracks the head")
+        require(lr.toVersion.isEmpty && lr.tag.isEmpty && lr.asOf.isEmpty,
+          "toVersion/tag/asOf pinning is a rollup feature — replication always tracks the head")
         graft.lake.Replicate.sync(src, dst, writerId = wid)
       }
     SyncJob.JobResult(rowsWritten = st.rowsApplied, rowsBad = 0L,
@@ -545,10 +550,12 @@ object RunJob {
            else if (lr.fromVersion.nonEmpty)
              s"changes[${if (lr.fromVersion.get < 0) "bootstrap"
                else s"(${lr.fromVersion.get}, ${lr.tag.map("tag:" + _)
+                 .orElse(lr.asOf.map("asOf:" + _))
                  .orElse(lr.toVersion.map(_.toString)).getOrElse("head")}]"}]"
            else "replicate/export") +
           (if (lr.fromVersion.isEmpty)
              lr.tag.map(t => s" @tag:$t")
+               .orElse(lr.asOf.map(t => s" @asOf:$t"))
                .orElse(lr.toVersion.map(v => s" @v$v")).getOrElse("")
            else "") +
           lr.where.map(w => s" where[$w]").getOrElse("") +

@@ -648,6 +648,24 @@ class JobSpecSpec extends SparkSpec {
     assert(dbl.getMessage.contains("one"))
     val unk = intercept[IllegalArgumentException] { export(""",  "tag": "nope"""", "x") }
     assert(unk.getMessage.contains("unknown tag"))
+
+    // asOf pins by wall-clock commit time: version 0's own commit instant
+    // resolves to the same cut the tag pinned (v0's manifest survived the
+    // expireSnapshots above only BECAUSE the tag exempts it)
+    val v0ts = src.history().filter("version = 0").collect().head
+      .getTimestamp(1).toString
+    assert(export(s""",  "asOf": "$v0ts"""", "asof") === 2L)
+    assert(spark.read.parquet(s"$work/asof/exp").select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet === Set(("a", "v1"), ("b", "v1")))
+    val dblAsOf = intercept[IllegalArgumentException] {
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+          "tag": "train-cut", "asOf": "$v0ts"}},
+        "writer": {"name": "streamwriter", "parameter": {}}}]}}"""))
+    }
+    assert(dblAsOf.getMessage.contains("one"))
+    val badTs = intercept[IllegalArgumentException] { export(""",  "asOf": "not-a-time"""", "y") }
+    assert(badTs.getMessage.contains("ISO-8601"))
   }
 
   // ------------------------------------------------------- cdc streaming pair
