@@ -961,6 +961,45 @@ object SparkEntry {
       SELECT user_id, event_type, round(value, 4) AS value_r FROM live
       WHERE user_id >= 100 AND user_id <= 120""")),
 
+    ("cdc_tag_travel", (s, dir) => {
+      // snapshot TAGS (LakeTable.tag/readTag, the Iceberg refs analog): the
+      // lake is tagged after the even-lsn half of the change stream, then
+      // the odd half lands, compaction folds the deltas, and the HARSHEST
+      // retention (vacuum(0) + expireSnapshots(1)) sweeps everything the
+      // pin does not protect — readTag must still reproduce the tagged
+      // cut exactly. The oracle recomputes that cut independently: the
+      // LWW-with-deletes state of the even-lsn events alone.
+      import org.apache.spark.sql.functions.{lit => l}
+      val lakeRoot = stageOnce(s"taglake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-taglake").toString + "/t"
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"), col("value"),
+          col("event_id").as("src_lsn"))
+        val tab = graft.lake.LakeTable.create(s, p, Seq("user_id", "event_type"),
+          numBuckets = 4)
+        tab.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+        tab.tag("train-cut")
+        tab.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+        tab.compactAll()
+        tab.vacuum(0)
+        tab.expireSnapshots(1)
+        p
+      }
+      graft.lake.LakeTable.open(s, lakeRoot).readTag("train-cut")
+        .select(col("user_id"), col("event_type"), col("src_lsn").as("lsn"),
+          round(col("value"), 4).as("value_r"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events WHERE event_id % 2 = 0)
+      SELECT user_id, event_type, lsn, round(value, 4) AS value_r FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+              AND op <> 'D'""")),
+
     ("cdc_clean_prune", (s, dir) => {
       // clean-bucket payload pruning (FileStats clean-bucket lemma): after
       // a FULL compaction every bucket is clean, so a ts window — a MUTABLE
