@@ -209,7 +209,14 @@ object JobConfig {
         * `toVersion` (snapshot export, rollup cut, change-window upper
         * bound) — the config names the REPRODUCIBLE CUT ("train-cut-r3")
         * rather than a number nobody remembers. Mutually exclusive with
-        * toVersion.
+        * toVersion. NOTE the pin's scope: a tag protects the tagged
+        * version's STATE (its manifest + data files) forever, but a
+        * `fromVersion` change-window read bounded by it also needs the
+        * intermediate versions' manifests and delta files, which live by
+        * the NORMAL retention contract (vacuumRetainVersions /
+        * expireSnapshots) — the tag names a durable upper bound, it does
+        * not make an expired window readable (sharp missing-manifest
+        * error, never silent truncation).
         */
       tag: Option[String] = None,
       /** pin by WALL-CLOCK commit time ([[graft.lake.LakeTable.versionAsOf]],
@@ -873,7 +880,17 @@ object JobConfig {
         },
         tombstoneRetainLsns = p.long("tombstoneRetainLsns", 0L),
         tagEvery = p.int("tagEvery", 0),
-        tagPrefix = p.str("tagPrefix", "epoch-"),
+        tagPrefix = {
+          // fail at PLAN time, not inside the stream's first cadence epoch
+          // (LakeTable.tag's name rule would otherwise throw in foreachBatch
+          // and the deterministic failure replays forever)
+          val pre = p.str("tagPrefix", "epoch-")
+          require(pre.forall(c =>
+              c.toInt < 128 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')),
+            s"lakewriter tagPrefix '$pre' must be [A-Za-z0-9._-]* " +
+              "(it becomes part of a tag ref file name)")
+          pre
+        },
         tagKeep = {
           val k = p.int("tagKeep", 8)
           require(k >= 1, s"lakewriter tagKeep must be >= 1 (got $k)")

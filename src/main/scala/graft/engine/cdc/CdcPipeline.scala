@@ -177,11 +177,13 @@ object CdcPipeline {
       routeParallelism: Int = 1,
       /** auto-pin a snapshot TAG every N epochs (0 = never): right after
         * the epoch's merge + follower syncs, the head is tagged
-        * `<tagPrefix><epoch>` ([[graft.lake.LakeTable.tag]]) — durable
-        * restore/reproducibility points on the stream DEEPER than the
-        * vacuum window (the tag lands before the same epoch's vacuum/
-        * tombstone-GC steps, so the pinned cut is never the one being
-        * swept). Bounded by [[tagKeep]] — a ring of pins, not a leak.
+        * `<tagPrefix><writerId>-<epoch>` ([[graft.lake.LakeTable.tag]];
+        * writer-scoped so concurrent streams' rings and hand-made tags
+        * never collide) — durable restore/reproducibility points on the
+        * stream DEEPER than the vacuum window (the tag lands before the
+        * same epoch's vacuum/tombstone-GC steps, so the pinned cut is
+        * never the one being swept). Bounded by [[tagKeep]] — a ring of
+        * pins, not a leak.
         */
       tagEvery: Int = 0,
       tagPrefix: String = "epoch-",
@@ -215,30 +217,59 @@ object CdcPipeline {
       case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)
     }
 
-  /** The [[CdcConfig.tagEvery]] cadence: pin `<tagPrefix><epoch>` on the
-    * head, then drop same-prefix auto-tags beyond the newest [[CdcConfig.tagKeep]]
-    * (numeric suffixes only — hand-made tags sharing the prefix but not the
-    * `<prefix><number>` shape are never touched). A replayed epoch re-points
-    * its own tag (`replace = true`), keeping the pin ↔ epoch mapping stable
-    * across restarts.
+  /** The [[CdcConfig.tagEvery]] cadence: pin `<tagPrefix><writerId>-<epoch>`
+    * on the head, then drop ring tags beyond the newest [[CdcConfig.tagKeep]].
+    * The ring is namespaced by WRITER (`<prefix><writerId>-<number>` exactly),
+    * so the prune can never drop another stream's pins or a hand-made tag
+    * that shares the prefix — tag names are a shared global namespace on
+    * the table, and a stateless prune that pattern-matched the bare prefix
+    * would reclaim files other owners still rely on.
+    *
+    * Tagging is gated on the epoch's merge having APPLIED: a lineage-skipped
+    * replay (lost checkpoint re-reading the log from batch 0) must NOT
+    * re-point historic pins at the caught-up head — that would silently
+    * move every restore point to the same state and expose the formerly
+    * pinned files to the very vacuum cadence the ring rides with. The one
+    * skipped shape that does re-tag is `lastEpochFor(writerId) == epoch`
+    * (a crash between the merge commit and the checkpoint): the head IS
+    * this epoch's state, so the re-point is the idempotent completion of
+    * the interrupted cadence step.
     */
-  private def autoTag(table: LakeTable, cfg: CdcConfig, epoch: Long): Unit =
-    if (cfg.tagEvery > 0 && epoch > 0 && epoch % cfg.tagEvery == 0) {
-      table.tag(s"${cfg.tagPrefix}$epoch", replace = true)
+  private def autoTag(table: LakeTable, cfg: CdcConfig, writerId: String,
+      epoch: Long, merged: LakeTable.MergeStats): Unit =
+    if (cfg.tagEvery > 0 && epoch > 0 && epoch % cfg.tagEvery == 0 &&
+        (!merged.skipped ||
+          table.currentSnapshot().lastEpochFor(writerId) == epoch)) {
+      val ring = s"${cfg.tagPrefix}$writerId-"
+      table.tag(s"$ring$epoch", replace = true)
       table.tags().keys
-        .filter(_.startsWith(cfg.tagPrefix))
-        .flatMap(n => scala.util.Try(n.stripPrefix(cfg.tagPrefix).toLong)
+        .filter(_.startsWith(ring))
+        .flatMap(n => scala.util.Try(n.stripPrefix(ring).toLong)
           .toOption.map(e => (n, e)))
         .toSeq.sortBy(-_._2).drop(math.max(1, cfg.tagKeep))
         .foreach { case (n, _) => table.dropTag(n) }
     }
 
+  /** [[CdcConfig.tagEvery]] plan-time guard: every ring-tag name component
+    * must satisfy [[graft.lake.LakeTable.tag]]'s name rule NOW — inside
+    * foreachBatch the same require would fail the cadence epoch and the
+    * deterministic failure would replay forever.
+    */
+  private def validateRing(cfg: CdcConfig, writerIds: Seq[String]): Unit =
+    if (cfg.tagEvery > 0) (cfg.tagPrefix +: writerIds).foreach { s =>
+      require(s.forall(c =>
+          c.toInt < 128 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')),
+        s"auto-tag ring: '$s' must be [A-Za-z0-9._-]* — tagPrefix and " +
+          "writerId become part of tag ref file names")
+    }
+
   /** Start the streaming MERGE; caller awaits termination. */
-  def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery =
+  def start(spark: SparkSession, table: LakeTable, cfg: CdcConfig): StreamingQuery = {
+    validateRing(cfg, Seq(cfg.writerId))
     startWith(spark, cfg, table.keyCols) { (batch, epoch) =>
-      table.merge(batch, epoch, cfg.writerId)
+      val merged = table.merge(batch, epoch, cfg.writerId)
       syncFollowers(table, cfg.followers)
-      autoTag(table, cfg, epoch)
+      autoTag(table, cfg, cfg.writerId, epoch, merged)
       // tombstone GC runs BEFORE vacuum so the rewrite's orphaned inputs
       // are reclaimed in the same epoch's sweep. A commit conflict (another
       // writerId's stream won the version) must not kill THIS stream —
@@ -259,6 +290,7 @@ object CdcPipeline {
       if (cfg.vacuumEvery > 0 && epoch > 0 && epoch % cfg.vacuumEvery == 0)
         table.vacuum(cfg.vacuumRetainVersions)
     }
+  }
 
   /** One envelope format's decode: raw JSON-line column `value` →
     * canonical (op, lsn, payload...) + passthrough. Canal/maxwell get the
@@ -430,6 +462,7 @@ object CdcPipeline {
   def startRouted(spark: SparkSession, cfg: CdcConfig,
       routes: Seq[Route]): StreamingQuery = {
     require(routes.nonEmpty, "routed tail needs at least one route")
+    validateRing(cfg, routes.map(_.writerId))
     require(cfg.format != "parquet",
       "routing reads envelope table metadata — parquet change logs carry " +
         "none (tail one log per table instead)")
@@ -491,7 +524,7 @@ object CdcPipeline {
             // The decoded frame is staged once (persist) so the DLQ scan
             // and the merge share one from_json pass, and the DLQ write
             // job only runs when there IS a dirty line
-            cfg.dlqDir match {
+            val merged = cfg.dlqDir match {
               case Some(dlq) =>
                 val d = decodeEnvelope(cfg.format,
                     lines.withColumn(RawCol, col("value")),
@@ -512,7 +545,7 @@ object CdcPipeline {
                   epoch, r.writerId)
             }
             syncFollowers(r.dest, r.followers)
-            autoTag(r.dest, cfg, epoch)
+            autoTag(r.dest, cfg, r.writerId, epoch, merged)
             // per-destination maintenance rides the stream exactly as on a
             // single-table tail — same cadence/horizon policy for every
             // route (tables under one subscription share a source, so one

@@ -193,8 +193,31 @@ final class LakeTable(
     */
   def currentSnapshot(): Snapshot = {
     val p = new Path(pointer)
-    var v = if (fs.exists(p)) readString(fs, p).trim.toLong else -1L
+    val hinted = fs.exists(p)
+    var v = if (hinted) readString(fs, p).trim.toLong else -1L
     while (fs.exists(new Path(s"$snapDir/snap-${v + 1}.txt"))) v += 1
+    // A LOST pointer can only anchor on a chain that is CONTIGUOUS from 0.
+    // With manifests expired around a tag-pinned early version, snap-0 may
+    // survive while snap-1..k are gone: the forward probe would resolve
+    // head = 0 and silently serve the ancient pinned state — and the next
+    // merge would re-claim the freed snap-1 name, forking history against
+    // the still-existing true head. Fail sharply instead (restore _current
+    // or `LakeMaint rollback` deliberately). One directory listing, only
+    // on this anomalous pointerless path — never on hinted reads.
+    if (!hinted && fs.exists(new Path(snapDir))) {
+      val snapRe = "snap-(\\d+)\\.txt".r
+      val maxOnDisk = fs.listStatus(new Path(snapDir)).iterator
+        .map(_.getPath.getName)
+        .collect { case snapRe(n) => n.toLong }
+        .foldLeft(-1L)(math.max)
+      require(maxOnDisk <= v,
+        s"the _current pointer under $root is missing and the manifest " +
+          s"chain has a gap: contiguous probe from 0 reaches v$v but " +
+          s"snap-$maxOnDisk.txt exists — refusing to silently serve a " +
+          "stale (likely tag-pinned) state as the head; restore _current " +
+          s"with the true head version (echo $maxOnDisk > _current) after " +
+          "verifying that manifest is complete")
+    }
     if (v < 0) return Snapshot(version = -1L, lastEpoch = -1L, schema = None, rows = 0L, files = Nil)
     val s = readSnapshot(fs, new Path(s"$snapDir/snap-$v.txt"), v)
     // layout guard: a handle opened with different keys/buckets would
@@ -1605,8 +1628,11 @@ final class LakeTable(
     * requires `replace = true`. Returns the pinned version.
     */
   def tag(name: String, version: Long = -1L, replace: Boolean = false): Long = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"tag name '$name' must be [A-Za-z0-9._-]+ (it becomes a ref file name)")
+    require(name.nonEmpty && name.forall(c =>
+        c.toInt < 128 && (c.isLetterOrDigit || c == '.' || c == '_' || c == '-')),
+      s"tag name '$name' must be [A-Za-z0-9._-]+ (it becomes a ref file name; " +
+        "ASCII only — non-ASCII names break on filesystems with different " +
+        "unicode normalization)")
     val v = if (version < 0) currentSnapshot().version else version
     require(v >= 0, s"cannot tag an empty table (no committed snapshot)")
     require(fs.exists(new Path(s"$snapDir/snap-$v.txt")),
@@ -1621,14 +1647,21 @@ final class LakeTable(
     v
   }
 
-  /** All tags: name → pinned version (metadata read, no data files). */
+  /** All tags: name → pinned version (metadata read, no data files).
+    * An unparseable ref body (a stray `touch`, a truncated copy) is
+    * SKIPPED, not thrown: this listing sits on the liveness path of
+    * [[vacuum]]/[[fsck]]/[[expireSnapshots]] and the streaming auto-tag
+    * cadence, and one corrupt file must not wedge every maintenance run —
+    * same lenience [[taggedFilePaths]] applies to a missing manifest.
+    * ([[tagVersion]] on the corrupt name itself still fails sharply.)
+    */
   def tags(): Map[String, Long] = {
     val d = new Path(refsDir)
     if (!fs.exists(d)) Map.empty
     else fs.listStatus(d).iterator
       .filter(f => f.isFile && f.getPath.getName.endsWith(".ref"))
-      .map(f => f.getPath.getName.stripSuffix(".ref") ->
-        readString(fs, f.getPath).trim.toLong)
+      .flatMap(f => scala.util.Try(readString(fs, f.getPath).trim.toLong)
+        .toOption.map(f.getPath.getName.stripSuffix(".ref") -> _))
       .toMap
   }
 

@@ -84,23 +84,76 @@ class TagSpec extends SparkSpec {
     graft.core.Gen.writeChangeLog(spark, cfg, s"$work/log", nChunks = 6)
     val table = LakeTable.create(spark, s"$work/lake",
       Seq("conv_id", "turn_idx"), numBuckets = 4)
+    // a FOREIGN pin sharing the prefix shape the ring prune must never
+    // touch: another owner's restore point is not this stream's to rotate
+    table.merge(Seq(graft.core.Model.ChangeEvent("U", 1L,
+      new java.sql.Timestamp(0L), "zz-foreign-seed", 0, Some("user"),
+      Some("seed"), None)).toDF(), epoch = 0L, writerId = "seeder")
+    val foreignV = table.tag("epoch-999")
     val epochs = graft.engine.cdc.CdcPipeline.replayAll(spark, table,
       // 6 chunks × 8 files, 6 per trigger → 8 epochs: the cadence fires at
-      // 2/4/6, so the keep-2 ring must DROP epoch-2
+      // 2/4/6, so the keep-2 ring must DROP its epoch-2 pin
       graft.engine.cdc.CdcPipeline.CdcConfig(s"$work/log", s"$work/cp",
         maxFilesPerTrigger = 6,
         vacuumEvery = 2, vacuumRetainVersions = 1,
         tagEvery = 2, tagKeep = 2))
     assert(epochs >= 5, s"need several epochs to exercise the cadence (got $epochs)")
-    val auto = table.tags().filter(_._1.startsWith("epoch-"))
+    // the ring is writer-scoped: <prefix><writerId>-<epoch>
+    val auto = table.tags().filter(_._1.startsWith("epoch-default-"))
     // cadence fired more than tagKeep times; the ring kept exactly the newest 2
     assert(auto.size === 2, s"ring bound violated: ${auto.keys.toSeq.sorted}")
     val expect = (2L to (epochs - 1)).filter(e => e % 2 == 0).takeRight(2)
-      .map(e => s"epoch-$e").toSet
+      .map(e => s"epoch-default-$e").toSet
     assert(auto.keySet === expect, s"kept ${auto.keySet}, expected newest: $expect")
     // each pin reads back, GC-exempt despite the stream's own vacuum cadence
     auto.keys.foreach(n => assert(table.readTag(n).count() > 0L, s"$n unreadable"))
+    // the foreign pin survived every prune and still reads its exact state
+    assert(table.tagVersion("epoch-999") === foreignV)
+    assert(table.readTag("epoch-999").count() === 1L)
     assert(table.fsck(1).clean)
+  }
+
+  test("a malformed ref file is skipped by maintenance, sharp on direct read") {
+    val root = tmpDir("tagbad") + "/t"
+    val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 2)
+    t.merge(batch(0, 0 until 20, "a"), epoch = 0L)
+    val goodV = t.tag("good")
+    t.merge(batch(100, 0 until 20, "b"), epoch = 1L)
+    // a stray non-numeric ref (operator `touch`, truncated copy) must not
+    // wedge the liveness path of vacuum/fsck/expireSnapshots
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_refs", "note.ref"),
+      "not a version".getBytes("UTF-8"))
+    assert(t.tags() === Map("good" -> goodV))
+    assert(t.vacuum(0) >= 0)
+    assert(t.expireSnapshots(1) >= 0)
+    assert(t.fsck(0).clean)
+    assert(t.readTag("good").count() === 20L) // the good pin still held
+    intercept[IllegalArgumentException](t.tagVersion("note"))
+  }
+
+  test("pointer loss over a pin-gapped manifest chain fails sharply, not stale") {
+    val root = tmpDir("taggap") + "/t"
+    val t = LakeTable.create(spark, root, Seq("id"), numBuckets = 2)
+    t.merge(batch(0, 0 until 10, "a"), epoch = 0L)
+    t.tag("cut") // pins v0
+    t.merge(batch(100, 0 until 10, "b"), epoch = 1L)
+    t.merge(batch(200, 0 until 10, "c"), epoch = 2L)
+    val head = t.currentSnapshot().version
+    val expired = t.expireSnapshots(1) // keeps head + pinned v0; middles gone
+    assert(expired > 0, "the middle manifests must actually expire")
+    val cur = java.nio.file.Paths.get(root, "_current")
+    java.nio.file.Files.delete(cur)
+    // the forward probe from -1 reaches v0 then hits the gap — serving v0
+    // as the head (or letting a merge re-claim the freed next version)
+    // would be silent corruption; the table must refuse until _current is
+    // restored
+    val e = intercept[IllegalArgumentException](
+      LakeTable.open(spark, root).read().count())
+    assert(e.getMessage.contains("gap"))
+    java.nio.file.Files.write(cur, head.toString.getBytes("UTF-8"))
+    assert(LakeTable.open(spark, root).read().count() === 10L)
+    assert(LakeTable.open(spark, root).readTag("cut").count() === 10L)
   }
 
   test("tag validation: names, duplicates, empty table, unknown refs") {
