@@ -557,6 +557,59 @@ object SparkEntry {
              max(round(value, 4)) AS max_value_r
       FROM live GROUP BY user_id""")),
 
+    ("cdc_rollup_mutating", (s, dir) => {
+      // rollup grouped by a MUTATING payload column (band is a function of
+      // the row's lsn, so every update moves its row to another band and
+      // every delete's tombstone carries no band): the incremental refresh
+      // must recompute the moved-out/vanished OLD bands via the pre-image
+      // read at the watermark snapshot (Rollup.sync scaladoc). Staged: the
+      // two-epoch band lake and the dst bootstrap at the first cut; timed:
+      // the incremental refresh alone. Oracle: the same band rollup
+      // recomputed from scratch over the LWW-with-deletes state in SQL —
+      // any stale old band mismatches it.
+      import org.apache.spark.sql.functions.{lit => l}
+      val (srcRoot, cutVersion) = stageOnce(s"band-lake:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-band-lake").toString
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 7 === 0, l("D"))
+            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+          col("event_id").as("lsn"),
+          col("user_id"), col("event_type"),
+          concat(l("b"), (col("user_id") * 31 + col("event_id")) % 97).as("band"),
+          col("value"), col("event_id").as("src_lsn"))
+        val src = graft.lake.LakeTable.create(s, s"$p/src",
+          Seq("user_id", "event_type"), numBuckets = 8)
+        src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+        val cut = src.currentSnapshot().version
+        src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+        (s"$p/src", cut)
+      }
+      val src = graft.lake.LakeTable.open(s, srcRoot)
+      val aggs = Seq(count(l(1)).as("n_live"),
+        sum(col("src_lsn")).as("lsn_sum"),
+        max(round(col("value"), 4)).as("max_value_r"))
+      val dstRoot = stageOnce(s"band-rollup-dst:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-band-rollup")
+          .toString + "/roll"
+        val dst0 = graft.lake.LakeTable.create(s, p, Seq("band"), numBuckets = 4)
+        graft.lake.Rollup.sync(src, dst0, aggs, toVersion = Some(cutVersion))
+        p
+      }
+      val dst = graft.lake.LakeTable.open(s, dstRoot)
+      graft.lake.Rollup.sync(src, dst, aggs)
+      dst.read().select("band", "n_live", "lsn_sum", "max_value_r")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT *, 'b' || ((user_id * 31 + lsn) % 97) AS band FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT band, count(*)::BIGINT AS n_live, sum(lsn)::BIGINT AS lsn_sum,
+             max(round(value, 4)) AS max_value_r
+      FROM live GROUP BY band""")),
+
     ("cdc_replicate", (s, dir) => {
       // lake→lake replication through the JSON job surface (lakereader →
       // lakewriter, RunJob → Replicate.sync): the destination converges to

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incrementally maintained materialized aggregate (rollup) over a lake
@@ -57,30 +57,32 @@ object Rollup {
     * exactly, and the next unpinned sync continues from there. Default is
     * the current source head.
     *
-    * GROUP-COLUMN STABILITY CONTRACT: dirty groups are read from the change
-    * window's NEW row images (and tombstones, which carry key columns
-    * only), so a group is re-aggregated when a row lands IN it — not when a
-    * row silently leaves it. Group columns must therefore be stable per key
-    * (key columns or columns an update never changes): grouping by a
-    * MUTATING payload column leaves the row's OLD group stale until that
-    * group next changes for some other reason, and grouping by a non-key
-    * payload column also misses delete-driven vanishes (a tombstone's
-    * payload is null). Key-derived groups — the transcript `conv_id`
-    * rollup, any key prefix — satisfy the contract by construction; a
-    * non-key grouping warns at sync time.
+    * GROUP-COLUMN MUTATION: dirty groups are read from the change window's
+    * NEW row images, which alone would re-aggregate a group when a row
+    * lands IN it but not when a row silently LEAVES it (an update that
+    * changes a payload group column, or a delete whose tombstone carries
+    * key columns only). Key-derived groups — the transcript `conv_id`
+    * rollup, any key prefix — cannot leave a group without a tombstone
+    * landing in it, so the new images suffice. For groups with NON-KEY
+    * columns the refresh additionally reads the changed keys' PRE-IMAGES
+    * at the watermark snapshot (`readVersionBuckets(since, …)`, pruned to
+    * the buckets the changed keys hash to — O(changed buckets), never
+    * O(table)) and unions their old group values into the dirty set, so
+    * moved-out groups recompute and delete-driven vanishes land as
+    * deletes. This pre-image read requires snapshot `since` to still be
+    * readable: retain snapshots past the sync cadence
+    * ([[LakeTable.expireSnapshots]] keep count, or [[LakeTable.tag]] the
+    * watermark); an expired watermark fails sharply with the remedy named.
+    * Group values may be null (null-safe group joins throughout).
     */
   def sync(src: LakeTable, dst: LakeTable, aggs: Seq[Column],
       writerId: String = "rollup",
       toVersion: Option[Long] = None): LakeTable.MergeStats = {
     require(aggs.nonEmpty, "rollup needs at least one aggregate column")
     val groupCols = dst.keyCols
-    if (!groupCols.forall(src.keyCols.contains))
-      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-        s"rollup ${dst.root}: group columns (${groupCols.mkString(",")}) are " +
-          s"not all source key columns (${src.keyCols.mkString(",")}) — the " +
-          "incremental refresh is only sound if updates never CHANGE a " +
-          "row's group columns and deletes are group-irrelevant; a mutating " +
-          "group column leaves the old group stale (see Rollup.sync scaladoc)")
+    // key-derived groups can't lose a row without a tombstone landing in
+    // them; non-key groups need the pre-image read (object scaladoc)
+    val stableGroups = groupCols.forall(src.keyCols.contains)
     val head = toVersion.getOrElse(src.currentSnapshot().version)
     val since = dst.currentSnapshot().lastEpochFor(writerId)
     if (head <= since)
@@ -93,8 +95,37 @@ object Rollup {
         live.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
           .withColumn("op", lit("U"))
       } else {
-        val dirty = src.readChangesBetween(since, head)
-          .select(groupCols.map(col): _*).distinct()
+        val window = src.readChangesBetween(since, head)
+        val dirty =
+          if (stableGroups) window.select(groupCols.map(col): _*).distinct()
+          else {
+            // tombstone tuples are phantoms here (their payload group
+            // columns are null by construction, not by value) — the
+            // pre-image read below carries each deleted row's REAL old
+            // group, so drop them rather than merge null-group deletes
+            val dirtyNew = window.where(col(LakeTable.OpCol) =!= "D")
+              .select(groupCols.map(col): _*).distinct()
+            // mutating-group soundness: the changed keys' OLD group values
+            // come from their pre-images at the watermark snapshot — a
+            // time-travel read pruned to the buckets the keys hash to
+            // (keys carry the distribution columns on every layout), so
+            // the cost is O(changed buckets), never O(table)
+            val changedKeys = window.select(src.keyCols.map(col): _*).distinct()
+            val oldRows =
+              try src.readVersionBuckets(since, src.bucketsFor(changedKeys))
+              catch {
+                case e: IllegalArgumentException => throw new IllegalStateException(
+                  s"rollup refresh of ${dst.root}: watermark snapshot $since " +
+                    s"of ${src.root} is no longer readable — groups on non-key " +
+                    "columns need the previous cut's pre-images to catch rows " +
+                    "that LEFT a group. Retain source snapshots past the sync " +
+                    "cadence (expireSnapshots keep count, or tag the watermark " +
+                    "version), or re-bootstrap the rollup into a fresh table", e)
+              }
+            val oldGroups = oldRows.join(changedKeys, src.keyCols, "left_semi")
+              .select(groupCols.map(col): _*).distinct()
+            dirtyNew.unionByName(oldGroups).distinct()
+          }
         // bucket pruning: when the source's distribution key is a subset of
         // the group columns, every dirty group's live rows are confined to
         // the buckets the dirty keys hash to — scan only those (the dirty
@@ -121,9 +152,20 @@ object Rollup {
                 s"change window")
             toVersion.map(src.readVersion).getOrElse(src.read())
           }
-        val agg = live.join(dirty, groupCols, "left_semi")
+        // null-safe (<=>) group joins: a payload group column may hold null
+        // as a legitimate group value, which must scope the recompute (and
+        // the vanish anti-join) like any other value; right sides are
+        // renamed so the conditions resolve unambiguously against
+        // shared-lineage plans
+        def nullSafe(left: DataFrame, right: DataFrame, pfx: String,
+            how: String): DataFrame = {
+          val r = right.select(groupCols.map(c => col(c).as(pfx + c)): _*)
+          left.join(r, groupCols.map(c => col(c) <=> col(pfx + c))
+            .reduce(_ && _), how)
+        }
+        val agg = nullSafe(live, dirty, "__d_", "left_semi")
           .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        val gone = dirty.join(agg.select(groupCols.map(col): _*), groupCols, "left_anti")
+        val gone = nullSafe(dirty, agg, "__a_", "left_anti")
         agg.withColumn("op", lit("U"))
           .unionByName(gone.withColumn("op", lit("D")), allowMissingColumns = true)
       }

@@ -95,6 +95,65 @@ class RollupSpec extends SparkSpec {
     assert(Rollup.sync(src, dst, Rollup.transcriptAggs).skipped)
   }
 
+  test("a MUTATING group column recomputes the moved-out group and deletes delete-driven vanishes") {
+    // group by `role` — a payload column an update CAN change and a
+    // tombstone does NOT carry; the refresh must catch rows LEAVING a
+    // group via the watermark pre-image read (Rollup scaladoc)
+    val src = LakeTable.create(spark, tmpDir("rmut-src") + "/t", Model.keyCols, 4)
+    val dst = LakeTable.create(spark, tmpDir("rmut-dst") + "/t", Seq("role"), 2)
+    val aggs = Seq(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+    def oracle(): DataFrame = src.read().groupBy("role").agg(aggs.head, aggs.tail: _*)
+    def check(): Unit = {
+      val got = dst.read().select("role", "n_turns", "n_chars")
+      val diff = got.exceptAll(oracle()).count() + oracle().exceptAll(got).count()
+      assert(diff === 0L, s"role rollup mismatch: $diff differing rows")
+    }
+    def evR(op: String, lsn: Long, conv: String, turn: Int, role: String,
+        text: String = "x"): Model.ChangeEvent =
+      Model.ChangeEvent(op, lsn, new Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some(role), Some(text), None)
+
+    src.merge(Seq(evR("I", 1, "a", 0, "user"), evR("I", 2, "a", 1, "assistant"),
+      evR("I", 3, "b", 0, "user", text = "hello")).toDF(), epoch = 0L)
+    Rollup.sync(src, dst, aggs)
+    check()
+    assert(dst.read().where(col("role") === "user").select("n_turns").head().getLong(0) === 2L)
+
+    // the row (a,0) MOVES from user to assistant: the new images alone
+    // would refresh assistant and leave user's count stale at 2
+    src.merge(Seq(evR("U", 4, "a", 0, "assistant", text = "revised")).toDF(), epoch = 1L)
+    val mv = Rollup.sync(src, dst, aggs)
+    assert(!mv.skipped)
+    check()
+    assert(dst.read().where(col("role") === "user").select("n_turns").head().getLong(0) === 1L,
+      "moved-out group must be recomputed")
+
+    // delete the LAST user row: the tombstone carries no role, so only the
+    // pre-image read can tell the refresh which group just vanished
+    src.merge(Seq(evR("D", 5, "b", 0, "user")).toDF(), epoch = 2L)
+    Rollup.sync(src, dst, aggs)
+    check()
+    assert(dst.read().where(col("role") === "user").count() === 0L,
+      "delete-driven vanish of a non-key group must remove the rollup row")
+    assert(dst.read().count() === 1L)
+  }
+
+  test("a non-key rollup whose watermark snapshot was expired fails sharply, naming the remedy") {
+    val src = LakeTable.create(spark, tmpDir("rexp-src") + "/t", Model.keyCols, 4)
+    val dst = LakeTable.create(spark, tmpDir("rexp-dst") + "/t", Seq("role"), 2)
+    val aggs = Seq(count(lit(1)).as("n_turns"))
+    src.merge(Seq(ev("I", 1, "a", 0)).toDF(), epoch = 0L)
+    Rollup.sync(src, dst, aggs)
+    src.merge(Seq(ev("U", 2, "a", 0, text = "v2")).toDF(), epoch = 1L)
+    src.merge(Seq(ev("I", 3, "b", 0)).toDF(), epoch = 2L)
+    src.merge(Seq(ev("I", 4, "c", 0)).toDF(), epoch = 3L)
+    // keep the change window's manifests but expire the watermark version
+    src.expireSnapshots(retainVersions = 3)
+    val e = intercept[IllegalStateException](Rollup.sync(src, dst, aggs))
+    assert(e.getMessage.contains("watermark snapshot"))
+    assert(e.getMessage.contains("expireSnapshots keep count"))
+  }
+
   test("the O(table) full-scan fallback is warned at sync time only on a non-aligned layout") {
     // capture graft.lake.Rollup's WARN stream through a log4j2 core appender
     val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
