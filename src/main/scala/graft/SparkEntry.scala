@@ -53,6 +53,30 @@ object SparkEntry {
       (s"$p/src", cut)
     }
 
+  /** Staged two-epoch lake whose `band` payload column is a function of
+    * the row's lsn — every update MOVES its row to another band, the
+    * worst case for incremental rollup maintenance (shared by
+    * cdc_rollup_mutating and cdc_rollup_additive).
+    */
+  private def stagedBandLake(s: SparkSession, dir: String): (String, Long) =
+    stageOnce(s"band-lake:$dir") {
+      import org.apache.spark.sql.functions.{lit => l}
+      val p = java.nio.file.Files.createTempDirectory("graft-band-lake").toString
+      val ev = t(s, dir, "events").select(
+        when(col("event_id") % 7 === 0, l("D"))
+          .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
+        col("event_id").as("lsn"),
+        col("user_id"), col("event_type"),
+        concat(l("b"), (col("user_id") * 31 + col("event_id")) % 97).as("band"),
+        col("value"), col("event_id").as("src_lsn"))
+      val src = graft.lake.LakeTable.create(s, s"$p/src",
+        Seq("user_id", "event_type"), numBuckets = 8)
+      src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
+      val cut = src.currentSnapshot().version
+      src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
+      (s"$p/src", cut)
+    }
+
   /** Flagship query on sf=0.001: last-writer-wins CDC state of the events
     * log keyed by (user_id, event_type) — the merge stage's core semantics.
     */
@@ -568,22 +592,7 @@ object SparkEntry {
       // recomputed from scratch over the LWW-with-deletes state in SQL —
       // any stale old band mismatches it.
       import org.apache.spark.sql.functions.{lit => l}
-      val (srcRoot, cutVersion) = stageOnce(s"band-lake:$dir") {
-        val p = java.nio.file.Files.createTempDirectory("graft-band-lake").toString
-        val ev = t(s, dir, "events").select(
-          when(col("event_id") % 7 === 0, l("D"))
-            .when(col("event_id") % 3 === 0, l("U")).otherwise(l("I")).as("op"),
-          col("event_id").as("lsn"),
-          col("user_id"), col("event_type"),
-          concat(l("b"), (col("user_id") * 31 + col("event_id")) % 97).as("band"),
-          col("value"), col("event_id").as("src_lsn"))
-        val src = graft.lake.LakeTable.create(s, s"$p/src",
-          Seq("user_id", "event_type"), numBuckets = 8)
-        src.merge(ev.where(col("lsn") % 2 === 0), epoch = 0L)
-        val cut = src.currentSnapshot().version
-        src.merge(ev.where(col("lsn") % 2 === 1), epoch = 1L)
-        (s"$p/src", cut)
-      }
+      val (srcRoot, cutVersion) = stagedBandLake(s, dir)
       val src = graft.lake.LakeTable.open(s, srcRoot)
       val aggs = Seq(count(l(1)).as("n_live"),
         sum(col("src_lsn")).as("lsn_sum"),
@@ -608,6 +617,39 @@ object SparkEntry {
                        AND op <> 'D')
       SELECT band, count(*)::BIGINT AS n_live, sum(lsn)::BIGINT AS lsn_sum,
              max(round(value, 4)) AS max_value_r
+      FROM live GROUP BY band""")),
+
+    ("cdc_rollup_additive", (s, dir) => {
+      // incremental-view-maintenance rollup (Rollup.syncAdditive): per-band
+      // count and lsn-sum folded from window deltas (new images minus
+      // watermark pre-images) with NO live-table scan on this non-aligned
+      // layout — the scale escape for additive aggregates. Same staged band
+      // lake as cdc_rollup_mutating (a mutating group: every update moves
+      // its row between bands); timed work is the incremental refresh
+      // alone. Oracle: the same sums recomputed from scratch in SQL —
+      // integer measures, so IVM arithmetic must match EXACTLY.
+      val (srcRoot, cutVersion) = stagedBandLake(s, dir)
+      val src = graft.lake.LakeTable.open(s, srcRoot)
+      val sums = Seq("lsn_sum" -> col("src_lsn"))
+      val dstRoot = stageOnce(s"band-additive-dst:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-band-additive")
+          .toString + "/roll"
+        val dst0 = graft.lake.LakeTable.create(s, p, Seq("band"), numBuckets = 4)
+        graft.lake.Rollup.syncAdditive(src, dst0, sums, toVersion = Some(cutVersion))
+        p
+      }
+      val dst = graft.lake.LakeTable.open(s, dstRoot)
+      graft.lake.Rollup.syncAdditive(src, dst, sums)
+      dst.read().select("band", "lsn_sum", "n_live")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id AS lsn, value,
+                        CASE WHEN event_id % 7 = 0 THEN 'D'
+                             WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+                 FROM events),
+      live AS (SELECT *, 'b' || ((user_id * 31 + lsn) % 97) AS band FROM e
+               QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
+                       AND op <> 'D')
+      SELECT band, sum(lsn)::BIGINT AS lsn_sum, count(*)::BIGINT AS n_live
       FROM live GROUP BY band""")),
 
     ("cdc_replicate", (s, dir) => {

@@ -225,7 +225,12 @@ object JobConfig {
         * before it, then used exactly as `toVersion`. Mutually exclusive
         * with toVersion/tag — one pin per read.
         */
-      asOf: Option[String] = None) extends ReaderPlan
+      asOf: Option[String] = None,
+      /** `additive: true` — aggregation exprs are PER-ROW expressions whose
+        * SUM the rollup maintains per group with no live-table scan
+        * ([[graft.lake.Rollup.syncAdditive]]; `n_live` row count implicit)
+        */
+      additive: Boolean = false) extends ReaderPlan
 
   sealed trait WriterPlan
   final case class FileWrite(sink: SyncJob.Sink, header: Seq[String],
@@ -316,7 +321,12 @@ object JobConfig {
         * ([[graft.engine.cdc.CdcPipeline.Scd2Follower]]); layout derived
         * from the ingest table ([[graft.lake.Scd2.createDst]])
         */
-      history: Boolean = false)
+      history: Boolean = false,
+      /** `additive: true` — aggregation exprs are PER-ROW expressions whose
+        * SUM is maintained per group with no live scan
+        * ([[graft.lake.Rollup.syncAdditive]]; `n_live` row count implicit)
+        */
+      additive: Boolean = false)
 
   /** one `routes` entry on a lakewriter — a destination of the MULTI-TABLE
     * demultiplex ([[graft.engine.cdc.CdcPipeline.Route]]): envelopes whose
@@ -599,13 +609,18 @@ object JobConfig {
           (p.long("toVersion", -1L) >= 0L || tagPin.nonEmpty || asOfPin.nonEmpty)),
         "bootstrap export (fromVersion -1) reads the current head — " +
           "toVersion/tag/asOf bound windows (fromVersion ≥ 0) and rollup cuts")
+      val additive = p.bool("additive")
+      require(!additive || aggs.nonEmpty,
+        "lakereader additive: true needs aggregations (per-row exprs whose " +
+          "SUM is maintained per group)")
       LakeRead(root, aggs,
         toVersion = Some(p.long("toVersion", -1L)).filter(_ >= 0L),
         where = Some(p.str("where")).filter(_.nonEmpty),
         columns = p.strList("column").filterNot(_ == "*"),
         fromVersion = fromVersion,
         tag = tagPin,
-        asOf = asOfPin)
+        asOf = asOfPin,
+        additive = additive)
 
     case r if outOfScope.contains(r) => throw new UnsupportedPlugin(r, outOfScope(r))
 
@@ -736,13 +751,18 @@ object JobConfig {
         require(!history || (aggs.isEmpty && keys.isEmpty),
           "a history (SCD2) follower derives its layout from the ingest " +
             "table — it takes no aggregations or primaryKey")
+        val additive = f.bool("additive")
+        require(!additive || aggs.nonEmpty,
+          "additive: true needs aggregations (per-row exprs whose SUM is " +
+            "maintained per group)")
         FollowerSpec(froot, keys,
           buckets = f.int("buckets", 32),
           distCols = f.strList("distributionColumns"),
           targetFileRows = Some(f.long("targetFileRows", 0L)).filter(_ > 0L),
           writerId = f.str("writerId"),
           aggregations = aggs,
-          history = history)
+          history = history,
+          additive = additive)
       }
     }
 

@@ -63,6 +63,13 @@ object CdcPipeline {
   final case class RollupFollower(dst: LakeTable,
       aggs: Seq[org.apache.spark.sql.Column],
       writerId: String = "rollup") extends Follower
+  /** additive rollup: `sums` are (name, per-row expr) pairs whose SUM is
+    * maintained per group with NO live-table scan on any layout — plus an
+    * implicit `n_live` row count ([[graft.lake.Rollup.syncAdditive]])
+    */
+  final case class AdditiveRollupFollower(dst: LakeTable,
+      sums: Seq[(String, org.apache.spark.sql.Column)],
+      writerId: String = "rollup") extends Follower
   /** live-database mirror co-maintained per epoch via [[JdbcApply.sync]] —
     * sound under arbitrary log reorder/duplication because the lake
     * arbitrates by `_lsn` first and the mirror ships CURRENT winners
@@ -212,6 +219,8 @@ object CdcPipeline {
     followers.foreach {
       case ReplicaFollower(dst, wid) => graft.lake.Replicate.sync(table, dst, wid)
       case RollupFollower(dst, aggs, wid) => graft.lake.Rollup.sync(table, dst, aggs, wid)
+      case AdditiveRollupFollower(dst, sums, wid) =>
+        graft.lake.Rollup.syncAdditive(table, dst, sums, wid)
       case JdbcFollower(dest) => JdbcApply.sync(table, dest)
       case FeedFollower(dir, format, keys) => CdcFeed.sync(table, dir, format, keys)
       case Scd2Follower(dst, wid) => graft.lake.Scd2.sync(table, dst, wid)

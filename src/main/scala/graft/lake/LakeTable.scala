@@ -781,6 +781,15 @@ final class LakeTable(
     *     (read in parallel); the skew-factor metric derives from the bucket
     *     counts — no second pass over the data, ever.
     *  2. Compaction (only for over-threshold buckets) + atomic commit.
+    *
+    * `expectPrevEpoch` is a compare-and-set on the writer's lineage: the
+    * commit (checked inside the OCC loop, so it holds under any rebase
+    * interleaving) aborts with [[LakeTable.ConcurrentRefreshException]]
+    * when the writer's last epoch is not exactly this value. Pass it when
+    * the batch is a NON-idempotent delta computed FROM that previous epoch
+    * (additive rollup windows): a concurrent refresher that advanced the
+    * lineage means this delta's window overlaps an applied one and must be
+    * recomputed, not committed.
     */
   /** Shared ingest prep for [[merge]] and [[bulkLoad]] — ONE definition so
     * the two ingest paths can never silently diverge on schema or
@@ -844,7 +853,8 @@ final class LakeTable(
   }
 
   def merge(batch: DataFrame, epoch: Long,
-      writerId: String = DefaultWriter): MergeStats = {
+      writerId: String = DefaultWriter,
+      expectPrevEpoch: Option[Long] = None): MergeStats = {
     val tStart = System.nanoTime()
     val snap = currentSnapshot()
     if (epoch <= snap.lastEpochFor(writerId))
@@ -901,6 +911,17 @@ final class LakeTable(
         val base = if (attempt == 0) snap else currentSnapshot()
         if (epoch <= base.lastEpochFor(writerId)) // THIS writer's epoch won elsewhere
           return MergeStats(epoch, skipped = true, 0, 0, 0, 0, 0, base.rows, 1.0)
+        // compare-and-set on the writer's lineage (merge scaladoc): a
+        // non-idempotent delta computed from a previous epoch must not land
+        // on a lineage another refresher already advanced
+        expectPrevEpoch.foreach { want =>
+          val have = base.lastEpochFor(writerId)
+          if (have != want) throw new ConcurrentRefreshException(
+            s"merge epoch $epoch (writer $writerId) into $root aborted: the " +
+              s"batch was computed from previous epoch $want but the lineage " +
+              s"is now at $have — a concurrent refresher applied an " +
+              "overlapping window; recompute from the new watermark and re-run")
+        }
         val st = mkStats(base)
         try {
           commitSnapshot(mkSnap(base).copy(version = base.version + 1,
@@ -1826,6 +1847,14 @@ object LakeTable {
     * surface it — run them single-writer or retry at the call site.
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** A merge carrying `expectPrevEpoch` found the writer's lineage already
+    * advanced past it — a concurrent refresher applied an overlapping
+    * window. Thrown instead of committing because NON-idempotent payloads
+    * (additive rollup deltas, [[Rollup.syncAdditive]]) would double-count;
+    * the caller should recompute from the new watermark and re-run.
+    */
+  final class ConcurrentRefreshException(msg: String) extends RuntimeException(msg)
 
   val LsnCol = "_lsn"
   val BucketCol = "_bucket"

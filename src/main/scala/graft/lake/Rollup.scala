@@ -110,19 +110,7 @@ object Rollup {
             // time-travel read pruned to the buckets the keys hash to
             // (keys carry the distribution columns on every layout), so
             // the cost is O(changed buckets), never O(table)
-            val changedKeys = window.select(src.keyCols.map(col): _*).distinct()
-            val oldRows =
-              try src.readVersionBuckets(since, src.bucketsFor(changedKeys))
-              catch {
-                case e: IllegalArgumentException => throw new IllegalStateException(
-                  s"rollup refresh of ${dst.root}: watermark snapshot $since " +
-                    s"of ${src.root} is no longer readable — groups on non-key " +
-                    "columns need the previous cut's pre-images to catch rows " +
-                    "that LEFT a group. Retain source snapshots past the sync " +
-                    "cadence (expireSnapshots keep count, or tag the watermark " +
-                    "version), or re-bootstrap the rollup into a fresh table", e)
-              }
-            val oldGroups = oldRows.join(changedKeys, src.keyCols, "left_semi")
+            val oldGroups = preImages(src, window, since, dst.root)
               .select(groupCols.map(col): _*).distinct()
             dirtyNew.unionByName(oldGroups).distinct()
           }
@@ -148,24 +136,13 @@ object Rollup {
                 s"recompute scans the FULL live table (${snap.rows} rows, " +
                 s"${snap.files.length} files) every sync; lay the source out " +
                 s"with distributionColumns = groupCols for O(dirty-bucket) " +
-                s"refreshes, or keep additive aggregates folded from the " +
-                s"change window")
+                s"refreshes, or maintain count/sum aggregates with " +
+                s"Rollup.syncAdditive (no live scan on any layout)")
             toVersion.map(src.readVersion).getOrElse(src.read())
           }
-        // null-safe (<=>) group joins: a payload group column may hold null
-        // as a legitimate group value, which must scope the recompute (and
-        // the vanish anti-join) like any other value; right sides are
-        // renamed so the conditions resolve unambiguously against
-        // shared-lineage plans
-        def nullSafe(left: DataFrame, right: DataFrame, pfx: String,
-            how: String): DataFrame = {
-          val r = right.select(groupCols.map(c => col(c).as(pfx + c)): _*)
-          left.join(r, groupCols.map(c => col(c) <=> col(pfx + c))
-            .reduce(_ && _), how)
-        }
-        val agg = nullSafe(live, dirty, "__d_", "left_semi")
+        val agg = nullSafe(groupCols, live, dirty, "__d_", "left_semi")
           .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        val gone = nullSafe(dirty, agg, "__a_", "left_anti")
+        val gone = nullSafe(groupCols, dirty, agg, "__a_", "left_anti")
         agg.withColumn("op", lit("U"))
           .unionByName(gone.withColumn("op", lit("D")), allowMissingColumns = true)
       }
@@ -181,6 +158,158 @@ object Rollup {
     else dst.merge(out, epoch = head, writerId = writerId)
   }
 
+  /** Incremental refresh for PURELY ADDITIVE rollups (SUM-shaped
+    * aggregates, row count included) — the classic incremental-view-
+    * maintenance shape: per-group deltas diff the table's RESOLVED states
+    * at head vs at the watermark snapshot for the window's changed keys
+    * (state-diff, not window winners — so a late-redelivered lower-lsn
+    * change that loses to the watermark state under LWW contributes
+    * nothing), then add onto the destination's current values. NO
+    * live-table scan on ANY layout: both state reads are pruned to the
+    * buckets the changed keys hash to (O(changed buckets)) and the
+    * destination read to the
+    * buckets the delta groups hash to (O(dirty dst buckets)) — this is the
+    * scale escape for rollups whose source layout is not group-aligned,
+    * where [[sync]]'s general recompute must scan the full table.
+    *
+    * `sums` are `(name, rowExpr)` pairs, each maintaining
+    * `SUM(rowExpr)` per group (a conditional count is
+    * `when(cond, 1).otherwise(0)`); a row count is always maintained as
+    * `n_live` (it also drives vanish detection: a group whose count
+    * reaches zero is deleted from the rollup — and resurrection restarts
+    * it from zero, matching live state). Group columns may be non-key and
+    * MUTATING — deltas see both sides of a move by construction. Same
+    * watermark/epoch-lineage contract as [[sync]], including the sharp
+    * error when the watermark snapshot was expired — plus a commit-time
+    * compare-and-set on the writer's lineage (deltas are not idempotent,
+    * so an overlapping concurrent refresher aborts with
+    * [[LakeTable.ConcurrentRefreshException]] instead of double-counting;
+    * recompute from the new watermark and re-run).
+    *
+    * EXACTNESS: integer/decimal sums are exact. Floating-point sums drift
+    * from a from-scratch recompute by accumulation order and cancellation
+    * (standard IVM caveat) — prefer integer or decimal measures for
+    * rollups that must hash-match an oracle.
+    */
+  def syncAdditive(src: LakeTable, dst: LakeTable,
+      sums: Seq[(String, Column)],
+      writerId: String = "rollup",
+      toVersion: Option[Long] = None): LakeTable.MergeStats = {
+    require(sums.nonEmpty, "additive rollup needs at least one (name, expr) sum")
+    val names = sums.map(_._1)
+    require(names.distinct == names && !names.contains("n_live"),
+      s"sum names must be distinct and not shadow n_live: $names")
+    val groupCols = dst.keyCols
+    val head = toVersion.getOrElse(src.currentSnapshot().version)
+    val since = dst.currentSnapshot().lastEpochFor(writerId)
+    if (head <= since)
+      return LakeTable.MergeStats(head, skipped = true, 0, 0, 0, 0, 0,
+        dst.currentSnapshot().rows, 1.0)
+    val measures = sums :+ ("n_live", lit(1L))
+    def aggTo(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(measures.head._2).as(pfx + measures.head._1),
+          measures.tail.map { case (n, e) => sum(e).as(pfx + n) }: _*)
+    val events =
+      if (since < 0L) {
+        val live = toVersion.map(src.readVersion).getOrElse(src.read())
+        aggTo(live, "").withColumn("op", lit("U"))
+      } else {
+        val window = src.readChangesBetween(since, head)
+        val changedKeys = window.select(src.keyCols.map(col): _*).distinct()
+        val bs = src.bucketsFor(changedKeys)
+        // deltas diff the table's RESOLVED states at head vs watermark for
+        // the changed keys — NOT the window's own winners: under LWW a
+        // late-redelivered lower-lsn change in the window LOSES to the
+        // watermark state and must contribute nothing (the same
+        // window-winner trap readChangesForKeys documents). Both reads are
+        // pruned to the changed keys' buckets.
+        val post = src.readVersionBuckets(head, bs)
+          .join(changedKeys, src.keyCols, "left_semi")
+        val pre = watermarkRead(src, since, bs, dst.root)
+          .join(changedKeys, src.keyCols, "left_semi")
+        val plus = aggTo(post, "p_")
+        val minus = aggTo(pre, "m_")
+        // full-outer on the group (null-safe; right side renamed): delta =
+        // window contribution minus watermark contribution per group —
+        // groups only inserted into have no minus row, groups only left
+        // have no plus row, and a matched group's values are equal so
+        // either side's group tuple works
+        val mR = minus.select((groupCols.map(c => col(c).as("__m_" + c)) ++
+          measures.map { case (n, _) => col("m_" + n) }): _*)
+        val delta = plus.join(mR,
+            groupCols.map(c => col(c) <=> col("__m_" + c)).reduce(_ && _),
+            "full_outer")
+          .select((groupCols.map(c => coalesce(col(c), col("__m_" + c)).as(c)) ++
+            measures.map { case (n, _) =>
+              (coalesce(col("p_" + n), lit(0)) - coalesce(col("m_" + n), lit(0)))
+                .as("d_" + n)
+            }): _*)
+        // current rollup values for the delta groups — dst is keyed (and so
+        // distributed) by the group columns, so this read is pruned to the
+        // dirty groups' own buckets
+        val cur = dst.readBuckets(dst.bucketsFor(delta.select(groupCols.map(col): _*)))
+        val cR = cur.select((groupCols.map(c => col(c).as("__c_" + c)) ++
+          measures.map { case (n, _) => col(n).as("c_" + n) }): _*)
+        val next = delta.join(cR,
+            groupCols.map(c => col(c) <=> col("__c_" + c)).reduce(_ && _),
+            "left_outer")
+          .select((groupCols.map(col) ++ measures.map { case (n, _) =>
+            (coalesce(col("c_" + n), lit(0)) + col("d_" + n)).as(n)
+          }): _*)
+        next.withColumn("op",
+          when(col("n_live") === 0L, lit("D")).otherwise(lit("U")))
+      }
+    val out = events.withColumn("lsn", lit(head))
+    if (since < 0L && dst.currentSnapshot().files.isEmpty)
+      dst.bulkLoad(out, epoch = head, writerId = writerId)
+    // deltas are NOT idempotent at the data level: the epoch CAS makes a
+    // racing refresher abort (ConcurrentRefreshException) instead of
+    // double-counting an overlapping window
+    else dst.merge(out, epoch = head, writerId = writerId,
+      expectPrevEpoch = if (since >= 0L) Some(since) else None)
+  }
+
+  /** Pre-images of `window`'s changed keys at the watermark snapshot
+    * `since` — a time-travel read pruned to the buckets the keys hash to
+    * (keys always carry the distribution columns), O(changed buckets).
+    * Fails sharply when the watermark snapshot was expired, naming the
+    * retention remedy.
+    */
+  private def preImages(src: LakeTable, window: DataFrame, since: Long,
+      dstRoot: String): DataFrame = {
+    val changedKeys = window.select(src.keyCols.map(col): _*).distinct()
+    watermarkRead(src, since, src.bucketsFor(changedKeys), dstRoot)
+      .join(changedKeys, src.keyCols, "left_semi")
+  }
+
+  /** Bucket-pruned time-travel read at the watermark snapshot, failing
+    * sharply (with the retention remedy named) when it was expired.
+    */
+  private def watermarkRead(src: LakeTable, since: Long, buckets: Set[Int],
+      dstRoot: String): DataFrame =
+    try src.readVersionBuckets(since, buckets)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalStateException(
+        s"rollup refresh of $dstRoot: watermark snapshot $since " +
+          s"of ${src.root} is no longer readable — the incremental " +
+          "refresh needs the previous cut's pre-images. Retain source " +
+          "snapshots past the sync cadence (expireSnapshots keep count, " +
+          "or tag the watermark version), or re-bootstrap the rollup " +
+          "into a fresh table", e)
+    }
+
+  /** Null-safe (<=>) group join with the right side's group columns
+    * renamed under `pfx`, so conditions resolve unambiguously against
+    * shared-lineage plans and null group values scope like any other.
+    */
+  private def nullSafe(groupCols: Seq[String], left: DataFrame,
+      right: DataFrame, pfx: String, how: String): DataFrame = {
+    val r = right.select(groupCols.map(c => col(c).as(pfx + c)): _*)
+    left.join(r, groupCols.map(c => col(c) <=> col(pfx + c))
+      .reduce(_ && _), how)
+  }
+
   /** The standard per-conversation rollup for the transcript model
     * ([[graft.core.Model.Turn]]): turn count, character volume, tool-call
     * count, and the latest turn timestamp. Used by the LakeMaint `rollup`
@@ -191,4 +320,13 @@ object Rollup {
     sum(length(col("text"))).as("n_chars"),
     count(col("tool")).as("n_tool_calls"),
     max(col("ts")).as("last_ts"))
+
+  /** The additive subset of [[transcriptAggs]] as (name, per-row expr)
+    * pairs for [[syncAdditive]] (which also maintains `n_live`, subsuming
+    * n_turns; `last_ts` is NOT additive — a max cannot retract on delete —
+    * so the additive rollup drops it). Used by LakeMaint `rollupadd`.
+    */
+  def transcriptSums: Seq[(String, Column)] = Seq(
+    "n_chars" -> coalesce(length(col("text")).cast("long"), lit(0L)),
+    "n_tool_calls" -> when(col("tool").isNotNull, 1L).otherwise(0L))
 }

@@ -81,6 +81,10 @@ import graft.lake.LakeTable
   *                                 last ts; default group conv_id) from the
   *                                 committed change log — only groups
   *                                 changed since the last refresh recompute
+  *   rollupadd <dstRoot> [group] — additive variant (turns/chars/tool
+  *                                 calls as SUMs + n_live): state-diff
+  *                                 deltas, NO live scan on any layout
+  *                                 ([[graft.lake.Rollup.syncAdditive]])
   *   scd2 <dstRoot>             — incrementally extend an SCD Type-2
   *                                 history table ([[graft.lake.Scd2]]): one
   *                                 row per (key, commit that touched it)
@@ -285,6 +289,20 @@ object LakeMaint {
         val st = graft.lake.Rollup.sync(table, dst, graft.lake.Rollup.transcriptAggs)
         println(if (st.skipped) s"rollup ${args(2)} already at source head"
           else s"rollup -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
+            s"groups physicalRows=${dst.currentSnapshot().rows}")
+      case "rollupadd" =>
+        require(args.length >= 3, "rollupadd <dstRoot> [groupCol]")
+        // additive variant (Rollup.syncAdditive): per-group SUMs folded
+        // from state diffs of the changed keys — NO live-table scan on any
+        // layout, so it stays O(changes) even when the group column is not
+        // the source's distribution key (e.g. role)
+        val groupCol = if (args.length >= 4) args(3) else "conv_id"
+        val dst = LakeTable.create(spark, args(2), Seq(groupCol),
+          math.max(8, table.numBuckets / 4), targetFileRows = table.targetFileRows)
+        val st = graft.lake.Rollup.syncAdditive(table, dst,
+          graft.lake.Rollup.transcriptSums)
+        println(if (st.skipped) s"rollupadd ${args(2)} already at source head"
+          else s"rollupadd -> ${args(2)} group=$groupCol refreshed=${st.rowsApplied} " +
             s"groups physicalRows=${dst.currentSnapshot().rows}")
       case "stateat" =>
         require(args.length >= 3, "stateat <lsnCut> [limit] — run against an scd2 history table")

@@ -228,7 +228,13 @@ object RunJob {
       if (lw.writerId != graft.lake.LakeTable.DefaultWriter) lw.writerId
       else if (rollup) "rollup" else "replication"
     val st =
-      if (rollup) {
+      if (rollup && lr.additive) {
+        val sums = lr.aggregations.map { case (n, e) =>
+          (n, org.apache.spark.sql.functions.expr(e))
+        }
+        graft.lake.Rollup.syncAdditive(src, dst, sums, writerId = wid,
+          toVersion = pinnedVersion(src, lr))
+      } else if (rollup) {
         val aggs = lr.aggregations.map { case (n, e) =>
           org.apache.spark.sql.functions.expr(e).as(n)
         }
@@ -431,7 +437,12 @@ object RunJob {
           targetFileRows = f.targetFileRows)
         val wid = if (f.writerId.nonEmpty) f.writerId
           else if (rollup) "rollup" else "replication"
-        if (rollup) {
+        if (rollup && f.additive) {
+          val sums = f.aggregations.map { case (n, e) =>
+            (n, org.apache.spark.sql.functions.expr(e))
+          }
+          graft.engine.cdc.CdcPipeline.AdditiveRollupFollower(dst, sums, wid)
+        } else if (rollup) {
           val aggs = f.aggregations.map { case (n, e) =>
             org.apache.spark.sql.functions.expr(e).as(n)
           }

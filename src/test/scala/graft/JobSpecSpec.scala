@@ -549,6 +549,47 @@ class JobSpecSpec extends SparkSpec {
     assert(got2 === want2)
   }
 
+  test("lakereader additive rollup config: no-live-scan sums over a mutating group from JSON") {
+    val work = tmpDir("lakerolladd")
+    val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 4)
+    def ev(op: String, lsn: Long, conv: String, turn: Int, role: String) =
+      Model.ChangeEvent(op, lsn, new java.sql.Timestamp(1704067200000L + lsn * 1000L),
+        conv, turn, Some(role), Some("x" * (turn + 1)), None)
+    src.merge((0 until 30).map(i =>
+      ev("I", i.toLong, s"c${i % 5}", i / 5, if (i % 2 == 0) "user" else "assistant"))
+      .toDF(), epoch = 0L)
+
+    // group by ROLE (a non-key, mutable payload column) with per-row sum exprs
+    val spec = JobConfig.parse(s"""{"job": {"content": [{
+      "reader": {"name": "lakereader", "parameter": {"path": "$work/src",
+        "additive": true,
+        "aggregations": [{"name": "n_chars", "expr": "length(text)"}]}},
+      "writer": {"name": "lakewriter", "parameter": {
+        "path": "$work/dst", "primaryKey": ["role"], "buckets": 2}}}]}}""")
+    RunJob.run(spark, spec)
+    def want() = src.read().groupBy("role").agg(
+      sum(length($"text")).as("n_chars"), count(lit(1)).as("n_live"))
+      .collect().toSet
+    def got() = LakeTable.open(spark, s"$work/dst").read()
+      .select("role", "n_chars", "n_live").collect().toSet
+    assert(got() === want())
+    // a MOVE between groups plus a delete, re-run: deltas land exactly
+    src.merge(Seq(ev("U", 100, "c0", 0, "assistant"),
+      ev("D", 101, "c1", 0, "user")).toDF(), epoch = 1L)
+    assert(RunJob.run(spark, spec).head.rowsWritten > 0L)
+    assert(got() === want())
+    // replay is epoch-skipped
+    assert(RunJob.run(spark, spec).head.rowsWritten === 0L)
+
+    // additive without aggregations is rejected at translate time
+    val e = intercept[IllegalArgumentException](
+      JobConfig.translate(JobConfig.parse(s"""{"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": "$work/src", "additive": true}},
+        "writer": {"name": "lakewriter", "parameter": {
+          "path": "$work/dst2", "primaryKey": ["role"]}}}]}}""")))
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("lakereader with a file writer exports the resolved state; aggregations without lakewriter fail") {
     val work = tmpDir("lakeexp")
     val src = LakeTable.create(spark, s"$work/src", Model.keyCols, 2)

@@ -138,6 +138,105 @@ class RollupSpec extends SparkSpec {
     assert(dst.read().count() === 1L)
   }
 
+  test("syncAdditive folds deltas with no live scan: moves, vanishes, and resurrection converge") {
+    // capture Rollup's WARN stream: the additive path must NEVER hit the
+    // O(table) full-scan fallback, even on this non-aligned layout
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "rollup-add-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(org.apache.logging.log4j.Level.WARN))
+          captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val core = org.apache.logging.log4j.LogManager.getLogger(Rollup.getClass)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    core.addAppender(appender)
+    try {
+      val src = LakeTable.create(spark, tmpDir("radd-src") + "/t", Model.keyCols, 4)
+      val dst = LakeTable.create(spark, tmpDir("radd-dst") + "/t", Seq("role"), 2)
+      val sums = Seq("n_chars" -> length(col("text")).cast("long"),
+        "n_tools" -> when(col("tool").isNotNull, 1L).otherwise(0L))
+      def evR(op: String, lsn: Long, conv: String, turn: Int, role: String,
+          text: String = "x", tool: Option[String] = None): Model.ChangeEvent =
+        Model.ChangeEvent(op, lsn, new Timestamp(1704067200000L + lsn * 1000L),
+          conv, turn, Some(role), Some(text), tool)
+      def check(): Unit = {
+        val got = dst.read().select("role", "n_chars", "n_tools", "n_live")
+        val want = src.read().groupBy("role").agg(
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tools"),
+          count(lit(1)).as("n_live"))
+        val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+        assert(diff === 0L, s"additive rollup mismatch: $diff differing rows")
+      }
+
+      src.merge(Seq(evR("I", 1, "a", 0, "user", text = "hello"),
+        evR("I", 2, "a", 1, "assistant", tool = Some("calc")),
+        evR("I", 3, "b", 0, "user", text = "hey")).toDF(), epoch = 0L)
+      assert(!Rollup.syncAdditive(src, dst, sums).skipped)
+      check()
+      // replay is epoch-skipped
+      assert(Rollup.syncAdditive(src, dst, sums).skipped)
+
+      // move (a,0) user→assistant, grow b's text, delete (a,1)
+      src.merge(Seq(evR("U", 4, "a", 0, "assistant", text = "moved"),
+        evR("U", 5, "b", 0, "user", text = "longer now"),
+        evR("D", 6, "a", 1, "assistant")).toDF(), epoch = 1L)
+      assert(!Rollup.syncAdditive(src, dst, sums).skipped)
+      check()
+
+      // vanish: delete the last user row → user leaves the rollup
+      src.merge(Seq(evR("D", 7, "b", 0, "user")).toDF(), epoch = 2L)
+      Rollup.syncAdditive(src, dst, sums)
+      check()
+      assert(dst.read().where(col("role") === "user").count() === 0L)
+
+      // resurrect: user reappears, restarted from zero
+      src.merge(Seq(evR("I", 8, "c", 0, "user", text = "back")).toDF(), epoch = 3L)
+      Rollup.syncAdditive(src, dst, sums)
+      check()
+      assert(dst.read().where(col("role") === "user").select("n_live")
+        .head().getLong(0) === 1L)
+
+      // late redelivery: a LOWER-lsn change merged in a later epoch loses
+      // to the current state under LWW — the additive delta must see the
+      // state diff (zero), not the window's own winner
+      src.merge(Seq(evR("U", 2, "a", 0, "user", text = "stale replay")).toDF(), epoch = 4L)
+      Rollup.syncAdditive(src, dst, sums)
+      check()
+      assert(dst.read().where(col("role") === "user").select("n_live")
+        .head().getLong(0) === 1L, "a losing redelivered change must contribute nothing")
+
+      assert(captured.isEmpty,
+        s"additive refresh must never warn about a full live scan, got $captured")
+    } finally {
+      core.removeAppender(appender)
+      appender.stop()
+    }
+  }
+
+  test("the epoch compare-and-set aborts an overlapping non-idempotent window instead of double-counting") {
+    val dst = LakeTable.create(spark, tmpDir("rcas-dst") + "/t", Seq("role"), 2)
+    def row(lsn: Long, role: String, n: Long) = (role, n, "U", lsn)
+    // writer 'r' lineage: epoch 5 applied
+    dst.merge(Seq(row(1, "user", 2L)).toDF("role", "n_live", "op", "lsn"),
+      epoch = 5L, writerId = "r")
+    // a delta computed FROM epoch 5 lands fine with the CAS
+    dst.merge(Seq(row(2, "user", 3L)).toDF("role", "n_live", "op", "lsn"),
+      epoch = 7L, writerId = "r", expectPrevEpoch = Some(5L))
+    // a racing refresher's delta computed from the STALE epoch 5 must abort
+    val e = intercept[LakeTable.ConcurrentRefreshException] {
+      dst.merge(Seq(row(3, "user", 9L)).toDF("role", "n_live", "op", "lsn"),
+        epoch = 9L, writerId = "r", expectPrevEpoch = Some(5L))
+    }
+    assert(e.getMessage.contains("overlapping window"))
+    // the aborted delta left no trace; the CAS-clean value stands
+    assert(dst.read().where(col("role") === "user").select("n_live")
+      .head().getLong(0) === 3L)
+  }
+
   test("a non-key rollup whose watermark snapshot was expired fails sharply, naming the remedy") {
     val src = LakeTable.create(spark, tmpDir("rexp-src") + "/t", Model.keyCols, 4)
     val dst = LakeTable.create(spark, tmpDir("rexp-dst") + "/t", Seq("role"), 2)
