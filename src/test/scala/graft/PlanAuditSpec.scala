@@ -133,6 +133,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"anchors should explode probed cells:\n$plan")
   }
 
+  test("null-safe group joins plan as hash joins — the rollup delta path never cross-joins") {
+    // Rollup.sync/syncAdditive scope recomputes and fold deltas through
+    // <=> (EqualNullSafe) join conditions so null group values behave like
+    // any other; this pins the Spark property that a <=>-only condition
+    // still plans as a hash join, not BroadcastNestedLoopJoin
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(("g1", 1L), (null.asInstanceOf[String], 2L)).toDF("band", "v")
+    val b = Seq(("g1", 10L), (null.asInstanceOf[String], 20L)).toDF("band", "d")
+      .select(col("band").as("__m_band"), col("d"))
+    val joined = a.join(b, col("band") <=> col("__m_band"), "full_outer")
+    val plan = planOf(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"<=> group joins must hash-join:\n$plan")
+    // and the null group genuinely matches the null group
+    assert(joined.where(col("band").isNull && col("d") === 20L).count() === 1L)
+  }
+
   test("vec_dot is codegen-compatible (no CodegenFallback in similarity scan)") {
     val df = SparkEntry.queries("sim_topk")(spark, sfDir)
     val plan = planOf(df)
