@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gen, Model}
+import graft.lake.{LakeTable, Rollup}
+
+/** Property-style fuzz for the ROLLUP family, mirroring [[ReplayFuzzSpec]]'s
+  * sweep: for several seeds and ARBITRARY epoch boundaries (round-robin,
+  * contiguous with a duplicated epoch, hash-scrambled so lsn order is
+  * violated across epochs), three rollups maintained per epoch must all
+  * land on the independently computed global-LWW oracle's aggregates:
+  *
+  *  - key-derived groups (`conv_id` ⊂ key): the stable-group path — new
+  *    images alone are sufficient dirty evidence;
+  *  - MUTATING payload groups (`role`, which [[Gen]] re-rolls on every
+  *    update of a key): the watermark pre-image path — moved-out groups
+  *    must recompute and delete-driven vanishes must land as deletes;
+  *  - purely additive (`Rollup.syncAdditive`): the state-diff IVM path —
+  *    scrambled epochs deliver lower-lsn changes late, which must
+  *    contribute NOTHING once the watermark state already outranks them.
+  *
+  * On top of convergence, the sweep pins cadence invariance (a rollup
+  * refreshed once at the end equals the per-epoch one — both equal the
+  * oracle) and exactly-once refresh replays (an unchanged head skips).
+  * The mutating-group and additive paths are exactly the ones whose
+  * directed tests in [[RollupSpec]] use hand-picked 3-row scenarios; this
+  * sweeps them across thousands of generated moves, deletes, duplicates
+  * and out-of-order windows.
+  */
+class RollupFuzzSpec extends SparkSpec {
+
+  /** Arrival index recovered from lsn (same involution as ReplayFuzzSpec). */
+  private def arrivalIdx: Column =
+    col("lsn").bitwiseAND(lit(~63L))
+      .bitwiseOR(col("lsn").bitwiseAND(lit(63L)).bitwiseXOR(lit(42L)))
+
+  private val roleAggs = Seq(count(lit(1)).as("n_turns"),
+    sum(length(col("text")).cast("long")).as("n_chars"))
+
+  private def diff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  private def check(seed: Long, epochOf: Column => Column, nEpochs: Int,
+      replayEpoch: Option[Int] = None): Unit = {
+    val cfg = Gen.GenConfig(seed = seed, nEvents = 3000L, nConvs = 40L,
+      maxTurns = 16, partitions = 4)
+    val src = LakeTable.create(spark, tmpDir(s"rfz$seed") + "/src", Model.keyCols, 4)
+    val convDst = LakeTable.create(spark, tmpDir(s"rfzc$seed") + "/d", Seq("conv_id"), 2)
+    val roleDst = LakeTable.create(spark, tmpDir(s"rfzr$seed") + "/d", Seq("role"), 2)
+    val addDst = LakeTable.create(spark, tmpDir(s"rfza$seed") + "/d", Seq("role"), 2)
+
+    val all = Gen.changeEvents(spark, cfg).toDF()
+    (0 until nEpochs).foreach { e =>
+      val batch = all.filter(epochOf(arrivalIdx) === e)
+      src.merge(batch, e.toLong)
+      // duplicate epoch delivery into the SOURCE — must skip, and the
+      // rollups must see exactly one application's worth of state
+      replayEpoch.filter(_ == e).foreach(_ => src.merge(batch, e.toLong))
+      Rollup.sync(src, convDst, Rollup.transcriptAggs, writerId = "conv")
+      Rollup.sync(src, roleDst, roleAggs, writerId = "role")
+      Rollup.syncAdditive(src, addDst, Rollup.transcriptSums, writerId = "add")
+    }
+    // a refresh replayed at an unchanged source head is exactly-once skipped
+    assert(Rollup.sync(src, convDst, Rollup.transcriptAggs, writerId = "conv").skipped)
+    assert(Rollup.sync(src, roleDst, roleAggs, writerId = "role").skipped)
+    assert(Rollup.syncAdditive(src, addDst, Rollup.transcriptSums, writerId = "add").skipped)
+
+    val state = Gen.expectedState(spark, cfg).toDF()
+
+    val convWant = state.groupBy("conv_id")
+      .agg(Rollup.transcriptAggs.head, Rollup.transcriptAggs.tail: _*)
+    val convGot = convDst.read()
+      .select("conv_id", "n_turns", "n_chars", "n_tool_calls", "last_ts")
+    assert(diff(convGot, convWant) === 0L, s"seed=$seed: conv rollup diverges")
+
+    val roleWant = state.groupBy("role").agg(roleAggs.head, roleAggs.tail: _*)
+    val roleGot = roleDst.read().select("role", "n_turns", "n_chars")
+    assert(diff(roleGot, roleWant) === 0L, s"seed=$seed: mutating-group rollup diverges")
+
+    val addWant = state.groupBy("role").agg(
+      sum(coalesce(length(col("text")).cast("long"), lit(0L))).as("n_chars"),
+      sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_calls"),
+      count(lit(1)).as("n_live"))
+    val addGot = addDst.read().select("role", "n_chars", "n_tool_calls", "n_live")
+    assert(diff(addGot, addWant) === 0L, s"seed=$seed: additive rollup diverges")
+
+    // cadence invariance: a consumer refreshing ONCE at the end must land
+    // on the same aggregates as the per-epoch consumer (and the oracle)
+    val onceRole = LakeTable.create(spark, tmpDir(s"rfzor$seed") + "/d", Seq("role"), 2)
+    Rollup.sync(src, onceRole, roleAggs, writerId = "role")
+    assert(diff(onceRole.read().select("role", "n_turns", "n_chars"), roleWant) === 0L,
+      s"seed=$seed: end-only sync rollup diverges from per-epoch cadence")
+    val onceAdd = LakeTable.create(spark, tmpDir(s"rfzoa$seed") + "/d", Seq("role"), 2)
+    Rollup.syncAdditive(src, onceAdd, Rollup.transcriptSums, writerId = "add")
+    assert(diff(onceAdd.read().select("role", "n_chars", "n_tool_calls", "n_live"),
+      addWant) === 0L,
+      s"seed=$seed: end-only additive rollup diverges from per-epoch cadence")
+  }
+
+  test("round-robin epoch split: all three rollup paths reach the oracle aggregates") {
+    check(seed = 31L, epochOf = i => pmod(i, lit(3)).cast("int"), nEpochs = 3)
+  }
+
+  test("contiguous split with a duplicated source epoch: rollups see exactly-once state") {
+    check(seed = 37L, epochOf = i => floor(i / 1000L).cast("int"), nEpochs = 3,
+      replayEpoch = Some(1))
+  }
+
+  test("hash-scrambled split (late redelivery across epochs): state-diff additive stays exact") {
+    check(seed = 41L, epochOf = i => pmod(xxhash64(i + 7L), lit(4)).cast("int"),
+      nEpochs = 4)
+  }
+}
