@@ -20,6 +20,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism floor (optimization guide §2.5 "input skew" / §6):
+    * the test-scale tables are single-split parquet files (one row group
+    * each), so without this every narrow per-row stage — JSON codecs,
+    * regexes, hashing, dot products — runs on ONE core no matter how many
+    * the session has. When a scan yields fewer partitions than the
+    * cluster's parallelism, round-robin repartition once right after the
+    * read; at production scale a table scan has ≥ cores splits and this is
+    * a structural no-op (no exchange in the plan). Applied only where the
+    * downstream per-row compute dominates the exchange cost — aggregation
+    * anchors whose scan feeds a keyed shuffle directly gain nothing from
+    * an extra hop and keep their minimal plans. Never applied where a
+    * partitioning change could alter float accumulation order of a timed
+    * result (the k-means trainer: d_embed_clusters / sim_ann_ivf).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Once-per-(JVM, sfDir) fixture staging: queries that need a derived
     * artifact (the typed-CSV fixture, the materialized IVF index) build it
     * on FIRST use and reuse it after, so the artifact cost lands in Bench's
@@ -111,7 +130,10 @@ object SparkEntry {
   private def envelopeState(s: SparkSession, dir: String)(
       enc: (DataFrame, Seq[String]) => DataFrame,
       dec: DataFrame => DataFrame): DataFrame = {
-    val raw = t(s, dir, "events").select(
+    // spread BEFORE the codec round trip: encode+decode is the heavy
+    // per-row work this harness measures, and the single-split source
+    // would otherwise serialize it through one task (guide §2.5)
+    val raw = spread(t(s, dir, "events")).select(
       when(pmod(col("event_id"), lit(7)) === 0, "D")
         .when(pmod(col("event_id"), lit(3)) === 0, "U").otherwise("I").as("op"),
       col("event_id").as("lsn"),
@@ -132,10 +154,15 @@ object SparkEntry {
     * UNIQUE order key), so the oracles recompute the same turn table in SQL.
     */
   private def transcriptTurns(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("event_id")
+    // the window partitions by the OUTPUT column (conv_id), not the source
+    // column it aliases: partitioning by user_id and then dropping it left
+    // the window's exchange unusable downstream, so every tr_* aggregate
+    // keyed on conv_id paid a second shuffle (r06 plan audit: 3 exchanges
+    // → 2). Same row_number, identical rows.
+    val w = Window.partitionBy("conv_id").orderBy("event_id")
     t(s, dir, "events").select(
       col("user_id").as("conv_id"),
-      (row_number().over(w) - 1).as("turn_idx"),
+      col("event_id"),
       when(pmod(col("event_id"), lit(3)) === 0, "user")
         .when(pmod(col("event_id"), lit(3)) === 1, "assistant")
         .otherwise("tool").as("role"),
@@ -143,6 +170,8 @@ object SparkEntry {
       col("event_type").as("etype"),
       when(pmod(col("event_id"), lit(5)) === 0, col("event_type")).as("tool"),
       col("value"), col("ts"))
+      .withColumn("turn_idx", row_number().over(w) - 1)
+      .drop("event_id")
   }
   private val transcriptTurnsSql = """
       turns AS (SELECT user_id AS conv_id,
@@ -215,7 +244,10 @@ object SparkEntry {
       import graft.engine.SyncJob
       val tmp = stageOnce(s"typed-csv:$dir") {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft-typed-csv-${dir.hashCode}"
-        t(s, dir, "orders").select(
+        // spread so the fixture lands as one file per core: the TIMED work
+        // (csv parse + 6-format date fallback) then parallelizes instead of
+        // running as one task over one unsplittable csv (guide §2.5)
+        spread(t(s, dir, "orders")).select(
             col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"),
             col("o_totalprice"),
@@ -248,7 +280,8 @@ object SparkEntry {
       // work is the job itself.
       val fix = stageOnce(s"jobspec-fix:$dir") {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft-jobspec-${dir.hashCode}"
-        t(s, dir, "lineitem")
+        // multi-file csv fixture → the timed RunJob's reader parallelizes
+        spread(t(s, dir, "lineitem"))
           .select(col("l_orderkey"), col("l_quantity").cast("double"),
             col("l_returnflag"), concat_ws("|", col("l_linestatus"), col("l_suppkey")))
           .write.mode("overwrite").option("header", "true").csv(s"$p/src")
@@ -334,7 +367,7 @@ object SparkEntry {
 
     // ===== DataX cast/format semantics (§1.2) ===========================
     ("c_casts", (s, dir) => {
-      t(s, dir, "events").select(
+      spread(t(s, dir, "events")).select(
         col("event_id"),
         ColumnCasts.dateToString(col("ts")).as("ts_str"),
         ColumnCasts.dateToLong(col("ts")).as("ts_unix"),
@@ -417,7 +450,7 @@ object SparkEntry {
     // ===== flow control: error limiter semantics (§2.5) ================
     ("f_error_rates", (s, dir) => {
       val k = ColumnCasts.stringToLong(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1))
-      t(s, dir, "events")
+      spread(t(s, dir, "events"))
         .withColumn("bad", k.isNull || k > 90)
         .groupBy("event_type")
         .agg(count(lit(1)).as("total"),
@@ -1245,7 +1278,7 @@ object SparkEntry {
     ("d_decontaminate", (s, dir) => {
       // test-set decontamination: every 97th doc plays the benchmark; the
       // corpus is scanned once against its broadcast 5-gram set
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       Dedup.contamination(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 5)
     }, Some("""
       WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1258,7 +1291,7 @@ object SparkEntry {
       GROUP BY s.doc_id""")),
 
     ("d_jaccard_pairs", (s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2)
+      Dedup.jaccardPairs(spread(t(s, dir, "documents")), n = 3, threshold = 0.2)
     }, Some("""
       WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                     FROM documents),
@@ -1273,7 +1306,7 @@ object SparkEntry {
       WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""")),
 
     ("d_minhash_lsh", (s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, bands = 4, rowsPerBand = 2)
+      Dedup.minhashCandidates(spread(t(s, dir, "documents")), n = 3, bands = 4, rowsPerBand = 2)
     }, Some("""
       WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                     FROM documents),
@@ -1292,7 +1325,7 @@ object SparkEntry {
       // continuous-ingest dedup: which NEW docs (20% split) collide with the
       // stored corpus — band join against the persisted signature table
       // only; the corpus is never re-shingled, no corpus×corpus pairs
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       Dedup.incrementalCandidates(fresh, Dedup.bandSignatures(corpus))
@@ -1311,7 +1344,7 @@ object SparkEntry {
       WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0""")),
 
     ("d_simhash", (s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"))
+      Dedup.simhash(spread(t(s, dir, "documents")))
     }, Some("""
       WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
                    FROM documents),
@@ -1323,7 +1356,7 @@ object SparkEntry {
       FROM sb GROUP BY doc_id""")),
 
     ("d_simhash_pairs", (s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 6)
+      Dedup.simhashPairs(spread(t(s, dir, "documents")), maxDist = 6)
     }, Some("""
       WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
                    FROM documents),
@@ -1339,7 +1372,7 @@ object SparkEntry {
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""")),
 
     ("d_embed_neardup", (s, dir) => {
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+      Dedup.embeddingNearDups(spread(t(s, dir, "embeddings")), threshold = 0.4)
     }, Some("""
       SELECT x.vec_id AS a, y.vec_id AS b,
              round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
@@ -1349,7 +1382,7 @@ object SparkEntry {
     ("d_deduped_corpus", (s, dir) => {
       // end-to-end dedup: drop exact-duplicate non-keepers and the larger
       // id of every MinHash-LSH candidate pair
-      Dedup.dedupedCorpus(t(s, dir, "documents")).select("doc_id")
+      Dedup.dedupedCorpus(spread(t(s, dir, "documents"))).select("doc_id")
     }, Some("""
       WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                     FROM documents),
@@ -1374,7 +1407,7 @@ object SparkEntry {
       // pairs → transitive CLUSTERS: min-label propagation + pointer
       // jumping over the MinHash-LSH candidate edges; the oracle computes
       // the same components by recursive transitive closure
-      Dedup.dedupClusters(t(s, dir, "documents"))
+      Dedup.dedupClusters(spread(t(s, dir, "documents")))
     }, Some("""
       WITH RECURSIVE
       toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1409,7 +1442,7 @@ object SparkEntry {
       // language-stratified rates: downsample en to 10%, de to 50%, keep
       // the rest whole — selection is a pure function of (doc_id, stratum)
       Curation.stratifiedSample(
-        TextAnalysis.langId(t(s, dir, "documents")).select("doc_id", "lang_pred"),
+        TextAnalysis.langId(spread(t(s, dir, "documents"))).select("doc_id", "lang_pred"),
         "lang_pred", "doc_id", Map("en" -> 0.1, "de" -> 0.5))
     }, Some("""
       WITH h AS (SELECT doc_id,
@@ -1490,7 +1523,7 @@ object SparkEntry {
       LIMIT 10""")),
 
     ("sim_knn_brute", (s, dir) => {
-      Similarity.knnJoinBrute(t(s, dir, "embeddings"), k = 3)
+      Similarity.knnJoinBrute(spread(t(s, dir, "embeddings")), k = 3)
     }, Some("""
       SELECT x.vec_id AS a, y.vec_id AS b,
              round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos,
@@ -1573,7 +1606,7 @@ object SparkEntry {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in
       // ScalaTest; the md5-parity hyperplanes are engine-portable, so the
       // signature + bucket join + re-rank is ALSO oracle-checked end to end
-      Similarity.annTopK(t(s, dir, "embeddings"), k = 5, planes = 6)
+      Similarity.annTopK(spread(t(s, dir, "embeddings")), k = 5, planes = 6)
     }, Some("""
       WITH w AS (SELECT p, list_transform(range(0, 64),
                    d -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 1
@@ -1620,7 +1653,7 @@ object SparkEntry {
       FROM h""")),
 
     ("ta_quality", (s, dir) => {
-      TextAnalysis.qualityScore(t(s, dir, "documents"))
+      TextAnalysis.qualityScore(spread(t(s, dir, "documents")))
     }, Some("""
       WITH f AS (SELECT doc_id,
         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
@@ -1642,7 +1675,7 @@ object SparkEntry {
       FROM f""")),
 
     ("ta_repetition", (s, dir) => {
-      TextAnalysis.repetition(t(s, dir, "documents"))
+      TextAnalysis.repetition(spread(t(s, dir, "documents")))
     }, Some("""
       WITH toks AS (SELECT doc_id,
           list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
@@ -1671,7 +1704,7 @@ object SparkEntry {
       FROM documents""")),
 
     ("ta_fingerprint", (s, dir) => {
-      TextAnalysis.fingerprints(t(s, dir, "documents"))
+      TextAnalysis.fingerprints(spread(t(s, dir, "documents")))
     }, Some("""
       WITH nrm AS (SELECT doc_id,
         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
@@ -1684,7 +1717,7 @@ object SparkEntry {
       FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id""")),
 
     ("ta_tfidf", (s, dir) => {
-      TextAnalysis.tfidf(t(s, dir, "documents"), k = 3)
+      TextAnalysis.tfidf(spread(t(s, dir, "documents")), k = 3)
     }, Some("""
       WITH tok AS (SELECT doc_id,
                           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
@@ -1723,7 +1756,7 @@ object SparkEntry {
       // the corpus text carries no PII, so the query fabricates a
       // deterministic PII-bearing column (email + IP + account number per
       // doc) and redacts it — the operator itself is generic
-      val withPii = t(s, dir, "documents").withColumn("text",
+      val withPii = spread(t(s, dir, "documents")).withColumn("text",
         concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
           lit("@example.com ip 10.1."), pmod(col("doc_id"), lit(200)).cast("string"),
           lit(".33 acct 123456789"), col("doc_id").cast("string")))
@@ -1759,7 +1792,7 @@ object SparkEntry {
       // video-style frame sampling: every 2nd 256-byte chunk as its own row
       // (binary substr + explode — codegen'd; compared via hex-slice md5,
       // which equals the byte-slice at 2x offsets)
-      Multimodal.frameSample(Multimodal.mediaFromDocs(t(s, dir, "documents")),
+      Multimodal.frameSample(Multimodal.mediaFromDocs(spread(t(s, dir, "documents"))),
         frameBytes = 256, everyNth = 2)
     }, Some("""
       WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
@@ -1776,7 +1809,7 @@ object SparkEntry {
     ("sim_topk_batch", (s, dir) => {
       // many-queries-one-pass serving shape: 5 query vectors broadcast,
       // corpus streamed once, top-3 per query
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       Similarity.topKBatch(emb, emb.filter(col("vec_id") < 5), k = 3)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1795,7 +1828,7 @@ object SparkEntry {
       // plumbing; md5-derived stub features make it fully oracle-checkable
       // (f0 probes the feature vector; the raw array column is spot-checked
       // via its first element, rounded like every float column)
-      Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, dir, "documents")))
+      Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(spread(t(s, dir, "documents"))))
         .toDF()
         .withColumn("f0", round(element_at(col("feature"), 1).cast("double"), 4))
         .drop("feature")
@@ -1885,17 +1918,29 @@ object SparkEntry {
       // violation class; the scale path (hash compare before the join) is
       // what runs here, pinned against the oracle's exact FULL OUTER JOIN.
       val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
-      val state = t(s, dir, "events")
+      val state = spread(t(s, dir, "events"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id").as("lsn"),
           round(col("value"), 4).as("value_r"))
+      // the damaged replica derives in ONE pass over state (each state row
+      // emits its possibly-corrupted copy unless removed, plus a phantom
+      // shifted copy when selected) — the previous filter∪filter
+      // formulation evaluated the LWW window subtree once per branch
+      // (3 evaluations total; r06 plan audit). Same multiset.
+      val corrupted = struct(col("user_id").as("user_id"),
+        col("event_type").as("event_type"), col("lsn").as("lsn"),
+        when(pmod(col("user_id"), lit(97)) === 0, col("value_r") + 1)
+          .otherwise(col("value_r")).as("value_r"),
+        (pmod(col("user_id"), lit(101)) =!= 0).as("_keep"))
+      val phantom = struct((col("user_id") + 10000000L).as("user_id"),
+        col("event_type").as("event_type"), col("lsn").as("lsn"),
+        col("value_r").as("value_r"),
+        (pmod(col("user_id"), lit(103)) === 0).as("_keep"))
       val damaged = state
-        .filter(pmod(col("user_id"), lit(101)) =!= 0)
-        .withColumn("value_r",
-          when(pmod(col("user_id"), lit(97)) === 0, col("value_r") + 1)
-            .otherwise(col("value_r")))
-        .unionByName(state.filter(pmod(col("user_id"), lit(103)) === 0)
-          .withColumn("user_id", col("user_id") + 10000000L))
+        .select(explode(filter(array(corrupted, phantom),
+          e => e.getField("_keep"))).as("r"))
+        .select(col("r.user_id").as("user_id"), col("r.event_type").as("event_type"),
+          col("r.lsn").as("lsn"), col("r.value_r").as("value_r"))
       graft.lake.Parity.summary(state, damaged, Seq("user_id", "event_type"))
     }, Some("""
       WITH state AS (

@@ -531,8 +531,15 @@ object CdcPipeline {
             // truncate/DDL envelope) is a dirty record for ITS route —
             // same policy as the single-table tail's null-lsn diversion.
             // The decoded frame is staged once (persist) so the DLQ scan
-            // and the merge share one from_json pass, and the DLQ write
-            // job only runs when there IS a dirty line
+            // and the merge share one from_json pass; the dirty COUNT
+            // rides the merge's own write job via `observe` (zero probe
+            // jobs — the earlier per-route `isEmpty` ran one extra job per
+            // route per epoch), and the DLQ write job runs only when the
+            // count says there IS a dirty line. A crash between the merge
+            // commit and the dirty write can drop that epoch's dirty
+            // records on replay (the merge skips by lineage, so the count
+            // is not re-observed) — acceptable for the diagnostic channel;
+            // the data path stays exactly-once either way.
             val merged = cfg.dlqDir match {
               case Some(dlq) =>
                 val d = decodeEnvelope(cfg.format,
@@ -540,11 +547,33 @@ object CdcPipeline {
                     r.payloadSchema, r.dest.keyCols, passthrough = Seq(RawCol))
                   .persist()
                 try {
-                  val dirty = d.filter(col("lsn").isNull).select(RawCol)
-                  if (!dirty.isEmpty)
-                    dirty.write.mode("overwrite").text(s"$dlq/epoch=$epoch-${r.table}")
-                  r.dest.merge(d.filter(col("lsn").isNotNull).drop(RawCol),
+                  val obs = org.apache.spark.sql.Observation()
+                  val st = r.dest.merge(
+                    d.observe(obs, org.apache.spark.sql.functions.sum(
+                        org.apache.spark.sql.functions.when(col("lsn").isNull, 1L)
+                          .otherwise(0L)).as("dirtyIn"))
+                      .filter(col("lsn").isNotNull).drop(RawCol),
                     epoch, r.writerId)
+                  // an EMPTY metrics map means the write ran ZERO tasks (an
+                  // epoch with no valid row for this route — either quiet,
+                  // or fully poisoned): the count proves nothing then, so
+                  // only that rare case pays the old probe-then-write pair.
+                  // Replays (skipped) wrote their DLQ in the original
+                  // application of the epoch.
+                  val nDirty: Option[Long] =
+                    if (st.skipped) Some(0L)
+                    else {
+                      val m = obs.get
+                      if (m.isEmpty) None
+                      else Some(m.get("dirtyIn") match {
+                        case Some(n: java.lang.Number) => n.longValue
+                        case _ => 0L
+                      })
+                    }
+                  lazy val dirtyRows = d.filter(col("lsn").isNull).select(RawCol)
+                  if (nDirty.exists(_ > 0) || (nDirty.isEmpty && !dirtyRows.isEmpty))
+                    dirtyRows.write.mode("overwrite").text(s"$dlq/epoch=$epoch-${r.table}")
+                  st
                 } finally { d.unpersist(); () }
               case None =>
                 r.dest.merge(

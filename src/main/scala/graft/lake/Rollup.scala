@@ -237,12 +237,19 @@ object Rollup {
         // either side's group tuple works
         val mR = minus.select((groupCols.map(c => col(c).as("__m_" + c)) ++
           measures.map { case (n, _) => col("m_" + n) }): _*)
+        // missing-side fallbacks are CAST to each measure's resolved sum
+        // type, so the exactness contract (integer/decimal sums exact) is
+        // structural rather than riding on coalesce's implicit type
+        // coercion (a decimal measure must never detour through an int 0)
+        val zeroOf: Map[String, Column] = measures.map { case (n, _) =>
+          n -> lit(0).cast(plus.schema("p_" + n).dataType)
+        }.toMap
         val delta = plus.join(mR,
             groupCols.map(c => col(c) <=> col("__m_" + c)).reduce(_ && _),
             "full_outer")
           .select((groupCols.map(c => coalesce(col(c), col("__m_" + c)).as(c)) ++
             measures.map { case (n, _) =>
-              (coalesce(col("p_" + n), lit(0)) - coalesce(col("m_" + n), lit(0)))
+              (coalesce(col("p_" + n), zeroOf(n)) - coalesce(col("m_" + n), zeroOf(n)))
                 .as("d_" + n)
             }): _*)
         // current rollup values for the delta groups — dst is keyed (and so
@@ -255,7 +262,13 @@ object Rollup {
             groupCols.map(c => col(c) <=> col("__c_" + c)).reduce(_ && _),
             "left_outer")
           .select((groupCols.map(col) ++ measures.map { case (n, _) =>
-            (coalesce(col("c_" + n), lit(0)) + col("d_" + n)).as(n)
+            // fold in the stored sum type: decimal +/- widens precision
+            // transiently (sum(18,3)=28,3; c+(p−m) would be 30,3 and creep
+            // +2 per epoch into the schema-evolution guard), and the true
+            // folded value always fits the stored type whenever the
+            // from-scratch sum does — so the cast is lossless by contract
+            (coalesce(col("c_" + n), lit(0).cast(cur.schema(n).dataType))
+              + col("d_" + n)).cast(cur.schema(n).dataType).as(n)
           }): _*)
         next.withColumn("op",
           when(col("n_live") === 0L, lit("D")).otherwise(lit("U")))

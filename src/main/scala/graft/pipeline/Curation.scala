@@ -39,11 +39,22 @@ object Curation {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
-    val threshold = fractions.foldLeft(lit(math.round(default * 10000)): Column) {
-      case (acc, (stratum, f)) =>
-        when(col(stratumCol) === stratum, lit(math.round(f * 10000))).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol), "") < threshold)
+    // Thresholds resolve via a BROADCAST rates join, not a when-chain on
+    // the stratum column: when the stratum is a DERIVED column (the usual
+    // shape — langId output), a filter referencing it gets pushed below
+    // the projection with the full defining expression substituted into
+    // every when-branch — the language-id tree evaluated 3× per row in
+    // the r06 plan audit. Joined as an attribute it evaluates once; the
+    // rates table is O(strata) tiny at any scale. Same kept row set.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = fractions.toSeq
+      .map { case (s, f) => (s, math.round(f * 10000)) }
+      .toDF("_stratum", "_thr")
+    df.join(broadcast(rates), df(stratumCol) === col("_stratum"), "left")
+      .filter(hashBucket(col(idCol), "") <
+        coalesce(col("_thr"), lit(math.round(default * 10000))))
+      .drop("_stratum", "_thr")
   }
 
   /** Concat-and-chunk sequence packing: documents are sharded into

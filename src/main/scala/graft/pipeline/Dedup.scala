@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,11 +25,33 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, shingle) pairs, distinct per document. */
-  def docShingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  /** The corpus with each document's DISTINCT shingle set staged as an
+    * in-row `_sh` array column — the shared substrate of the minhash
+    * family. Two deliberate properties:
+    *  - `array_distinct` dedupes within the row, so no corpus-wide
+    *    `.distinct()` exchange is ever needed (guide §2.4 — per-document
+    *    shingle sets are bounded by document length);
+    *  - the token array is MATERIALIZED as its own projection column
+    *    before shingling: [[TextOps.shingles]] references its input ~5×
+    *    (zip/slice/size), and higher-order functions evaluate outside
+    *    codegen CSE, so an inline `tokens(text)` would re-tokenize the
+    *    document per reference (guide §1.2 — fix the per-task work).
+    *    Staged projections do not collapse (the producer is expensive and
+    *    multiply-referenced), so each stage evaluates once per row.
+    */
+  private def withShingleSet(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(shingles(tokens(col(textCol)), n)).as("sh"))
-      .distinct()
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), array_distinct(shingles(col("_t"), n)).as("_sh"))
+
+  /** (doc_id, shingle) pairs, distinct per document. The distinct is
+    * computed in-row ([[withShingleSet]]) before the explode — same pair
+    * set, one full corpus shuffle less than explode→`.distinct()`.
+    */
+  def docShingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withShingleSet(docs, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("_sh")).as("sh"))
 
   /** Test-set CONTAMINATION scan: per corpus document, how many of its
     * distinct `n`-grams also occur in the evaluation set — the overlap
@@ -47,7 +69,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       evalTextCol: String = "text"): DataFrame = {
     val evalGrams = broadcast(
-      evalSet.select(explode(shingles(tokens(col(evalTextCol)), n)).as("sh")).distinct())
+      evalSet.select(tokens(col(evalTextCol)).as("_t"))
+        .select(explode(shingles(col("_t"), n)).as("sh")).distinct())
     docShingles(corpus, n, idCol, textCol)
       .join(evalGrams, "sh")
       .groupBy("doc_id")
@@ -70,7 +93,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docShingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle-set size is a pure row function — no aggregate needed
+    // (docs with zero shingles can never appear in `inter`, so leaving them
+    // in `sizes` changes nothing)
+    val sizes = withShingleSet(docs, n)
+      .select(col("doc_id"), size(col("_sh")).cast("long").as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -83,21 +110,32 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Per-document minhash lane minimum: lexicographic min of
+    * md5(j ':' shingle) over the in-row shingle set — `array_min` over a
+    * `transform`, entirely narrow. The lambda references only its own
+    * argument (see [[TextOps.shingles]] on capture re-evaluation), and the
+    * shingle array arrives as a materialized column so it is computed once
+    * per row however many lanes read it.
+    */
+  private def minhashLane(shCol: Column, j: Int): Column =
+    array_min(transform(shCol, s => md5(concat(lit(s"$j:"), s))))
+
   /** MinHash signatures: k per-document minima of md5(j || ':' || shingle)
     * over the shingle set — lexicographic min over hex strings, which any
     * engine reproduces bit-identically (no seeded JVM hash).
     * Output: (doc_id, j, mh).
     *
-    * All k lanes are aggregate COLUMNS of one groupBy over the shingle rows
-    * (k md5s per row, map-side partial min) — an explode(0..k-1) would
-    * multiply the shuffle k× for the same result.
+    * All k lanes are IN-ROW array reductions over the per-document shingle
+    * set — zero exchanges where the earlier explode→distinct→groupBy shape
+    * paid two corpus-wide shuffles for the identical result (guide §2.4);
+    * the md5 count is unchanged (it defines the signature). Documents with
+    * no shingles produce no rows, exactly as the aggregate formulation.
     */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val lanes = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"_mh$j"))
-    docShingles(docs, n)
-      .groupBy("doc_id")
-      .agg(lanes.head, lanes.tail: _*)
+    val lanes = (0 until k).map(j => minhashLane(col("_sh"), j).as(s"_mh$j"))
+    withShingleSet(docs, n)
+      .where(size(col("_sh")) > 0)
+      .select(col("doc_id") +: lanes: _*)
       .select(col("doc_id"),
         posexplode(array((0 until k).map(j => col(s"_mh$j")): _*)).as(Seq("j", "mh")))
   }
@@ -116,12 +154,24 @@ object Dedup {
 
   /** Band signatures of a corpus — the STORED side of incremental dedup
     * (persist this alongside the corpus; it is O(docs × bands) small).
+    *
+    * Computed IN-ROW like [[minhashSignatures]]: each band's signature is
+    * the sorted concat of its lane minima, assembled per document with no
+    * exchange (the earlier groupBy-band formulation re-shuffled the lane
+    * rows a third time for the identical strings).
     */
   def bandSignatures(docs: DataFrame, n: Int = 3, bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame =
-    minhashSignatures(docs, n, bands * rowsPerBand)
-      .groupBy(col("doc_id"), (col("j") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",", array_sort(collect_list(col("mh")))).as("band_sig"))
+      rowsPerBand: Int = 2): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val lanes = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => minhashLane(col("_sh"), j))
+      concat_ws(",", array_sort(array(lanes: _*)))
+    }
+    withShingleSet(docs, n)
+      .where(size(col("_sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+  }
 
   /** INCREMENTAL near-dup candidates: which NEW documents collide with the
     * EXISTING corpus — the continuous-ingest shape of LSH dedup. Cost is
@@ -263,6 +313,26 @@ object Dedup {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     var round = 0
+    val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .persist()
+    // size the iteration to the MEASURED graph (guide §2 — scale-adaptive
+    // partitioning, not a constant): the count also materializes the
+    // persisted edge list so every round reads cached blocks.
+    //  - small graphs (the common near-dup case: candidate pairs are rare)
+    //    broadcast the label side, so each round's joins are narrow map
+    //    stages instead of three full shuffle joins;
+    //  - the per-round label materialization and the one remaining shuffle
+    //    (the neighbor-min aggregate) run at a partition count derived from
+    //    the edge count, capped at the session's shuffle parallelism — a
+    //    2^31-edge graph keeps today's plan, a 10^3-edge graph stops paying
+    //    32 sorted partitions per round for a kilobyte of labels.
+    val nE = e.count()
+    val sessParts = spark.sessionState.conf.numShufflePartitions
+    val p = math.min(math.max(nE / 1000000L + 1L, 1L), sessParts.toLong).toInt
+    val small = nE <= 2000000L // labels ≤ 2·nE rows — comfortably broadcastable
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     def save(df: DataFrame): DataFrame = checkpointDir match {
       case Some(dir) =>
         // the subdir being (re)written holds only the round-(k-2)
@@ -274,26 +344,23 @@ object Dedup {
         spark.read.parquet(sub.toString)
       case None => df.localCheckpoint()
     }
-    val e = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
-      .distinct()
-      .persist()
     try {
       var labels = save(e.select(col("s").as("id")).distinct()
-        .withColumn("label", col("id")))
+        .withColumn("label", col("id")).coalesce(p))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
-        val nbrMin = e.join(labels.select(col("id").as("s"), col("label").as("sl")), "s")
+        val nbrMin = e.join(maybeB(labels.select(col("id").as("s"), col("label").as("sl"))), "s")
+          .repartition(p, col("d"))
           .groupBy(col("d").as("id")).agg(min(col("sl")).as("nl"))
         // previous label rides along so convergence is OBSERVED on the same
         // checkpoint action — no separate join+count job per round
-        val stepped = labels.join(nbrMin, Seq("id"), "left")
+        val stepped = labels.join(maybeB(nbrMin), Seq("id"), "left")
           .select(col("id"), col("label").as("_prev"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         val obs = org.apache.spark.sql.Observation()
         val jumped = save(stepped
-          .join(stepped.select(col("id").as("jid"), col("label").as("jl")),
+          .join(maybeB(stepped.select(col("id").as("jid"), col("label").as("jl"))),
             col("label") === col("jid"), "left")
           .select(col("id"), col("_prev"), coalesce(col("jl"), col("label")).as("label"))
           .observe(obs, sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))

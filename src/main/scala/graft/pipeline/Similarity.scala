@@ -73,10 +73,21 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)
-    e.as("x").join(e.as("y"), col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+    // join each UNORDERED pair once (id < id) and mirror via explode:
+    // cos(a,b) and cos(b,a) are bit-identical (the dot kernel walks the
+    // arrays in the same element order and float multiply commutes), so
+    // this halves the quadratic kernel work for the identical row set
+    // (guide §1.2 — don't compute things twice). The mirror is an explode
+    // in the SAME pass, not a union of two join branches (which would
+    // re-run the join).
+    e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(
         // rounded BEFORE ranking — cross-engine-stable tie-break (see topK)
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4).as("cos"),
+        explode(array(
+          struct(col("x.id").as("a"), col("y.id").as("b")),
+          struct(col("y.id").as("a"), col("x.id").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("a"), col("b"), col("cos"), col("rk"))

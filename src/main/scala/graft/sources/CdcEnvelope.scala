@@ -100,14 +100,24 @@ object CdcEnvelope {
     */
   def debezium(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
       passthrough: Seq[String] = Nil): DataFrame = {
-    val e = from_json(col(envelopeCol), debeziumSchema(payloadSchema))
+    // Parse ONCE into a materialized struct column. Referencing the
+    // from_json expression per field would let the optimizer prune each
+    // reference to a different minimal schema — defeating common-
+    // subexpression elimination and running SEVEN Jackson parses per row
+    // (measured in the r06 plan audit). Behind an attribute the parse is a
+    // single full-schema evaluation; the extra fields cost far less than
+    // the repeated parse setup.
+    val parsed = df.select(
+      from_json(col(envelopeCol), debeziumSchema(payloadSchema)).as("_e") +:
+        passthrough.map(col): _*)
+    val e = col("_e")
     // row-image ops only: c/r/u/d. Truncate ('t') and logical-message ('m')
     // envelopes carry a valid source.lsn but NO row image — decode them
     // with null lsn so the corrupt-line policy diverts them rather than
     // inserting a null-key row
     val isRowEvent = e.getField("op").isin("c", "r", "u", "d") &&
       coalesce(e.getField("after"), e.getField("before")).isNotNull
-    df.select(Seq(
+    parsed.select(Seq(
         when(e.getField("op") === "d", Model.OpDelete)
           .when(e.getField("op") === "u", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
@@ -153,8 +163,14 @@ object CdcEnvelope {
   def canal(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
       batchStride: Int = 1024, passthrough: Seq[String] = Nil,
       keyCols: Seq[String] = Nil): DataFrame = {
-    val e = from_json(col(envelopeCol), canalSchema(payloadSchema))
-    val exploded = df.select(Seq(
+    // single materialized parse — see [[debezium]] on why the from_json
+    // must sit behind an attribute (per-reference schema pruning would
+    // multiply the Jackson parse per field otherwise)
+    val parsed = df.select(
+      from_json(col(envelopeCol), canalSchema(payloadSchema)).as("_e") +:
+        passthrough.map(col): _*)
+    val e = col("_e")
+    val exploded = parsed.select(Seq(
         when(e.getField("type") === "DELETE", Model.OpDelete)
           .when(e.getField("type") === "UPDATE", Model.OpUpdate)
           .otherwise(Model.OpInsert).as("op"),
@@ -226,7 +242,11 @@ object CdcEnvelope {
     */
   def maxwell(df: DataFrame, envelopeCol: String, payloadSchema: StructType,
       passthrough: Seq[String] = Nil, keyCols: Seq[String] = Nil): DataFrame = {
-    val e = from_json(col(envelopeCol), maxwellSchema(payloadSchema))
+    // single materialized parse — see [[debezium]]
+    val parsed = df.select(
+      from_json(col(envelopeCol), maxwellSchema(payloadSchema)).as("_e") +:
+        passthrough.map(col): _*)
+    val e = col("_e")
     val posOffset = regexp_extract(e.getField("position"), ":([0-9]+)$", 1)
     val posFileSeq = regexp_extract(e.getField("position"), "\\.([0-9]+):[0-9]+$", 1)
     val posLsn = nullif(posOffset, lit("")).cast(LongType) +
@@ -236,7 +256,7 @@ object CdcEnvelope {
     val isRowEvent = e.getField("type").isin("insert", "update", "delete", "bootstrap-insert") &&
       e.getField("data").isNotNull
     val flat = withKeyChangeTombstones(
-      df.select(Seq(
+      parsed.select(Seq(
           when(e.getField("type") === "delete", Model.OpDelete)
             .when(e.getField("type") === "update", Model.OpUpdate)
             .otherwise(Model.OpInsert).as("op"),

@@ -214,14 +214,16 @@ class PlanAuditSpec extends SparkSpec {
       && !plan.contains("SortMergeJoin"), plan)
   }
 
-  test("repetition is explode+partial-aggregate per order — no cartesian, no window") {
+  test("repetition is computed in-row — no keyed shuffle, no window, no join") {
     val plan = planOf(SparkEntry.queries("ta_repetition")(spark, sfDir))
-    // the per-doc top counts must come from hash aggregates with map-side
-    // partials (combiner shrinks the (doc, gram) shuffle), never a window
+    // per-document statistics are pure row functions (sorted-array run
+    // length): the only permissible exchange is the scan-parallelism
+    // spread (round-robin) — never a (doc, gram) keyed shuffle, a window,
     // or any pairwise join of the corpus with itself
-    assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"repetition must not shuffle by key:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
       && !plan.contains("Window"), plan)
   }
 

@@ -112,4 +112,30 @@ class RollupFuzzSpec extends SparkSpec {
     check(seed = 41L, epochOf = i => pmod(xxhash64(i + 7L), lit(4)).cast("int"),
       nEpochs = 4)
   }
+
+  test("additive rollup with a DECIMAL measure hash-matches the recompute (typed fallbacks)") {
+    // VERDICT r05 #9: the missing-side coalesce fallbacks are cast to the
+    // measure's resolved sum type, so a decimal measure's exactness is
+    // structural — this pins it against the from-scratch oracle across
+    // epochs (groups appearing, vanishing and moving between windows)
+    val cfg = Gen.GenConfig(seed = 43L, nEvents = 2000L, nConvs = 30L,
+      maxTurns = 12, partitions = 4)
+    val src = LakeTable.create(spark, tmpDir("rfzdec") + "/src", Model.keyCols, 4)
+    val dst = LakeTable.create(spark, tmpDir("rfzdecd") + "/d", Seq("role"), 2)
+    val all = Gen.changeEvents(spark, cfg).toDF()
+    val decExpr = coalesce(length(col("text")).cast("decimal(18,3)"),
+      lit(0).cast("decimal(18,3)"))
+    (0 until 3).foreach { e =>
+      src.merge(all.filter(pmod(arrivalIdx, lit(3)) === e), e.toLong)
+      Rollup.syncAdditive(src, dst, Seq("chars_dec" -> decExpr), writerId = "dec")
+    }
+    val state = Gen.expectedState(spark, cfg).toDF()
+    val want = state.groupBy("role").agg(
+      sum(decExpr).cast("decimal(38,3)").as("chars_dec"),
+      count(lit(1)).as("n_live"))
+    val got = dst.read()
+      .select(col("role"), col("chars_dec").cast("decimal(38,3)").as("chars_dec"),
+        col("n_live"))
+    assert(diff(got, want) === 0L, "decimal additive rollup diverges from recompute")
+  }
 }
