@@ -1606,7 +1606,7 @@ object SparkEntry {
       // LSH-bucketed ANN (scale path) — recall vs brute force is gated in
       // ScalaTest; the md5-parity hyperplanes are engine-portable, so the
       // signature + bucket join + re-rank is ALSO oracle-checked end to end
-      Similarity.annTopK(spread(t(s, dir, "embeddings")), k = 5, planes = 6)
+      Similarity.annTopK(t(s, dir, "embeddings"), k = 5, planes = 6)
     }, Some("""
       WITH w AS (SELECT p, list_transform(range(0, 64),
                    d -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2 = 1
@@ -1717,7 +1717,7 @@ object SparkEntry {
       FROM toks LEFT JOIN sh ON toks.doc_id = sh.doc_id""")),
 
     ("ta_tfidf", (s, dir) => {
-      TextAnalysis.tfidf(spread(t(s, dir, "documents")), k = 3)
+      TextAnalysis.tfidf(t(s, dir, "documents"), k = 3)
     }, Some("""
       WITH tok AS (SELECT doc_id,
                           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
@@ -1809,7 +1809,7 @@ object SparkEntry {
     ("sim_topk_batch", (s, dir) => {
       // many-queries-one-pass serving shape: 5 query vectors broadcast,
       // corpus streamed once, top-3 per query
-      val emb = spread(t(s, dir, "embeddings"))
+      val emb = t(s, dir, "embeddings")
       Similarity.topKBatch(emb, emb.filter(col("vec_id") < 5), k = 3)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -125,7 +125,10 @@ object TextAnalysis {
     * reproducible across engines (same policy as the similarity family).
     */
   def tfidf(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
-    val nDocs = docs.count() // one tiny scalar job, driver-held constant
+    // the corpus size rides the MAIN job as a broadcast 1-row aggregate
+    // (column-pruned subtree) instead of a separate driver action per call
+    // — one job, not two, and the same exact long count (guide §1.2)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val term = docs.select(col("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
     val tf = term.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -133,9 +136,10 @@ object TextAnalysis {
     // plain count over it — re-aggregating `term` would tokenize and
     // explode the whole corpus a second time
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 4))
+        round(col("tf") * log((col("_n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .drop("_n_docs")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w))

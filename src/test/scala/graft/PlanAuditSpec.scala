@@ -210,8 +210,15 @@ class PlanAuditSpec extends SparkSpec {
   test("tfidf broadcasts the document-frequency side; no pairwise join") {
     val plan = planOf(SparkEntry.queries("ta_tfidf")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
-      && !plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    // the ONE permissible nested-loop join is the broadcast single-row
+    // corpus-count scalar (`_n_docs` riding the main job instead of a
+    // separate driver action) — never a pairwise corpus join
+    // audit the AQE FINAL plan only (the "Initial Plan" echo repeats nodes)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length
+    assert(bnlj <= 1 && (bnlj == 0 || finalPlan.contains("_n_docs")),
+      s"unexpected nested-loop join beyond the count scalar:\n$plan")
   }
 
   test("repetition is computed in-row — no keyed shuffle, no window, no join") {
