@@ -369,6 +369,8 @@ object Dedup {
           case Some(n: java.lang.Number) => n.longValue
           case _ => 0L
         }
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] iter=$iter changed=$changed nE=$nE p=$p small=$small")
         labels = jumped
         iter += 1
       }
