@@ -194,20 +194,26 @@ object Dedup {
     * Σ_tokens (bit b of md5-head32(token) ? +1 : −1). Near-duplicates have
     * small Hamming distance between simhashes.
     *
-    * The 32 bit-sums are aggregate COLUMNS of one groupBy over token rows
-    * (bit tests via shiftright are codegen'd) — exploding 0..31 would
-    * multiply the shuffle 32× for the same result.
+    * Computed IN-ROW like the minhash substrate: the token hashes are a
+    * staged array column (md5 once per token) and each bit-sum is an
+    * `aggregate` lambda over it — a per-document signature never needs an
+    * exchange (guide §2.4; the earlier explode→32-column groupBy shuffled
+    * a combiner row per document for the identical bits). Documents with
+    * no tokens produce no rows, exactly as the aggregate formulation.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b"))
+    val bitSums = (0 until 32).map { b =>
+      aggregate(col("_h"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"_b$b")
+    }
     val toBits = (0 until 32).map(b =>
       when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(0L))
     docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5Head32(col("tok")))
-      .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col("doc_id"), transform(col("_t"), t => md5Head32(t)).as("_h"))
+      .select(col("doc_id") +: bitSums: _*)
       .select(col("doc_id"), toBits.reduce(_ + _).as("simhash"))
   }
 
